@@ -1,0 +1,16 @@
+from data_validator_spark.rules.spec import (  # noqa: F401
+    HARD,
+    SOFT,
+    WARNING,
+    Rule,
+    allowed_set,
+    bounds,
+    not_empty,
+    regex_format,
+    required,
+)
+from data_validator_spark.rules.compiler import (  # noqa: F401
+    append_messages,
+    apply_rules,
+    hard_violations,
+)
