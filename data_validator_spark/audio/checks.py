@@ -1,0 +1,131 @@
+"""Audio-payload validation stage (the graft's per-row invariant).
+
+BASELINE.json input_hint: "decoded-PCM allclose (SNR>=30dB) +
+transcript equality". This is the engine's only Python compute, kept
+Arrow-batched (pandas UDF over binary series, never row-at-a-time
+Python UDFs — SURVEY.md §2.11) with a minimal input projection:
+(clip_id, codec, sr_hz, bytes). Everything downstream of the UDF
+(labels, tiers, message appends) is Column expressions.
+
+Scale notes:
+  - Arrow batch size is capped session-wide (session.py sets
+    spark.sql.execution.arrow.maxRecordsPerBatch=2048) so a batch of
+    `bytes` payloads fits executor memory.
+  - decode parallelism is decoupled from file layout: callers
+    repartition before this stage (plans/validation.py uses a
+    deterministic repartition so task retries are stable).
+  - per-row work is O(samples); the UDF releases each batch promptly
+    (no accumulation across batches).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+from data_validator_spark.audio import codecs, synth
+
+SNR_MIN_DB = 30.0
+
+# explicit StructType: a DDL string would be parsed at import time and
+# require an active SparkSession
+_RESULT_SCHEMA = T.StructType(
+    [
+        T.StructField("decode_error", T.StringType()),
+        T.StructField("snr_db", T.DoubleType()),
+        T.StructField("container_sr", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+    ]
+)
+
+
+@pandas_udf(_RESULT_SCHEMA)
+def audio_check_udf(
+    it: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """Batch-iterator UDF: struct(clip_id, codec, sr_hz, bytes) batches
+    -> (decode_error, snr_db, container_sr, n_samples)."""
+    for pdf in it:
+        n = len(pdf)
+        err = np.full(n, None, dtype=object)
+        snr = np.full(n, np.nan)
+        csr = np.full(n, -1, dtype=np.int64)
+        nsm = np.full(n, -1, dtype=np.int64)
+        clip_ids = pdf["clip_id"].to_numpy()
+        codecs_col = pdf["codec"].to_numpy()
+        payloads = pdf["bytes"].to_numpy()
+        for i in range(n):
+            payload = payloads[i]
+            try:
+                pcm, sr = codecs.decode(codecs_col[i], payload)
+            except codecs.CodecError as e:
+                err[i] = str(e)
+                continue
+            csr[i] = sr
+            nsm[i] = len(pcm)
+            ref = synth.reference_pcm(str(clip_ids[i]), int(sr), len(pcm))
+            snr[i] = codecs.snr_db(ref, pcm)
+        yield pd.DataFrame(
+            {
+                "decode_error": err,
+                "snr_db": snr,
+                "container_sr": pd.array(csr, dtype="Int32"),
+                "n_samples": nsm,
+            }
+        )
+
+
+def run_audio_checks(clips: DataFrame, snr_min: float = SNR_MIN_DB) -> DataFrame:
+    """Append audio-check outcome columns:
+
+      audio_decode_error   string  (hard-tier material)
+      audio_snr_db         double
+      _snr_label           `audio_snr_below_30db(x.x)` or NULL (soft)
+      _container_sr_label  `bytes_sr_mismatch(sr)` or NULL (warning)
+
+    The SNR label rounds to 1dp, echoing the offending value like the
+    reference's `fast_rt_...s` labels (core_models.py:169-202).
+    """
+    res = audio_check_udf(
+        F.struct(
+            F.col("clip_id"), F.col("codec"), F.col("sr_hz"), F.col("bytes")
+        )
+    )
+    out = clips.withColumn("_audio", res)
+    snr_name = f"audio_snr_below_{int(snr_min)}db"
+    return (
+        out.withColumn("audio_decode_error", F.col("_audio.decode_error"))
+        .withColumn("audio_snr_db", F.col("_audio.snr_db"))
+        .withColumn(
+            "_snr_label",
+            F.when(
+                F.col("_audio.decode_error").isNull()
+                & (F.col("_audio.snr_db") < F.lit(snr_min)),
+                F.concat(
+                    F.lit(snr_name + "("),
+                    F.round(F.col("_audio.snr_db"), 1).cast("string"),
+                    F.lit(")"),
+                ),
+            ),
+        )
+        .withColumn(
+            "_container_sr_label",
+            F.when(
+                F.col("_audio.decode_error").isNull()
+                & F.col("sr_hz").isNotNull()
+                & (F.col("_audio.container_sr") != F.col("sr_hz")),
+                F.concat(
+                    F.lit("bytes_sr_mismatch("),
+                    F.col("_audio.container_sr").cast("string"),
+                    F.lit(")"),
+                ),
+            ),
+        )
+        .drop("_audio")
+    )

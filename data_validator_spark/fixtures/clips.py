@@ -133,11 +133,22 @@ def meta_batch(idx: np.ndarray, cfg: ClipsConfig) -> pd.DataFrame:
     base_ids = np.array([f"{cfg.clip_id_prefix}-{i:012d}" for i in idx])
     clip_id = base_ids.copy()
     dup = flags["inj_dup"] & (idx > 0)
-    flags["inj_dup"] = dup
     if dup.any():
         back = (_u01(idx[dup], seed, 2) * np.minimum(idx[dup], 1000)).astype(np.int64) + 1
         src = idx[dup] - back
-        clip_id[dup] = np.array([f"{cfg.clip_id_prefix}-{i:012d}" for i in src])
+        # a source row that is itself dup-injected carries a different
+        # clip_id than its base id — drop those injections so every
+        # inj_dup row is a true second occurrence
+        dup_lo, dup_hi = cfg.channel_a_bounds()[0][1:]
+        u_src = _u01(src, seed, 1)
+        src_is_dup = (u_src >= dup_lo) & (u_src < dup_hi) & (src > 0)
+        keep = ~src_is_dup
+        dup_idx = np.flatnonzero(dup)
+        dup[dup_idx[~keep]] = False
+        clip_id[dup_idx[keep]] = np.array(
+            [f"{cfg.clip_id_prefix}-{i:012d}" for i in src[keep]]
+        )
+    flags["inj_dup"] = dup
 
     # sr_hz
     sr = _pick(_u01(idx, seed, 3), _SR_CHOICES, _SR_PROBS).astype(np.int64)

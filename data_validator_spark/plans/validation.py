@@ -1,0 +1,214 @@
+"""The end-to-end clips validation plan.
+
+Composes the engine's operators into the reference's lifecycle
+(SURVEY.md §3.4): hard schema tier -> soft/warning metadata rules ->
+uniqueness -> transcript winner-dedup + referential + equality ->
+audio payload checks -> per-partition verdicts + column stats + drift.
+
+Everything is lazy DataFrames; the caller (or the manifest runner)
+decides what to materialize. Stage order matters for cost at scale:
+hard-invalid and unknown-codec rows are diverted BEFORE the audio
+stage so no Python time is spent on undecodable rows, and the audio
+stage projects only (clip_id, codec, sr_hz, bytes) through Arrow.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from data_validator_spark.audio.checks import run_audio_checks
+from data_validator_spark.operators import dedup, drift, referential, stats
+from data_validator_spark.rules import clip_rules
+from data_validator_spark.rules.compiler import append_messages, apply_rules, split_hard
+
+ENTITY = "clip"
+
+
+@dataclass(frozen=True)
+class ValidationConfig:
+    partition_col: str = "ingest_date"
+    order_col: str = "ingest_seq"  # deterministic first-wins ordering
+    check_audio: bool = True
+    snr_min_db: float = 30.0
+    decode_partitions: int | None = None  # repartition before decode stage
+    rule_version: str = clip_rules.RULE_VERSION
+    # full profile (null rate / min-max / HLL / quantiles) over these:
+    stats_specs: tuple[stats.ColumnSpec, ...] = (
+        stats.ColumnSpec("dur_ms", "numeric", 0.0, 10_000.0, 50),
+        stats.ColumnSpec("sr_hz", "categorical"),
+        stats.ColumnSpec("codec", "categorical"),
+        stats.ColumnSpec("transcript", "categorical"),
+        stats.ColumnSpec("clip_id", "categorical"),
+    )
+    # drift histograms only over bounded-cardinality columns (a
+    # histogram over clip_id/transcript would shuffle the keyspace):
+    hist_specs: tuple[stats.ColumnSpec, ...] = (
+        stats.ColumnSpec("dur_ms", "numeric", 0.0, 10_000.0, 50),
+        stats.ColumnSpec("sr_hz", "categorical"),
+        stats.ColumnSpec("codec", "categorical"),
+    )
+
+
+@dataclass
+class ValidationResult:
+    validated: DataFrame  # all soft-tier rows incl. flags/messages
+    invalid: DataFrame  # hard side-channel (normalized error rows)
+    partition_verdicts: DataFrame
+    summary_stats: DataFrame
+    histograms: DataFrame
+    drift: DataFrame | None = None
+    ref_winners: DataFrame | None = None
+
+
+def _ref_winner_transcripts(transcripts_ref: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Winner-selection over the reference transcript table.
+
+    Returns (winners, ambiguous):
+      winners   — one authoritative (clip_id, transcript) per clip
+      ambiguous — clip_ids whose group hit the >=2-completed branch
+                  (no winner exists; clips referencing them inherit
+                  `multiple_completed_transcripts`, the J6
+                  message-inheritance join of SURVEY.md §2.3)
+    """
+    w = dedup.winner_selection(
+        transcripts_ref,
+        keys=["clip_id"],
+        complete_col="is_complete",
+        time_col="updated_at",
+        id_col="clip_id",
+        suffixed_col="clip_id",  # losers get clip_id:dupN -> drop out of join
+    )
+    winners = w.filter(F.col("is_winner")).select(
+        F.col("clip_id"), F.col("transcript").alias("_ref_transcript")
+    )
+    ambiguous = (
+        w.filter(F.col("dedup_msg") == "multiple_completed_transcripts")
+        # recover the base id: strip the ':dupN' suffix added above
+        .select(F.regexp_replace("clip_id", r":dup\d+$", "").alias("clip_id"))
+        .dropDuplicates(["clip_id"])
+    )
+    return winners, ambiguous
+
+
+def run_validation(
+    clips: DataFrame,
+    transcripts_ref: DataFrame | None = None,
+    baseline_hist: DataFrame | None = None,
+    cfg: ValidationConfig = ValidationConfig(),
+) -> ValidationResult:
+    rules = clip_rules.all_clip_rules()
+    id_cols = ["clip_id", cfg.order_col, cfg.partition_col]
+
+    # ---- tier 1: hard schema failures -> side-channel
+    ok, invalid = split_hard(clips, rules, ENTITY, id_cols)
+
+    # ---- tier 2: soft/warning metadata rules (pure Column exprs)
+    v = apply_rules(ok, rules, ENTITY)
+
+    # ---- uniqueness on clip_id (first occurrence wins, A3/A4)
+    v = dedup.flag_duplicates(v, ["clip_id"], cfg.order_col)
+    v = append_messages(v, ENTITY, F.col("_dup_label")).drop("_dup_label")
+
+    ref_winners = None
+    if transcripts_ref is not None:
+        ref_winners, ambiguous = _ref_winner_transcripts(transcripts_ref)
+        # inherited dedup message (J6): clip references a transcript
+        # group with >=2 completed rows -> no authoritative transcript
+        ambiguous = ambiguous.withColumn("_ref_multi", F.lit(True))
+        v = v.join(ambiguous, "clip_id", "left")
+        v = append_messages(
+            v,
+            ENTITY,
+            F.when(F.col("_ref_multi"), F.lit("multiple_completed_transcripts")),
+        )
+        # referential: clip must have a transcript-side row (J3 anti-join form)
+        v = referential.flag_missing_ref(
+            v, ref_winners, "clip_id", "transcript_ref_missing"
+        )
+        v = append_messages(
+            v,
+            ENTITY,
+            F.when(F.col("_ref_multi").isNull(), F.col("_ref_label")),
+        ).drop("_ref_label", "_ref_multi")
+        # transcript equality vs the winning reference row
+        v = v.join(ref_winners, "clip_id", "left")
+        mismatch = F.when(
+            F.col("_ref_transcript").isNotNull()
+            & F.col("transcript").isNotNull()
+            & (F.trim("transcript") != "")
+            & (F.col("transcript") != F.col("_ref_transcript")),
+            F.lit("transcript_mismatch"),
+        )
+        v = append_messages(v, ENTITY, mismatch).drop("_ref_transcript")
+
+    # ---- tier 3: audio payload invariant (Arrow pandas UDF stage)
+    if cfg.check_audio:
+        if cfg.decode_partitions:
+            # decouple decode parallelism from file layout; deterministic
+            # keys so stage retries land identically
+            v = v.repartition(cfg.decode_partitions, "clip_id", cfg.order_col)
+        v = run_audio_checks(v, snr_min=cfg.snr_min_db)
+        # decode failure is a hard-tier outcome discovered late: divert
+        decode_invalid = (
+            v.filter(F.col("audio_decode_error").isNotNull())
+            .select(
+                *id_cols,
+                F.lit(ENTITY).alias("entity"),
+                F.lit("audio_decode_failed").alias("rule"),
+                F.lit("bytes").alias("invalid_key"),
+                F.col("audio_decode_error").alias("invalid_value"),
+                F.lit("decodable audio payload").alias("expected_value"),
+            )
+        )
+        invalid = invalid.unionByName(decode_invalid)
+        v = v.filter(F.col("audio_decode_error").isNull())
+        v = append_messages(v, ENTITY, F.col("_snr_label")).drop("_snr_label")
+        v = append_messages(
+            v, ENTITY, F.col("_container_sr_label"), warning=True
+        ).drop("_container_sr_label")
+    v = v.drop("bytes")  # payload never leaves the decode stage
+
+    # ---- per-partition verdicts (the reference's per-table stats
+    # rollup, data_validation_pipeline.py:84-118, made per-partition)
+    part = cfg.partition_col
+    soft_counts = v.groupBy(part).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum((~F.col(f"valid_{ENTITY}")).cast("long")).alias("n_soft_invalid"),
+        F.sum((F.col(f"warning_msg_{ENTITY}") != "").cast("long")).alias("n_warnings"),
+    )
+    hard_counts = invalid.groupBy(part).agg(
+        F.count_distinct(cfg.order_col).alias("n_hard_invalid")
+    )
+    verdicts = (
+        soft_counts.join(hard_counts, part, "full_outer")
+        .fillna(0, subset=["n_rows", "n_soft_invalid", "n_warnings", "n_hard_invalid"])
+        .withColumn(
+            "status",
+            F.when(
+                (F.col("n_hard_invalid") == 0) & (F.col("n_soft_invalid") == 0),
+                F.lit("pass"),
+            ).otherwise(F.lit("fail")),
+        )
+        .withColumn("rule_version", F.lit(cfg.rule_version))
+    )
+
+    # ---- column stats + histograms (single-pass each, SURVEY §2.4 A5/A10/A11)
+    summary = stats.profile(clips.drop("bytes"), list(cfg.stats_specs))
+    hist = stats.histogram(clips.drop("bytes"), list(cfg.hist_specs))
+
+    drift_df = None
+    if baseline_hist is not None:
+        drift_df = drift.drift_verdicts(baseline_hist, hist)
+
+    return ValidationResult(
+        validated=v,
+        invalid=invalid,
+        partition_verdicts=verdicts,
+        summary_stats=summary,
+        histograms=hist,
+        drift=drift_df,
+        ref_winners=ref_winners,
+    )

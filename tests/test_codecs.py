@@ -1,0 +1,48 @@
+"""Pure-python codec/synth unit tests (no Spark)."""
+
+import numpy as np
+import pytest
+
+from data_validator_spark.audio import codecs, synth
+
+
+@pytest.mark.parametrize("codec", codecs.SUPPORTED_CODECS)
+def test_roundtrip_snr_above_gate(codec):
+    pcm = synth.reference_pcm("clip-000000000042", 16000, 8000)
+    payload = codecs.encode(codec, pcm, 16000)
+    dec, sr = codecs.decode(codec, payload)
+    assert sr == 16000
+    assert len(dec) == len(pcm)
+    assert codecs.snr_db(pcm, dec) >= 30.0
+
+
+@pytest.mark.parametrize("codec", codecs.SUPPORTED_CODECS)
+def test_truncated_payload_raises(codec):
+    pcm = synth.reference_pcm("clip-000000000001", 8000, 1000)
+    payload = codecs.encode(codec, pcm, 8000)
+    with pytest.raises(codecs.CodecError):
+        codecs.decode(codec, payload[: len(payload) // 2])
+
+
+def test_garbage_and_unknown_codec():
+    with pytest.raises(codecs.CodecError):
+        codecs.decode("pcm16", b"garbage")
+    with pytest.raises(codecs.CodecError):
+        codecs.decode("amr", b"\x00" * 100)
+    with pytest.raises(codecs.CodecError):
+        codecs.decode("pcm16", None)
+
+
+def test_snr_detects_wrong_signal():
+    a = synth.reference_pcm("clip-a", 16000, 4000)
+    b = synth.reference_pcm("clip-b", 16000, 4000)
+    assert codecs.snr_db(a, b) < 10.0
+    assert codecs.snr_db(a, a) == float("inf")
+
+
+def test_synth_deterministic():
+    x1 = synth.reference_pcm("clip-x", 22050, 2000)
+    x2 = synth.reference_pcm("clip-x", 22050, 2000)
+    np.testing.assert_array_equal(x1, x2)
+    assert synth.reference_transcript("clip-x") == synth.reference_transcript("clip-x")
+    assert synth.reference_transcript("clip-x") != synth.reference_transcript("clip-y")

@@ -1,0 +1,78 @@
+"""Winner-selection + first-wins dedup truth tables (the reference's
+dedup scenarios, VALIDATION_RULES.md:376-397 / firestore_services.py:293-357)."""
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from data_validator_spark.operators.dedup import first_wins, flag_duplicates, winner_selection
+
+TS = lambda m: dt.datetime(2026, 1, 1, 0, m)  # noqa: E731
+
+
+def _run(spark, rows):
+    df = spark.createDataFrame(
+        rows, "clip_id string, transcript string, updated_at timestamp, is_complete boolean"
+    )
+    return winner_selection(
+        df, ["clip_id"], suffixed_col="clip_id",
+    ).orderBy("updated_at").collect()
+
+
+def test_singleton_is_winner(spark):
+    out = _run(spark, [("a", "t", TS(0), False)])
+    assert out[0].is_winner and out[0].dedup_msg is None and out[0].clip_id == "a"
+
+
+def test_one_completed_wins(spark):
+    out = _run(
+        spark,
+        [("a", "t1", TS(0), False), ("a", "t2", TS(1), True), ("a", "t3", TS(2), False)],
+    )
+    by_t = {r.transcript: r for r in out}
+    assert by_t["t2"].is_winner and by_t["t2"].dedup_msg is None
+    assert by_t["t2"].clip_id == "a"
+    assert not by_t["t1"].is_winner and by_t["t1"].dedup_msg == "Duplicate"
+    # losers suffixed oldest-first: t1 (older) -> :dup1, t3 -> :dup2
+    assert by_t["t1"].clip_id == "a:dup1"
+    assert by_t["t3"].clip_id == "a:dup2"
+
+
+def test_multiple_completed_no_winner(spark):
+    out = _run(
+        spark,
+        [("a", "t1", TS(0), True), ("a", "t2", TS(1), True), ("a", "t3", TS(2), False)],
+    )
+    assert all(not r.is_winner for r in out)
+    assert all(r.dedup_msg == "multiple_completed_transcripts" for r in out)
+    # EVERY row suffixed, oldest first (firestore_services.py:329-335)
+    assert [r.clip_id for r in out] == ["a:dup1", "a:dup2", "a:dup3"]
+
+
+def test_zero_completed_latest_wins(spark):
+    out = _run(
+        spark,
+        [("a", "t1", TS(0), False), ("a", "t2", TS(5), False), ("a", "t3", TS(3), False)],
+    )
+    by_t = {r.transcript: r for r in out}
+    assert by_t["t2"].is_winner and by_t["t2"].clip_id == "a"
+    assert by_t["t1"].dedup_msg == "Duplicate" and by_t["t1"].clip_id == "a:dup1"
+    assert by_t["t3"].dedup_msg == "Duplicate" and by_t["t3"].clip_id == "a:dup2"
+
+
+def test_first_wins_deterministic(spark):
+    df = spark.createDataFrame(
+        [("k1", 3, "c"), ("k1", 1, "a"), ("k1", 2, "b"), ("k2", 9, "z")],
+        "k string, seq long, v string",
+    )
+    kept = {r.k: r.v for r in first_wins(df, ["k"], "seq").collect()}
+    assert kept == {"k1": "a", "k2": "z"}
+
+
+def test_flag_duplicates_label(spark, clips, golden):
+    flagged = flag_duplicates(clips.select("clip_id", "ingest_seq"), ["clip_id"], "ingest_seq")
+    n_flagged = flagged.filter(F.col("_dup_label").isNotNull()).count()
+    n_expected = golden.filter("inj_dup").count()
+    assert n_flagged == n_expected
+    sample = flagged.filter(F.col("_dup_label").isNotNull()).first()
+    assert sample._dup_label == f"duplicate_clip_id({sample.clip_id})"

@@ -1,0 +1,65 @@
+"""Straight-lining window rule + grouped aggregate rules."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_validator_spark.operators.grouped import (
+    _binom_cdf_scalar,
+    below_chance_flags,
+    count_threshold_flags,
+)
+from data_validator_spark.operators.sequences import straightlining_flags
+
+
+def test_straightlining_detects_run(spark):
+    rows = []
+    # run A: 12 consecutive identical locations -> flagged
+    rows += [("A", i, "left") for i in range(12)]
+    # run B: alternating -> max run 1
+    rows += [("B", i, "left" if i % 2 else "right") for i in range(20)]
+    # run C: 9 consecutive -> below threshold
+    rows += [("C", i, "left") for i in range(9)] + [("C", 9, "right")]
+    # run D: nulls/empties excluded from sequence (core_models.py:393-397)
+    rows += [("D", i, "left") for i in range(5)] + [("D", 5, None), ("D", 6, "")] + [
+        ("D", i, "left") for i in range(7, 12)
+    ]
+    df = spark.createDataFrame(rows, "run_id string, trial_index int, loc string")
+    out = {r.run_id: r for r in straightlining_flags(df, "run_id", "trial_index", "loc").collect()}
+    assert out["A"].straightlining and out["A"].straightlining_msg == "straightlining_10"
+    assert not out["B"].straightlining
+    assert not out["C"].straightlining
+    # D: null/empty rows removed -> the two 5-runs become one 10-run?
+    # No: exclusion removes rows, making positions 4 and 7 adjacent —
+    # the reference behaves the same way (excluded trials don't break
+    # runs), so D IS flagged with a 10-run.
+    assert out["D"].straightlining
+
+
+def test_count_threshold(spark):
+    df = spark.createDataFrame(
+        [("r1", i) for i in range(12)] + [("r2", i) for i in range(4)],
+        "run_id string, i int",
+    )
+    out = {r.run_id: r for r in count_threshold_flags(df, "run_id", min_count=10).collect()}
+    assert out["r1"].flag_msg is None and out["r1"].n == 12
+    assert out["r2"].flag_msg == "less_than_10_test_trials" and out["r2"].n == 4
+
+
+def test_binom_cdf_exact_values():
+    # scipy.stats.binomtest(2, 10, 0.25, alternative='less').pvalue
+    assert _binom_cdf_scalar(2, 10, 0.25) == pytest.approx(0.5255928039550781, rel=1e-9)
+    assert _binom_cdf_scalar(0, 8, 0.25) == pytest.approx(0.75**8, rel=1e-9)
+    assert _binom_cdf_scalar(10, 10, 0.25) == pytest.approx(1.0, abs=1e-12)
+    assert _binom_cdf_scalar(-1, 10, 0.25) == 0.0
+
+
+def test_below_chance_flags(spark):
+    rows = [("good", True)] * 9 + [("good", False)] * 3
+    rows += [("bad", False)] * 14  # CDF(0;14,.25)=.75^14~.018 < .05
+    rows += [("tiny", False)] * 5  # n < 8 -> no test
+    df = spark.createDataFrame(rows, "run_id string, correct boolean")
+    out = {r.run_id: r for r in below_chance_flags(df, "run_id").collect()}
+    assert out["tiny"].bc_p is None and out["tiny"].bc_p_below is None
+    assert out["bad"].bc_p_below is True  # 1/12 correct at chance .25
+    assert out["good"].bc_p_below is False  # 9/12 correct
+    assert out["good"].bc_p == pytest.approx(0.9998934, rel=1e-3)
