@@ -1,38 +1,981 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`queries()` maps SURVEY.md §2's operator inventory onto the driver's
+TPC-H-ish tables; every SQL-expressible operator carries a DuckDB
+oracle in `oracle_sql()` (column names aligned, floats rounded, sums
+cast to long so both engines agree on schema). Engine-hash-dependent
+operators (MinHash/SimHash/LSH, binomial UDF, HLL profile, the clips
+audio pipeline) are rows-only checks.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+SF001 = "/root/testdata/sf0.001"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------------------
+# flagship: the validation engine applied to a driver table — rule tiers,
+# message labels, verdict rollup (the engine is table-agnostic)
+# --------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    from data_validator_spark.rules.compiler import apply_rules
+    from data_validator_spark.rules.spec import allowed_set, bounds, required
+
+    orders = _t(spark, SF001, "orders")
+    rules = [
+        required("o_orderkey"),
+        allowed_set("o_orderstatus", ["O", "F", "P"], label="order_status_invalid"),
+        *bounds("o_totalprice", 1.0, 500_000.0, missing_label="total_price_missing"),
+    ]
+    v = apply_rules(orders, rules, "order")
+    return (
+        v.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum((~F.col("valid_order")).cast("long")).alias("n_invalid"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+# --------------------------------------------------------------------------
+# oracle-checked queries
+# --------------------------------------------------------------------------
+
+
+def q01_pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
+    """A5/P7: filtered grouped aggregation (TPC-H Q1 shape)."""
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.count(F.lit(1)).cast("long").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q02_filter_projection(spark: SparkSession, sf: str) -> DataFrame:
+    """S2/P: predicate pushdown + column pruning."""
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.filter(
+            F.col("l_quantity").between(10, 20) & (F.col("l_discount") < 0.05)
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def q03_json_coalesce(spark: SparkSession, sf: str) -> DataFrame:
+    """P5/P6 + json family: polymorphic field extraction + coalesce."""
+    ev = _t(spark, sf, "events")
+    k = F.coalesce(
+        F.get_json_object("props", "$.k").cast("long"), F.lit(-1)
+    )
+    return (
+        ev.withColumn("k_bucket", k % 10)
+        .groupBy("k_bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+        .orderBy("k_bucket")
+    )
+
+
+def q04_date_day_clamp(spark: SparkSession, sf: str) -> DataFrame:
+    """P7: day-boundary date-range predicate."""
+    ev = _t(spark, sf, "events")
+    return (
+        ev.filter(
+            (F.col("ts") >= F.lit("2024-01-05 00:00:00"))
+            & (F.col("ts") < F.lit("2024-01-11 00:00:00"))
+        )
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy("event_type")
+    )
+
+
+def q05_prefix_scan(spark: SparkSession, sf: str) -> DataFrame:
+    """P9: prefix predicate."""
+    c = _t(spark, sf, "customer")
+    return c.filter(F.col("c_name").startswith("Customer#00000001")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.min("c_custkey").alias("min_key"),
+        F.max("c_custkey").alias("max_key"),
+    )
+
+
+def q06_category_exclusion(spark: SparkSession, sf: str) -> DataFrame:
+    """P11: case-insensitive substring exclusion filters."""
+    p = _t(spark, sf, "part")
+    return (
+        p.filter(~F.lower("p_type").contains("economy"))
+        .groupBy("p_brand")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy("p_brand")
+    )
+
+
+def q07_exists_semi(spark: SparkSession, sf: str) -> DataFrame:
+    """P12: EXISTS probe as left-semi join."""
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    return (
+        c.join(o.select("o_custkey").distinct(), c.c_custkey == o.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy("c_mktsegment")
+    )
+
+
+def q08_anti_orphans(spark: SparkSession, sf: str) -> DataFrame:
+    """J3: referential integrity via left-anti join (orphan dims)."""
+    from data_validator_spark.operators.referential import orphans
+
+    p = _t(spark, sf, "part")
+    li = _t(spark, sf, "lineitem")
+    o = orphans(p, li.withColumnRenamed("l_partkey", "p_partkey"), "p_partkey")
+    return o.agg(
+        F.count(F.lit(1)).cast("long").alias("n_orphans"),
+        F.sum("p_partkey").cast("long").alias("sum_keys"),
+    )
+
+
+def q09_broadcast_enrich(spark: SparkSession, sf: str) -> DataFrame:
+    """J1: fact-to-dim broadcast enrich."""
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+def q10_age_arithmetic(spark: SparkSession, sf: str) -> DataFrame:
+    """J1's age derivation: mid-month birth, /365.25, round 1dp
+    (core_models.py:347-370 arithmetic, synthesized birth fields)."""
+    from data_validator_spark.functions.scalars import age_years
+
+    c = _t(spark, sf, "customer")
+    birth_y = (F.lit(1975) + F.col("c_custkey") % 30).cast("int")
+    birth_m = (F.lit(1) + F.col("c_custkey") % 12).cast("int")
+    age = age_years(birth_y, birth_m, F.lit("2026-06-15").cast("timestamp"))
+    return (
+        c.withColumn("age", age)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.round(F.avg("age"), 2).alias("avg_age"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+def q11_semi_membership(spark: SparkSession, sf: str) -> DataFrame:
+    """J4: FK-membership filter via semi join on a selective dim set."""
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    rich = c.filter(F.col("c_acctbal") > 9000).select("c_custkey")
+    return (
+        o.join(rich, o.o_custkey == rich.c_custkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def q12_union_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """U1/S5: two-query union deduped by id."""
+    ev = _t(spark, sf, "events")
+    a = ev.filter(F.col("value") > 50)
+    b = ev.filter(F.col("event_type") == "click")
+    u = a.unionByName(b)
+    w = Window.partitionBy("event_id").orderBy("ts", "event_id")
+    dd = u.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
+    return dd.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("event_id").cast("long").alias("sum_ids"),
+    )
+
+
+def q13_set_difference(spark: SparkSession, sf: str) -> DataFrame:
+    """U3: set difference (parts shipped in 1995 but not 1996)."""
+    li = _t(spark, sf, "lineitem")
+    y95 = li.filter(F.year("l_shipdate") == 1995).select("l_partkey").distinct()
+    y96 = li.filter(F.year("l_shipdate") == 1996).select("l_partkey").distinct()
+    diff = y95.exceptAll(y96)
+    return diff.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("l_partkey").cast("long").alias("sum_keys"),
+    )
+
+
+def q14_first_wins(spark: SparkSession, sf: str) -> DataFrame:
+    """A3: deterministic first-occurrence-wins dedup."""
+    from data_validator_spark.operators.dedup import first_wins
+
+    ev = _t(spark, sf, "events").withColumn(
+        "_ord", F.concat_ws("|", F.col("ts").cast("string"), F.col("event_id"))
+    )
+    firsts = first_wins(ev, ["user_id"], "_ord")
+    return (
+        firsts.groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_first"))
+        .orderBy("event_type")
+    )
+
+
+def q15_winner_selection(spark: SparkSession, sf: str) -> DataFrame:
+    """W2: winner-selection dedup branch table on orders-per-customer
+    (complete = status 'F'; latest by o_orderdate, orderkey tiebreak)."""
+    o = _t(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey")
+    comp = (F.col("o_orderstatus") == "F").cast("int")
+    n_complete = F.sum(comp).over(w)
+    grp_n = F.count(F.lit(1)).over(w)
+    pick = F.row_number().over(
+        w.orderBy(
+            F.col("o_orderstatus") != "F",  # completes first
+            F.col("o_orderdate").desc(),
+            F.col("o_orderkey").asc(),
+        )
+    )
+    annotated = (
+        o.withColumn("n_complete", n_complete)
+        .withColumn("grp_n", grp_n)
+        .withColumn("pick", pick)
+    )
+    branch = (
+        F.when(F.col("grp_n") == 1, F.lit("singleton"))
+        .when(F.col("n_complete") >= 2, F.lit("multi_complete"))
+        .when(F.col("n_complete") == 1, F.lit("one_complete"))
+        .otherwise(F.lit("zero_complete"))
+    )
+    is_winner = (F.col("grp_n") == 1) | (
+        (F.col("n_complete") <= 1) & (F.col("pick") == 1)
+    )
+    return (
+        annotated.withColumn("branch", branch)
+        .withColumn("is_winner", is_winner)
+        .groupBy("branch")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(F.col("is_winner").cast("long")).cast("long").alias("n_winners"),
+            F.sum(F.when(F.col("is_winner"), F.col("o_orderkey"))).cast("long").alias(
+                "sum_winner_keys"
+            ),
+        )
+        .orderBy("branch")
+    )
+
+
+def q16_latest_per_key(spark: SparkSession, sf: str) -> DataFrame:
+    """A6/W5: latest-by-timestamp per key (argmax)."""
+    ev = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    latest = ev.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
+    return (
+        latest.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("event_id").cast("long").alias("sum_ids"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def q17_topn(spark: SparkSession, sf: str) -> DataFrame:
+    """A9: top-N by count with deterministic tiebreak."""
+    ev = _t(spark, sf, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy(F.desc("n"), F.asc("user_id"))
+        .limit(5)
+    )
+
+
+def q18_count_threshold(spark: SparkSession, sf: str) -> DataFrame:
+    """A1: per-group count + threshold rule."""
+    from data_validator_spark.operators.grouped import count_threshold_flags
+
+    li = _t(spark, sf, "lineitem")
+    flags = count_threshold_flags(li, "l_orderkey", min_count=3, label="lt3")
+    return flags.agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum((F.col("flag_msg").isNotNull()).cast("long")).cast("long").alias("n_flagged"),
+    )
+
+
+def q19_iqr_outliers(spark: SparkSession, sf: str) -> DataFrame:
+    """A10: IQR outlier rule via exact percentiles."""
+    li = _t(spark, sf, "lineitem")
+    q = li.agg(
+        F.percentile("l_extendedprice", F.lit(0.25)).alias("q1"),
+        F.percentile("l_extendedprice", F.lit(0.75)).alias("q3"),
+    )
+    lo = F.round(F.col("q1") - 1.5 * (F.col("q3") - F.col("q1")), 2)
+    hi = F.round(F.col("q3") + 1.5 * (F.col("q3") - F.col("q1")), 2)
+    bounds = q.select(lo.alias("lo"), hi.alias("hi"))
+    joined = li.crossJoin(F.broadcast(bounds))
+    return joined.agg(
+        F.sum((F.col("l_extendedprice") < F.col("lo")).cast("long")).cast("long").alias("n_low"),
+        F.sum((F.col("l_extendedprice") > F.col("hi")).cast("long")).cast("long").alias("n_high"),
+        F.round(F.min("lo"), 2).alias("lo"),
+        F.round(F.min("hi"), 2).alias("hi"),
+    )
+
+
+def q20_runlength(spark: SparkSession, sf: str) -> DataFrame:
+    """W1: straight-lining run-length via gaps-and-islands."""
+    ev = _t(spark, sf, "events").withColumn(
+        "_ord", F.concat_ws("|", F.col("ts").cast("string"), F.col("event_id"))
+    )
+    w = Window.partitionBy("user_id").orderBy("_ord")
+    change = F.when(
+        F.lag("event_type").over(w).isNull()
+        | (F.col("event_type") != F.lag("event_type").over(w)),
+        1,
+    ).otherwise(0)
+    island = F.sum(change).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    runs = (
+        ev.withColumn("_island", island)
+        .groupBy("user_id", "_island")
+        .agg(F.count(F.lit(1)).alias("run"))
+        .groupBy("user_id")
+        .agg(F.max("run").alias("max_run"))
+    )
+    return runs.agg(
+        F.sum((F.col("max_run") >= 3).cast("long")).cast("long").alias("n_straightliners"),
+        F.max("max_run").cast("long").alias("longest_run"),
+    )
+
+
+def q21_text_tokens(spark: SparkSession, sf: str) -> DataFrame:
+    """Text family: token counts + md5 fingerprints."""
+    from data_validator_spark.operators.text import fingerprint, token_count
+
+    d = _t(spark, sf, "documents")
+    return (
+        d.withColumn("toks", token_count(F.col("text")))
+        .withColumn("fp", fingerprint(F.col("text")))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("toks").cast("long").alias("sum_tokens"),
+            F.count_distinct("fp").cast("long").alias("n_fingerprints"),
+        )
+        .orderBy("lang")
+    )
+
+
+def q22_quality_features(spark: SparkSession, sf: str) -> DataFrame:
+    """Text quality scoring features (ratios, rounded)."""
+    from data_validator_spark.operators.text import quality_features
+
+    d = _t(spark, sf, "documents")
+    feat = quality_features(d)
+    return (
+        feat.groupBy("lang")
+        .agg(
+            F.round(F.avg("q_alpha_ratio"), 4).alias("avg_alpha"),
+            F.round(F.avg("q_stopword_ratio"), 4).alias("avg_stopword"),
+            F.round(F.avg("q_mean_word_len"), 4).alias("avg_word_len"),
+        )
+        .orderBy("lang")
+    )
+
+
+def q23_lang_id(spark: SparkSession, sf: str) -> DataFrame:
+    """Language-ID n-gram/stopword heuristic."""
+    from data_validator_spark.operators.text import lang_id
+
+    d = _t(spark, sf, "documents")
+    return (
+        d.withColumn("detected", lang_id(F.col("text")))
+        .groupBy("detected")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy("detected")
+    )
+
+
+def q24_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    """N-gram Jaccard near-duplicate pairs (exact, inverted index)."""
+    from data_validator_spark.operators.text_dedup import ngram_jaccard_pairs
+
+    d = _t(spark, sf, "documents")
+    pairs = ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.8)
+    return pairs.orderBy("id_a", "id_b")
+
+
+def q25_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Similarity search: brute-force cosine top-k (exact baseline)."""
+    from data_validator_spark.operators.similarity import brute_force_topk
+
+    e = _t(spark, sf, "embeddings")
+    queries = e.filter(F.col("vec_id") < 5)
+    out = brute_force_topk(e, queries, k=3, round_digits=4)
+    return out.withColumn("rank", F.col("rank").cast("long")).orderBy(
+        "query_id", "rank"
+    )
+
+
+def q26_stratified_quota(spark: SparkSession, sf: str) -> DataFrame:
+    """R2: exact stratified quota sample (hash-deterministic)."""
+    from data_validator_spark.operators.sampling import stratified_quota_sample
+
+    c = _t(spark, sf, "customer")
+    quotas = {"AUTOMOBILE": 40, "BUILDING": 40, "MACHINERY": 20}
+    s = stratified_quota_sample(c, "c_mktsegment", quotas, ["c_custkey"])
+    return (
+        s.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("c_custkey").cast("long").alias("sum_keys"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+def q27_hash_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """R1: deterministic hash sample (engine-agnostic md5 bucket)."""
+    li = _t(spark, sf, "lineitem")
+    key = F.concat_ws("-", F.col("l_orderkey").cast("string"), F.col("l_linenumber").cast("string"))
+    kept = li.filter(F.md5(key) < "0d")
+    return kept.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+    )
+
+
+def q28_psi_ks_drift(spark: SparkSession, sf: str) -> DataFrame:
+    """Drift: PSI + KS between two shipdate eras of l_extendedprice,
+    fixed-grid buckets — the engine's drift arithmetic, oracle-checked."""
+    from data_validator_spark.operators import drift, stats
+
+    li = _t(spark, sf, "lineitem")
+    spec = [stats.ColumnSpec("l_extendedprice", "numeric", 0.0, 120_000.0, 24)]
+    base = stats.histogram(li.filter(F.year("l_shipdate") <= 1997), spec)
+    cur = stats.histogram(li.filter(F.year("l_shipdate") >= 1998), spec)
+    m = drift.drift_metrics(base, cur)
+    return m.select(
+        "column_name",
+        F.round("psi", 6).alias("psi"),
+        F.round("ks", 6).alias("ks"),
+        F.col("n_buckets").cast("long").alias("n_buckets"),
+    )
+
+
+def q29_sentinel_append(spark: SparkSession, sf: str) -> DataFrame:
+    """Schema sentinel row (utils.py:479-543 analogue)."""
+    from data_validator_spark.sources.tables import append_sentinel_row
+
+    d = _t(spark, sf, "documents").select("doc_id", "text", "lang")
+    withs = append_sentinel_row(d)
+    return withs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum((F.col("text") == "schema_row").cast("long")).cast("long").alias("n_sentinel"),
+        F.sum("doc_id").cast("long").alias("sum_ids"),
+    )
+
+
+def q30_bool_coercion(spark: SparkSession, sf: str) -> DataFrame:
+    """Scalar family: string->bool coercion truth table over data."""
+    from data_validator_spark.functions.scalars import coerce_bool
+
+    ev = _t(spark, sf, "events")
+    raw = F.when(F.col("event_id") % 5 == 0, F.lit("TRUE")).when(
+        F.col("event_id") % 5 == 1, F.lit("no")
+    ).when(F.col("event_id") % 5 == 2, F.lit("1")).when(
+        F.col("event_id") % 5 == 3, F.lit("")
+    ).otherwise(F.lit("maybe"))
+    b = coerce_bool(raw)
+    return (
+        ev.withColumn("b", b)
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy(F.col("b").asc_nulls_first())
+    )
+
+
+# --------------------------------------------------------------------------
+# rows-only queries (engine-hash / UDF / audio dependent — no SQL oracle)
+# --------------------------------------------------------------------------
+
+
+def q40_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    from data_validator_spark.operators.text_dedup import minhash_lsh_candidates
+
+    d = _t(spark, sf, "documents")
+    return minhash_lsh_candidates(d, "doc_id", "text", n_hashes=32, bands=8).orderBy(
+        "id_a", "id_b"
+    )
+
+
+def q41_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    from data_validator_spark.operators.text_dedup import simhash_candidates
+
+    d = _t(spark, sf, "documents")
+    return simhash_candidates(d, "doc_id", "text", max_hamming=8).orderBy("id_a", "id_b")
+
+
+def q42_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
+    from data_validator_spark.operators.similarity import lsh_topk
+
+    e = _t(spark, sf, "embeddings")
+    queries = e.filter(F.col("vec_id") < 5)
+    return lsh_topk(e, queries, dim=64, k=3, n_planes=8).orderBy("query_id", "rank")
+
+
+def q43_below_chance(spark: SparkSession, sf: str) -> DataFrame:
+    from data_validator_spark.operators.grouped import below_chance_flags
+
+    ev = _t(spark, sf, "events").withColumn("correct", F.col("value") > 75)
+    out = below_chance_flags(ev, "user_id", p_chance=0.25)
+    return out.agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum(F.col("bc_p_below").cast("long")).cast("long").alias("n_below"),
+    )
+
+
+def q44_profile_hll(spark: SparkSession, sf: str) -> DataFrame:
+    from data_validator_spark.operators import stats
+
+    li = _t(spark, sf, "lineitem")
+    specs = [
+        stats.ColumnSpec("l_quantity", "numeric", 0, 55, 11),
+        stats.ColumnSpec("l_extendedprice", "numeric", 0, 120_000, 24),
+        stats.ColumnSpec("l_returnflag", "categorical"),
+    ]
+    return stats.profile(li, specs).select(
+        "column_name", "null_rate", "min_val", "max_val", "approx_distinct", "n_rows"
+    ).orderBy("column_name")
+
+
+def q45_clips_flagship(spark: SparkSession, sf: str) -> DataFrame:
+    """The north-star pipeline end-to-end on a deterministically
+    synthesized clips table (audio decode + SNR included)."""
+    from data_validator_spark.fixtures import ClipsConfig, generate_clips, generate_transcripts_ref
+    from data_validator_spark.plans import ValidationConfig, run_validation
+
+    cfg = ClipsConfig(n_rows=2000, n_partitions=4, max_synth_ms=400)
+    clips = generate_clips(spark, cfg)
+    tr = generate_transcripts_ref(spark, cfg)
+    res = run_validation(clips, tr, cfg=ValidationConfig(decode_partitions=8))
+    return res.partition_verdicts.select(
+        F.col("ingest_date").cast("string").alias("partition_value"),
+        "n_rows",
+        "n_soft_invalid",
+        "n_hard_invalid",
+        "status",
+    ).orderBy("partition_value")
+
+
+def q46_multimodal_meta(spark: SparkSession, sf: str) -> DataFrame:
+    from data_validator_spark.fixtures import ClipsConfig, generate_clips
+    from data_validator_spark.operators.multimodal import decode_image_features, payload_metadata
+
+    cfg = ClipsConfig(n_rows=1000, n_partitions=2, max_synth_ms=300)
+    clips = generate_clips(spark, cfg)
+    meta = payload_metadata(clips)
+    feats = decode_image_features(clips, fake=True, batch_partitions=4)
+    fagg = feats.filter(F.col("features").isNotNull()).agg(
+        F.count(F.lit(1)).cast("long").alias("n_feat")
+    )
+    magg = (
+        meta.groupBy("payload_format")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy("payload_format")
+    )
+    return magg.crossJoin(fagg)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "q01_pricing_summary": q01_pricing_summary,
+        "q02_filter_projection": q02_filter_projection,
+        "q03_json_coalesce": q03_json_coalesce,
+        "q04_date_day_clamp": q04_date_day_clamp,
+        "q05_prefix_scan": q05_prefix_scan,
+        "q06_category_exclusion": q06_category_exclusion,
+        "q07_exists_semi": q07_exists_semi,
+        "q08_anti_orphans": q08_anti_orphans,
+        "q09_broadcast_enrich": q09_broadcast_enrich,
+        "q10_age_arithmetic": q10_age_arithmetic,
+        "q11_semi_membership": q11_semi_membership,
+        "q12_union_dedup": q12_union_dedup,
+        "q13_set_difference": q13_set_difference,
+        "q14_first_wins": q14_first_wins,
+        "q15_winner_selection": q15_winner_selection,
+        "q16_latest_per_key": q16_latest_per_key,
+        "q17_topn": q17_topn,
+        "q18_count_threshold": q18_count_threshold,
+        "q19_iqr_outliers": q19_iqr_outliers,
+        "q20_runlength": q20_runlength,
+        "q21_text_tokens": q21_text_tokens,
+        "q22_quality_features": q22_quality_features,
+        "q23_lang_id": q23_lang_id,
+        "q24_ngram_jaccard": q24_ngram_jaccard,
+        "q25_cosine_topk": q25_cosine_topk,
+        "q26_stratified_quota": q26_stratified_quota,
+        "q27_hash_sample": q27_hash_sample,
+        "q28_psi_ks_drift": q28_psi_ks_drift,
+        "q29_sentinel_append": q29_sentinel_append,
+        "q30_bool_coercion": q30_bool_coercion,
+        "q40_minhash_lsh": q40_minhash_lsh,
+        "q41_simhash": q41_simhash,
+        "q42_lsh_topk": q42_lsh_topk,
+        "q43_below_chance": q43_below_chance,
+        "q44_profile_hll": q44_profile_hll,
+        "q45_clips_flagship": q45_clips_flagship,
+        "q46_multimodal_meta": q46_multimodal_meta,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(_ORACLES)
+
+
+_NORM_TEXT = "lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))"
+_EN_RX = r"\b(the|and|of|to|is|in|that|it|was|for)\b"
+_ES_RX = r"\b(el|la|de|que|y|en|los|del|las|por)\b"
+_DE_RX = r"\b(der|die|und|das|ist|von|den|nicht|mit|ein)\b"
+_FR_RX = r"\b(le|la|les|de|des|et|est|une|dans|que)\b"
+
+_ORACLES: dict[str, str] = {
+    "q01_pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               round(sum(l_extendedprice), 2) AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               round(avg(l_quantity), 4) AS avg_qty,
+               count(*)::BIGINT AS count_order
+        FROM lineitem WHERE l_shipdate <= timestamp '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus ORDER BY 1, 2
+    """,
+    "q02_filter_projection": """
+        SELECT l_returnflag, count(*)::BIGINT AS n,
+               round(sum(l_extendedprice), 2) AS revenue
+        FROM lineitem
+        WHERE l_quantity BETWEEN 10 AND 20 AND l_discount < 0.05
+        GROUP BY l_returnflag ORDER BY 1
+    """,
+    "q03_json_coalesce": """
+        SELECT coalesce(CAST(json_extract_string(props, '$.k') AS BIGINT), -1) % 10 AS k_bucket,
+               count(*)::BIGINT AS n, round(avg(value), 4) AS avg_value
+        FROM events GROUP BY 1 ORDER BY 1
+    """,
+    "q04_date_day_clamp": """
+        SELECT event_type, count(*)::BIGINT AS n FROM events
+        WHERE ts >= timestamp '2024-01-05 00:00:00' AND ts < timestamp '2024-01-11 00:00:00'
+        GROUP BY 1 ORDER BY 1
+    """,
+    "q05_prefix_scan": """
+        SELECT count(*)::BIGINT AS n, min(c_custkey) AS min_key, max(c_custkey) AS max_key
+        FROM customer WHERE c_name LIKE 'Customer#00000001%'
+    """,
+    "q06_category_exclusion": """
+        SELECT p_brand, count(*)::BIGINT AS n FROM part
+        WHERE NOT contains(lower(p_type), 'economy')
+        GROUP BY 1 ORDER BY 1
+    """,
+    "q07_exists_semi": """
+        SELECT c_mktsegment, count(*)::BIGINT AS n FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        GROUP BY 1 ORDER BY 1
+    """,
+    "q08_anti_orphans": """
+        SELECT count(*)::BIGINT AS n_orphans, sum(p_partkey)::BIGINT AS sum_keys
+        FROM part p WHERE NOT EXISTS
+          (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey)
+    """,
+    "q09_broadcast_enrich": """
+        SELECT c_nationkey, count(*)::BIGINT AS n_orders,
+               round(avg(o_totalprice), 2) AS avg_price
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY 1 ORDER BY 1
+    """,
+    "q10_age_arithmetic": """
+        SELECT c_mktsegment,
+               round(avg(round(date_diff('day',
+                     make_date(1975 + c_custkey % 30, 1 + c_custkey % 12, 15),
+                     DATE '2026-06-15') / 365.25, 1)), 2) AS avg_age,
+               count(*)::BIGINT AS n
+        FROM customer GROUP BY 1 ORDER BY 1
+    """,
+    "q11_semi_membership": """
+        SELECT o_orderpriority, count(*)::BIGINT AS n FROM orders o
+        WHERE EXISTS (SELECT 1 FROM customer c
+                      WHERE c.c_custkey = o.o_custkey AND c.c_acctbal > 9000)
+        GROUP BY 1 ORDER BY 1
+    """,
+    "q12_union_dedup": """
+        WITH u AS (
+          SELECT * FROM events WHERE value > 50
+          UNION ALL
+          SELECT * FROM events WHERE event_type = 'click'
+        ), dd AS (
+          SELECT *, row_number() OVER (PARTITION BY event_id ORDER BY ts, event_id) rn
+          FROM u
+        )
+        SELECT count(*)::BIGINT AS n, sum(event_id)::BIGINT AS sum_ids FROM dd WHERE rn = 1
+    """,
+    "q13_set_difference": """
+        WITH y95 AS (SELECT DISTINCT l_partkey FROM lineitem WHERE year(l_shipdate) = 1995),
+             y96 AS (SELECT DISTINCT l_partkey FROM lineitem WHERE year(l_shipdate) = 1996)
+        SELECT count(*)::BIGINT AS n, sum(l_partkey)::BIGINT AS sum_keys
+        FROM (SELECT l_partkey FROM y95 EXCEPT SELECT l_partkey FROM y96) t
+    """,
+    "q14_first_wins": """
+        WITH ranked AS (
+          SELECT *, row_number() OVER (
+            PARTITION BY user_id
+            ORDER BY CAST(ts AS VARCHAR) || '|' || CAST(event_id AS VARCHAR)) rn
+          FROM events)
+        SELECT event_type, count(*)::BIGINT AS n_first FROM ranked WHERE rn = 1
+        GROUP BY 1 ORDER BY 1
+    """,
+    "q15_winner_selection": """
+        WITH ann AS (
+          SELECT o_orderkey, o_custkey,
+                 sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                     OVER (PARTITION BY o_custkey) AS n_complete,
+                 count(*) OVER (PARTITION BY o_custkey) AS grp_n,
+                 row_number() OVER (PARTITION BY o_custkey
+                   ORDER BY (o_orderstatus != 'F'), o_orderdate DESC, o_orderkey ASC) AS pick
+          FROM orders),
+        labeled AS (
+          SELECT *,
+            CASE WHEN grp_n = 1 THEN 'singleton'
+                 WHEN n_complete >= 2 THEN 'multi_complete'
+                 WHEN n_complete = 1 THEN 'one_complete'
+                 ELSE 'zero_complete' END AS branch,
+            (grp_n = 1 OR (n_complete <= 1 AND pick = 1)) AS is_winner
+          FROM ann)
+        SELECT branch, count(*)::BIGINT AS n_rows,
+               sum(CASE WHEN is_winner THEN 1 ELSE 0 END)::BIGINT AS n_winners,
+               sum(CASE WHEN is_winner THEN o_orderkey END)::BIGINT AS sum_winner_keys
+        FROM labeled GROUP BY 1 ORDER BY 1
+    """,
+    "q16_latest_per_key": """
+        WITH ranked AS (
+          SELECT *, row_number() OVER (PARTITION BY user_id
+                     ORDER BY ts DESC, event_id DESC) rn
+          FROM events)
+        SELECT event_type, count(*)::BIGINT AS n, sum(event_id)::BIGINT AS sum_ids
+        FROM ranked WHERE rn = 1 GROUP BY 1 ORDER BY 1
+    """,
+    "q17_topn": """
+        SELECT user_id, count(*)::BIGINT AS n FROM events
+        GROUP BY 1 ORDER BY n DESC, user_id ASC LIMIT 5
+    """,
+    "q18_count_threshold": """
+        WITH g AS (SELECT l_orderkey, count(*) AS n FROM lineitem GROUP BY 1)
+        SELECT count(*)::BIGINT AS n_groups,
+               sum(CASE WHEN n < 3 THEN 1 ELSE 0 END)::BIGINT AS n_flagged
+        FROM g
+    """,
+    "q19_iqr_outliers": """
+        WITH q AS (SELECT quantile_cont(l_extendedprice, 0.25) q1,
+                          quantile_cont(l_extendedprice, 0.75) q3 FROM lineitem),
+        b AS (SELECT round(q1 - 1.5*(q3-q1), 2) lo, round(q3 + 1.5*(q3-q1), 2) hi FROM q)
+        SELECT sum(CASE WHEN l_extendedprice < lo THEN 1 ELSE 0 END)::BIGINT AS n_low,
+               sum(CASE WHEN l_extendedprice > hi THEN 1 ELSE 0 END)::BIGINT AS n_high,
+               round(min(lo), 2) AS lo, round(min(hi), 2) AS hi
+        FROM lineitem, b
+    """,
+    "q20_runlength": """
+        WITH ord AS (
+          SELECT user_id, event_type,
+                 CAST(ts AS VARCHAR) || '|' || CAST(event_id AS VARCHAR) AS o
+          FROM events),
+        ch AS (
+          SELECT user_id, event_type, o,
+                 CASE WHEN lag(event_type) OVER w IS NULL
+                       OR event_type != lag(event_type) OVER w THEN 1 ELSE 0 END c
+          FROM ord WINDOW w AS (PARTITION BY user_id ORDER BY o)),
+        isl AS (
+          SELECT user_id, event_type,
+                 sum(c) OVER (PARTITION BY user_id ORDER BY o
+                              ROWS UNBOUNDED PRECEDING) AS island
+          FROM ch),
+        runs AS (
+          SELECT user_id, island, count(*) AS run FROM isl GROUP BY 1, 2),
+        mx AS (SELECT user_id, max(run) AS max_run FROM runs GROUP BY 1)
+        SELECT sum(CASE WHEN max_run >= 3 THEN 1 ELSE 0 END)::BIGINT AS n_straightliners,
+               max(max_run)::BIGINT AS longest_run
+        FROM mx
+    """,
+    "q21_text_tokens": f"""
+        SELECT lang, count(*)::BIGINT AS n_docs,
+               sum(CASE WHEN trim(text) IS NULL OR trim(text) = '' THEN 0
+                        ELSE len(string_split(trim(text), ' ')) END)::BIGINT AS sum_tokens,
+               count(DISTINCT md5({_NORM_TEXT}))::BIGINT AS n_fingerprints
+        FROM documents GROUP BY 1 ORDER BY 1
+    """,
+    "q22_quality_features": f"""
+        WITH f AS (
+          SELECT lang,
+            length(text) AS n_chars,
+            CASE WHEN trim(text) IS NULL OR trim(text)='' THEN 0
+                 ELSE len(string_split(trim(text), ' ')) END AS toks,
+            length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha,
+            length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS punct,
+            len(regexp_extract_all({_NORM_TEXT}, '{_EN_RX}')) AS stop_hits
+          FROM documents)
+        SELECT lang,
+               round(avg(CASE WHEN n_chars > 0 THEN round(alpha / n_chars, 4) ELSE 0.0 END), 4) AS avg_alpha,
+               round(avg(CASE WHEN toks > 0 THEN round(stop_hits / toks, 4) ELSE 0.0 END), 4) AS avg_stopword,
+               round(avg(CASE WHEN toks > 0 THEN round(alpha / toks, 4) ELSE 0.0 END), 4) AS avg_word_len
+        FROM f GROUP BY 1 ORDER BY 1
+    """,
+    "q23_lang_id": f"""
+        WITH s AS (
+          SELECT len(regexp_extract_all({_NORM_TEXT}, '{_EN_RX}')) s_en,
+                 len(regexp_extract_all({_NORM_TEXT}, '{_ES_RX}')) s_es,
+                 len(regexp_extract_all({_NORM_TEXT}, '{_DE_RX}')) s_de,
+                 len(regexp_extract_all({_NORM_TEXT}, '{_FR_RX}')) s_fr
+          FROM documents),
+        d AS (
+          SELECT CASE
+            WHEN greatest(s_en, s_es, s_de, s_fr) < 1 THEN 'und'
+            WHEN s_fr > s_de AND s_fr > s_es AND s_fr > s_en THEN 'fr'
+            WHEN s_de > s_es AND s_de > s_en THEN 'de'
+            WHEN s_es > s_en THEN 'es'
+            ELSE 'en' END AS detected
+          FROM s)
+        SELECT detected, count(*)::BIGINT AS n FROM d GROUP BY 1 ORDER BY 1
+    """,
+    "q24_ngram_jaccard": f"""
+        WITH d AS (SELECT doc_id, {_NORM_TEXT} nt FROM documents),
+        toks AS (SELECT doc_id, string_split(nt, ' ') tk FROM d),
+        grams AS (
+          SELECT doc_id,
+                 list_distinct([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+                                for i in range(1, len(tk)-1)]) gs
+          FROM toks WHERE len(tk) >= 3),
+        ex AS (SELECT doc_id, len(gs) sz, unnest(gs) g FROM grams)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               round(count(*)::DOUBLE /
+                     (any_value(a.sz) + any_value(b.sz) - count(*)), 6) AS jaccard
+        FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+        HAVING round(count(*)::DOUBLE /
+                     (any_value(a.sz) + any_value(b.sz) - count(*)), 6) >= 0.8
+        ORDER BY 1, 2
+    """,
+    "q25_cosine_topk": """
+        WITH q AS (SELECT vec_id qid, embedding qv FROM embeddings WHERE vec_id < 5),
+        scored AS (
+          SELECT q.qid AS query_id, e.vec_id AS neighbor_id,
+                 round(CAST(list_cosine_similarity(e.embedding, q.qv) AS DOUBLE), 4) AS cos_sim
+          FROM embeddings e CROSS JOIN q WHERE e.vec_id != q.qid),
+        ranked AS (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+                     ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+          FROM scored)
+        SELECT query_id, neighbor_id, cos_sim, rank::BIGINT AS rank
+        FROM ranked WHERE rank <= 3 ORDER BY query_id, rank
+    """,
+    "q26_stratified_quota": """
+        WITH ranked AS (
+          SELECT *, row_number() OVER (PARTITION BY c_mktsegment
+                     ORDER BY md5(CAST(c_custkey AS VARCHAR))) rn
+          FROM customer),
+        kept AS (
+          SELECT * FROM ranked
+          WHERE (c_mktsegment = 'AUTOMOBILE' AND rn <= 40)
+             OR (c_mktsegment = 'BUILDING' AND rn <= 40)
+             OR (c_mktsegment = 'MACHINERY' AND rn <= 20))
+        SELECT c_mktsegment, count(*)::BIGINT AS n, sum(c_custkey)::BIGINT AS sum_keys
+        FROM kept GROUP BY 1 ORDER BY 1
+    """,
+    "q27_hash_sample": """
+        SELECT count(*)::BIGINT AS n, round(sum(l_extendedprice), 2) AS revenue
+        FROM lineitem
+        WHERE md5(CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR)) < '0d'
+    """,
+    "q28_psi_ks_drift": """
+        WITH base AS (
+          SELECT greatest(-1, least(floor(l_extendedprice / 5000.0), 24)) AS bucket,
+                 count(*) AS cnt
+          FROM lineitem WHERE year(l_shipdate) <= 1997 GROUP BY 1),
+        cur AS (
+          SELECT greatest(-1, least(floor(l_extendedprice / 5000.0), 24)) AS bucket,
+                 count(*) AS cnt
+          FROM lineitem WHERE year(l_shipdate) >= 1998 GROUP BY 1),
+        bt AS (SELECT bucket, cnt::DOUBLE / sum(cnt) OVER () AS p_base FROM base),
+        ct AS (SELECT bucket, cnt::DOUBLE / sum(cnt) OVER () AS p_cur FROM cur),
+        j AS (
+          SELECT coalesce(bt.bucket, ct.bucket) AS bucket,
+                 coalesce(p_base, 0.0) AS pb, coalesce(p_cur, 0.0) AS pc
+          FROM bt FULL OUTER JOIN ct ON bt.bucket = ct.bucket),
+        terms AS (
+          SELECT bucket, pb, pc,
+                 (pc + 1e-6 - (pb + 1e-6)) * ln((pc + 1e-6) / (pb + 1e-6)) AS psi_term,
+                 abs(sum(pc) OVER (ORDER BY bucket) -
+                     sum(pb) OVER (ORDER BY bucket)) AS cdf_gap
+          FROM j)
+        SELECT 'l_extendedprice' AS column_name,
+               round(sum(psi_term), 6) AS psi,
+               round(max(cdf_gap), 6) AS ks,
+               count(*)::BIGINT AS n_buckets
+        FROM terms
+    """,
+    "q29_sentinel_append": """
+        WITH withs AS (
+          SELECT doc_id, text, lang FROM documents
+          UNION ALL SELECT 0, 'schema_row', 'schema_row')
+        SELECT count(*)::BIGINT AS n_rows,
+               sum(CASE WHEN text = 'schema_row' THEN 1 ELSE 0 END)::BIGINT AS n_sentinel,
+               sum(doc_id)::BIGINT AS sum_ids
+        FROM withs
+    """,
+    "q30_bool_coercion": """
+        WITH raw AS (
+          SELECT CASE WHEN event_id % 5 = 0 THEN 'TRUE'
+                      WHEN event_id % 5 = 1 THEN 'no'
+                      WHEN event_id % 5 = 2 THEN '1'
+                      WHEN event_id % 5 = 3 THEN ''
+                      ELSE 'maybe' END AS r
+          FROM events),
+        b AS (
+          SELECT CASE WHEN lower(trim(r)) IN ('true','1','yes') THEN TRUE
+                      WHEN lower(trim(r)) IN ('false','0','no','') THEN FALSE
+                      ELSE NULL END AS b
+          FROM raw)
+        SELECT b, count(*)::BIGINT AS n FROM b GROUP BY 1 ORDER BY b ASC NULLS FIRST
+    """,
+}

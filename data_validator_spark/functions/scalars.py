@@ -1,0 +1,90 @@
+"""Scalar function families (SURVEY.md §2.8) — the reference's
+row-level coercions/normalizations re-expressed as Column expressions
+so they stay inside whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_TRUE_SET = ["true", "1", "yes"]
+_FALSE_SET = ["false", "0", "no", ""]
+
+
+def coerce_bool(c: Column) -> Column:
+    """'true'/'1'/'yes' -> True, 'false'/'0'/'no'/'' -> False, else NULL
+    (reference core_models.py:799-813)."""
+    s = F.lower(F.trim(c.cast("string")))
+    return (
+        F.when(s.isin(_TRUE_SET), F.lit(True))
+        .when(s.isin(_FALSE_SET), F.lit(False))
+        .otherwise(F.lit(None).cast("boolean"))
+    )
+
+
+def nan_normalize(c: Column, numeric: bool = False) -> Column:
+    """float NaN and 'nan'/'NaN' strings -> NULL (utils.py:351-362,
+    core_models.py:136-152)."""
+    if numeric:
+        return F.when(F.isnan(c), F.lit(None)).otherwise(c)
+    s = F.lower(F.trim(c))
+    return F.when(s == "nan", F.lit(None)).otherwise(c)
+
+
+def age_years(birth_year: Column, birth_month: Column, at_ts: Column) -> Column:
+    """Age at timestamp from (year, month): mid-month (15th) birth
+    assumption, /365.25, rounded 1dp — exact reference arithmetic
+    (core_models.py:347-370). Invalid y/m -> NULL (guard semantics)."""
+    valid = (
+        birth_year.isNotNull()
+        & birth_month.isNotNull()
+        & (birth_month >= 1)
+        & (birth_month <= 12)
+        & (birth_year > 1900)
+    )
+    birth = F.make_date(birth_year, birth_month, F.lit(15))
+    return F.when(
+        valid, F.round(F.datediff(F.to_date(at_ts), birth) / F.lit(365.25), 1)
+    )
+
+
+_SHORT_LANG_MAP = {
+    "en": "en-US",
+    "es": "es-CO",
+    "de": "de-DE",
+    "fr": "fr-CA",
+    "nl": "nl-NL",
+}
+BCP47_RE = r"^[a-z]{2}-[A-Z]{2}$"
+
+
+def normalize_language(c: Column) -> Column:
+    """Short-code expansion + region uppercasing, then BCP-47 check is
+    applied by the regex_format rule (core_models.py:815-869)."""
+    s = F.trim(c)
+    expanded = s
+    for short, full in _SHORT_LANG_MAP.items():
+        expanded = F.when(F.lower(s) == short, F.lit(full)).otherwise(expanded)
+    parts = F.split(expanded, "-")
+    recased = F.when(
+        F.size(parts) == 2,
+        F.concat_ws("-", F.lower(parts[0]), F.upper(parts[1])),
+    ).otherwise(expanded)
+    return recased
+
+
+_CAMEL_RE = re.compile(r"(?<!^)(?=[A-Z])")
+
+
+def camel_to_snake(name: str) -> str:
+    """camelCase -> snake_case (utils.py:337-348)."""
+    return _CAMEL_RE.sub("_", name).lower().replace("__", "_")
+
+
+def rename_snake(df: DataFrame) -> DataFrame:
+    """One-time ingest projection renaming every column to snake_case
+    (the P1 rename-projection, utils.py:321-348)."""
+    return df.toDF(*[camel_to_snake(c) for c in df.columns])

@@ -80,7 +80,8 @@ def winner_selection(
     ts = F.coalesce(F.col(time_col), F.lit("1970-01-01").cast("timestamp"))
 
     w = Window.partitionBy(*keys)
-    w_pick = w.orderBy(comp.desc(), ts.desc())
+    # id tiebreak keeps the pick deterministic under equal timestamps
+    w_pick = w.orderBy(comp.desc(), ts.desc(), F.col(id_col).asc())
     n_complete = F.sum(comp.cast("int")).over(w)
     grp_n = F.count(F.lit(1)).over(w)
     pick_rank = F.row_number().over(w_pick)
@@ -105,7 +106,7 @@ def winner_selection(
         (F.col("_n_complete") >= 2) | ~F.col("is_winner")
     )
     out = out.withColumn("_sfx_t", suffix_target)
-    w_sfx = Window.partitionBy(*keys, "_sfx_t").orderBy(ts.asc())
+    w_sfx = Window.partitionBy(*keys, "_sfx_t").orderBy(ts.asc(), F.col(id_col).asc())
     sfx_rank = F.row_number().over(w_sfx)
     out = out.withColumn(
         suffixed_col,

@@ -1,0 +1,114 @@
+"""Multimodal payload plumbing: opaque binary columns + typed metadata.
+
+Image/audio/video payloads are `binary` columns; everything metadata-
+level (magic sniffing, sizes, frame-sample planning) is JVM Column
+expressions, and the decode/feature stages are mapInPandas pipelines
+whose Spark-side shape (schema, batching, partitioning) is real.
+
+The actual image/video decoding is STUBBED: the container has no
+imaging/av libraries. `decode_image_features` raises
+NotImplementedError unless `fake=True`, which substitutes a
+deterministic hash-derived feature vector so the distributed plumbing
+is testable end-to-end. A production deployment replaces `_fake_rgb`
+with a PIL/libav call — nothing else changes.
+"""
+
+from __future__ import annotations
+
+import zlib
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_MAGIC_HEX = {
+    "89504E47": "png",
+    "FFD8FFE0": "jpeg",
+    "FFD8FFE1": "jpeg",
+    "52494646": "riff",  # wav/avi container
+    "464C4330": "flac_standin",
+    "4D554C57": "mulaw_standin",
+    "4F505530": "opus_standin",
+    "1A45DFA3": "mkv",
+}
+
+
+def sniff_format(payload: Column) -> Column:
+    """Container format from magic bytes — pure Column expr."""
+    prefix = F.upper(F.hex(F.substring(payload, 1, 4)))
+    out = F.lit("unknown")
+    for magic, fmt in _MAGIC_HEX.items():
+        out = F.when(prefix == magic, F.lit(fmt)).otherwise(out)
+    return F.when(payload.isNull(), F.lit(None)).otherwise(out)
+
+
+def payload_metadata(df: DataFrame, payload_col: str = "bytes") -> DataFrame:
+    """Typed metadata columns: byte length + sniffed container format."""
+    p = F.col(payload_col)
+    return df.withColumns(
+        {
+            "payload_len": F.length(p),
+            "payload_format": sniff_format(p),
+        }
+    )
+
+
+def frame_sample_plan(
+    n_frames: Column, k: int
+) -> Column:
+    """Deterministic evenly-spaced frame indices (video frame-sample
+    planning): k indices in [0, n_frames) — a Column array, computed
+    without touching the payload."""
+    return F.when(
+        n_frames > 0,
+        F.transform(
+            F.sequence(F.lit(0), F.lit(k - 1)),
+            lambda i: F.floor(i * n_frames / k).cast("int"),
+        ),
+    )
+
+
+_IMG_FEATURE_DIM = 8
+
+
+def _fake_rgb(payload: bytes) -> np.ndarray:
+    """Deterministic stand-in for image decode (STUB — see module
+    docstring): derives an 8-dim feature vector from a crc32 stream."""
+    seed = zlib.crc32(payload or b"") & 0xFFFFFFFF
+    rng = np.random.default_rng(seed)
+    return rng.random(_IMG_FEATURE_DIM).astype(np.float64)
+
+
+def decode_image_features(
+    df: DataFrame,
+    payload_col: str = "bytes",
+    id_col: str = "clip_id",
+    fake: bool = False,
+    batch_partitions: int | None = None,
+) -> DataFrame:
+    """mapInPandas image-feature extraction: (id, features array<double>).
+
+    Real decode is unavailable in this environment; fake=True swaps in
+    the deterministic stand-in. The Arrow batching, minimal projection,
+    and repartition-before-decode are the production shape.
+    """
+    if not fake:
+        raise NotImplementedError(
+            "image decoding requires an imaging library not present in "
+            "this environment; pass fake=True for the deterministic stub"
+        )
+    proj = df.select(F.col(id_col).alias("id"), F.col(payload_col).alias("payload"))
+    if batch_partitions:
+        proj = proj.repartition(batch_partitions, "id")
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [
+                _fake_rgb(p).tolist() if p is not None else None
+                for p in pdf["payload"]
+            ]
+            yield pd.DataFrame({"id": pdf["id"], "features": feats})
+
+    return proj.mapInPandas(extract, schema="id string, features array<double>")

@@ -1,0 +1,69 @@
+"""Sampling operators (SURVEY.md §2.6).
+
+The reference's samples are driver-side `random.sample` / quota loops
+(firestore_services.py:680-769, 886-888). Spark-side both become
+window/hash computations. Two determinism regimes:
+
+  - hash-deterministic (md5/xxhash over the row key): reproducible
+    across engines AND runs — used for oracle-checked sampling.
+  - seeded rand(seed): reproducible within Spark only.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping, Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def hash_sample(df: DataFrame, key_cols: Sequence[str], fraction: float) -> DataFrame:
+    """Deterministic ~fraction sample: keep rows whose md5(key) bucket
+    falls under the threshold. Engine-agnostic (md5 on both Spark and
+    DuckDB), stable under re-runs and repartitioning."""
+    key = F.concat_ws("\x1f", *[F.col(c).cast("string") for c in key_cols])
+    bucket = F.conv(F.substring(F.md5(key), 1, 4), 16, 10).cast("long")
+    return df.filter(bucket < int(fraction * 65536))
+
+
+def exact_random_sample(
+    df: DataFrame, n: int, seed: int, order_within: str | None = None
+) -> DataFrame:
+    """Exact-size uniform sample (R1: random.sample to a limit):
+    orderBy(rand(seed)).limit(n), seeded for determinism."""
+    return df.orderBy(F.rand(seed), *( [F.col(order_within)] if order_within else [] )).limit(n)
+
+
+def stratified_quota_sample(
+    df: DataFrame,
+    strata_col: str,
+    quotas: Mapping[str, int],
+    key_cols: Sequence[str],
+) -> DataFrame:
+    """Exact per-stratum quotas (R2's 40/40/20 stratified user limit,
+    firestore_services.py:680-769): rank rows inside each stratum by a
+    deterministic hash of their key and keep the first `quota`.
+
+    Under-full strata yield what they have (the reference logs, does
+    not refill — VALIDATION_RULES.md:80-92). `sampleBy` is only
+    approximate, hence the window construction.
+    """
+    key = F.concat_ws("\x1f", *[F.col(c).cast("string") for c in key_cols])
+    w = Window.partitionBy(strata_col).orderBy(F.md5(key))
+    ranked = df.withColumn("_rn", F.row_number().over(w))
+    quota_expr = None
+    for stratum, q in quotas.items():
+        cond = (F.col(strata_col) == stratum) & (F.col("_rn") <= q)
+        quota_expr = cond if quota_expr is None else (quota_expr | cond)
+    if quota_expr is None:
+        return df.limit(0)
+    return ranked.filter(quota_expr).drop("_rn")
+
+
+def recent_n_per_group(
+    df: DataFrame, group_col: str, ts_col: str, n: int
+) -> DataFrame:
+    """R3: N most recent rows per group (schema-drift doc sampling,
+    weekly_report.py:519-555)."""
+    w = Window.partitionBy(group_col).orderBy(F.col(ts_col).desc())
+    return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= n).drop("_rn")

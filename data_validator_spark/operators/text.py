@@ -1,0 +1,130 @@
+"""Text-analysis operators for large-scale training-data pipelines:
+language-ID, quality scoring, token counting, document fingerprinting.
+
+All pure Column expressions (JVM-side, codegen'd); the regex/token
+primitives are chosen so a DuckDB oracle can reproduce them exactly
+(md5 + regexp_extract_all exist in both engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# tiny per-language stopword regexes for the n-gram/stopword heuristic
+LANG_MARKERS = {
+    "en": r"\b(the|and|of|to|is|in|that|it|was|for)\b",
+    "es": r"\b(el|la|de|que|y|en|los|del|las|por)\b",
+    "de": r"\b(der|die|und|das|ist|von|den|nicht|mit|ein)\b",
+    "fr": r"\b(le|la|les|de|des|et|est|une|dans|que)\b",
+}
+
+
+def normalized_text(c: Column) -> Column:
+    return F.lower(F.trim(F.regexp_replace(c, r"\s+", " ")))
+
+
+def token_count(c: Column) -> Column:
+    """Whitespace tokenization count; empty/null -> 0."""
+    t = F.trim(c)
+    return F.when(
+        t.isNull() | (t == ""), F.lit(0)
+    ).otherwise(F.size(F.split(t, r"\s+")))
+
+
+def bpe_ish_token_count(c: Column) -> Column:
+    """BPE-ish regex token count: word pieces + digits + punctuation as
+    separate tokens (approximates subword tokenizer counts)."""
+    return F.size(F.regexp_extract_all(c, F.lit(r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"), F.lit(0)))
+
+
+def lang_scores(c: Column) -> dict[str, Column]:
+    """Stopword-marker hit counts per language over normalized text."""
+    norm = normalized_text(c)
+    return {
+        lang: F.size(F.regexp_extract_all(norm, F.lit(rx), F.lit(0)))
+        for lang, rx in LANG_MARKERS.items()
+    }
+
+
+def lang_id(c: Column, min_hits: int = 1) -> Column:
+    """argmax of marker hits; ties and sub-threshold -> 'und'.
+    Deterministic tie-break: language order as declared."""
+    scores = lang_scores(c)
+    best = None
+    best_score = None
+    for lang, s in scores.items():
+        if best is None:
+            best, best_score = F.lit(lang), s
+        else:
+            cond = s > best_score
+            best = F.when(cond, F.lit(lang)).otherwise(best)
+            best_score = F.when(cond, s).otherwise(best_score)
+    return F.when(best_score >= min_hits, best).otherwise(F.lit("und"))
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append quality-scoring feature columns (ratios in [0,1])."""
+    c = F.col(text_col)
+    n_chars = F.length(c)
+    toks = token_count(c)
+    alpha = F.length(F.regexp_replace(c, r"[^A-Za-z]", ""))
+    punct = F.length(F.regexp_replace(c, r"[^.,;:!?]", ""))
+    stop_hits = F.size(
+        F.regexp_extract_all(normalized_text(c), F.lit(LANG_MARKERS["en"]), F.lit(0))
+    )
+    return df.withColumns(
+        {
+            "q_n_chars": n_chars,
+            "q_n_tokens": toks,
+            "q_mean_word_len": F.when(toks > 0, F.round(alpha / toks, 4)).otherwise(
+                F.lit(0.0)
+            ),
+            "q_alpha_ratio": F.when(n_chars > 0, F.round(alpha / n_chars, 4)).otherwise(
+                F.lit(0.0)
+            ),
+            "q_punct_ratio": F.when(n_chars > 0, F.round(punct / n_chars, 4)).otherwise(
+                F.lit(0.0)
+            ),
+            "q_stopword_ratio": F.when(toks > 0, F.round(stop_hits / toks, 4)).otherwise(
+                F.lit(0.0)
+            ),
+        }
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Single scalar quality score in [0,1]: length band + alpha ratio
+    + stopword presence - punctuation excess."""
+    feat = quality_features(df, text_col)
+    len_band = F.least(F.col("q_n_tokens") / F.lit(20.0), F.lit(1.0))
+    score = (
+        0.4 * len_band
+        + 0.3 * F.col("q_alpha_ratio")
+        + 0.3 * F.least(F.col("q_stopword_ratio") * 2, F.lit(1.0))
+        - 0.2 * F.greatest(F.col("q_punct_ratio") - 0.1, F.lit(0.0))
+    )
+    return feat.withColumn(
+        "quality_score", F.round(F.greatest(F.least(score, F.lit(1.0)), F.lit(0.0)), 4)
+    )
+
+
+def fingerprint(c: Column) -> Column:
+    """Deterministic document fingerprint: md5 of whitespace-normalized
+    lowercase text (md5 exists in both Spark and DuckDB -> oracle-safe)."""
+    return F.md5(normalized_text(c))
+
+
+def word_ngrams(c: Column, n: int = 3) -> Column:
+    """Array of word n-grams (shingles) from normalized text."""
+    toks = F.split(normalized_text(c), " ")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1)))
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + j + 1) for j in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
