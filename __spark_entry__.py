@@ -530,6 +530,190 @@ def q30_bool_coercion(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q31_bridge_explode(spark: SparkSession, sf: str) -> DataFrame:
+    """J8: org-map bridge explode — per-user {all, current} sets ->
+    (user_id, org_id, is_active) rows (entity_controller.py:424-464)."""
+    ev = _t(spark, sf, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.array_sort(F.collect_set("event_type")).alias("all_types"),
+        F.array_sort(
+            F.collect_set(
+                F.when(F.col("ts") >= F.lit("2024-01-15 00:00:00"), F.col("event_type"))
+            )
+        ).alias("cur_types"),
+    )
+    links = per_user.select(
+        "user_id",
+        F.explode("all_types").alias("org_id"),
+        F.col("cur_types"),
+    ).withColumn("is_active", F.array_contains("cur_types", F.col("org_id")))
+    return (
+        links.groupBy("org_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_links"),
+            F.sum(F.col("is_active").cast("long")).cast("long").alias("n_active"),
+        )
+        .orderBy("org_id")
+    )
+
+
+def q32_assignment_explode(spark: SparkSession, sf: str) -> DataFrame:
+    """J9: assignment-map explode + completion membership
+    (entity_controller.py:399-422) via MapType + explode(map)."""
+    ev = _t(spark, sf, "events")
+    per = ev.groupBy("user_id", "event_type").agg(F.max("value").alias("mx"))
+    maps = per.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("event_type", "mx")))
+        ).alias("assignments")
+    )
+    ex = maps.select("user_id", F.explode("assignments").alias("aid", "mx"))
+    return (
+        ex.withColumn("is_completed", F.col("mx") > 90)
+        .groupBy("aid")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_assigned"),
+            F.sum(F.col("is_completed").cast("long")).cast("long").alias("n_completed"),
+        )
+        .orderBy("aid")
+    )
+
+
+def q33_wow_delta(spark: SparkSession, sf: str) -> DataFrame:
+    """A8: week-over-week activity delta, growth clamped at 0
+    (weekly_report.py:217-283)."""
+    ev = _t(spark, sf, "events")
+    base = (
+        ev.filter(
+            (F.col("ts") >= "2024-01-01 00:00:00") & (F.col("ts") < "2024-01-08 00:00:00")
+        )
+        .groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("base_n"))
+    )
+    cur = (
+        ev.filter(
+            (F.col("ts") >= "2024-01-08 00:00:00") & (F.col("ts") < "2024-01-15 00:00:00")
+        )
+        .groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("cur_n"))
+    )
+    j = base.join(cur, ["user_id", "event_type"], "full_outer").fillna(
+        0, subset=["base_n", "cur_n"]
+    )
+    growth = F.greatest(F.col("cur_n") - F.col("base_n"), F.lit(0))
+    return (
+        j.withColumn("growth", growth)
+        .groupBy("event_type")
+        .agg(
+            F.sum("growth").cast("long").alias("total_growth"),
+            F.sum((F.col("growth") > 0).cast("long")).cast("long").alias("n_growing"),
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_JSON_SHAPE = (
+    "CASE WHEN event_id % 3 = 0 THEN props "
+    "WHEN event_id % 3 = 1 THEN "
+    "'{\"k\": ' || CAST(event_id % 100 AS VARCHAR) || ', \"tag\": \"' || event_type || '\"}' "
+    "ELSE '{\"v\": ' || CAST(round(value, 1) AS VARCHAR) || '}' END"
+)
+
+
+def _json_shape_col():
+    return (
+        F.when(F.col("event_id") % 3 == 0, F.col("props"))
+        .when(
+            F.col("event_id") % 3 == 1,
+            F.concat(
+                F.lit('{"k": '),
+                (F.col("event_id") % 100).cast("string"),
+                F.lit(', "tag": "'),
+                F.col("event_type"),
+                F.lit('"}'),
+            ),
+        )
+        .otherwise(
+            F.concat(F.lit('{"v": '), F.round("value", 1).cast("string"), F.lit("}"))
+        )
+    )
+
+
+def q34_schema_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    """A7: schema fingerprint — union of JSON field names per group
+    (weekly_report.py:450-462) over a 3-shape polymorphic column."""
+    ev = _t(spark, sf, "events").withColumn("doc", _json_shape_col())
+    keys = F.json_object_keys("doc")
+    return (
+        ev.withColumn("keys", keys)
+        .groupBy("event_type")
+        .agg(
+            F.array_sort(F.array_distinct(F.flatten(F.collect_set("keys")))).alias(
+                "fields"
+            )
+        )
+        .select(
+            "event_type",
+            F.size("fields").cast("long").alias("n_fields"),
+            F.concat_ws(",", "fields").alias("fields_csv"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def q35_nan_normalize(spark: SparkSession, sf: str) -> DataFrame:
+    """P2: NaN normalization -> NULL (utils.py:351-362)."""
+    from data_validator_spark.functions.scalars import nan_normalize
+
+    ev = _t(spark, sf, "events")
+    dirty = F.when(F.col("event_id") % 7 == 0, F.lit(float("nan"))).otherwise(
+        F.col("value")
+    )
+    clean = nan_normalize(dirty, numeric=True)
+    return ev.select(clean.alias("v")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.col("v").isNull().cast("long")).cast("long").alias("n_null"),
+        F.round(F.sum("v"), 2).alias("sum_clean"),
+    )
+
+
+def q36_union_missing_cols(spark: SparkSession, sf: str) -> DataFrame:
+    """U2: multi-org union with missing columns
+    (utils.py:275-294 -> unionByName(allowMissingColumns=True))."""
+    ev = _t(spark, sf, "events")
+    a = ev.filter(F.col("event_id") % 2 == 0).select("event_id", "user_id", "event_type")
+    b = ev.filter(F.col("event_id") % 2 == 1).select("event_id", "value")
+    u = a.unionByName(b, allowMissingColumns=True)
+    return u.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.col("event_type").isNull().cast("long")).cast("long").alias("n_null_type"),
+        F.sum(F.col("value").isNull().cast("long")).cast("long").alias("n_null_value"),
+        F.sum("event_id").cast("long").alias("sum_ids"),
+    )
+
+
+def q37_type_dispatch(spark: SparkSession, sf: str) -> DataFrame:
+    """P13: type-dispatch by key-set — classify polymorphic docs into
+    schema classes (classify_survey_doc, firestore_services.py:116-127)."""
+    ev = _t(spark, sf, "events").withColumn("doc", _json_shape_col())
+    has_k = F.get_json_object("doc", "$.k").isNotNull()
+    has_tag = F.get_json_object("doc", "$.tag").isNotNull()
+    has_v = F.get_json_object("doc", "$.v").isNotNull()
+    cls = (
+        F.when(has_k & has_tag, F.lit("tagged"))
+        .when(has_k, F.lit("plain"))
+        .when(has_v, F.lit("value_only"))
+        .otherwise(F.lit("unknown"))
+    )
+    return (
+        ev.withColumn("schema_class", cls)
+        .groupBy("schema_class")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy("schema_class")
+    )
+
+
 # --------------------------------------------------------------------------
 # rows-only queries (engine-hash / UDF / audio dependent — no SQL oracle)
 # --------------------------------------------------------------------------
@@ -654,6 +838,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q28_psi_ks_drift": q28_psi_ks_drift,
         "q29_sentinel_append": q29_sentinel_append,
         "q30_bool_coercion": q30_bool_coercion,
+        "q31_bridge_explode": q31_bridge_explode,
+        "q32_assignment_explode": q32_assignment_explode,
+        "q33_wow_delta": q33_wow_delta,
+        "q34_schema_fingerprint": q34_schema_fingerprint,
+        "q35_nan_normalize": q35_nan_normalize,
+        "q36_union_missing_cols": q36_union_missing_cols,
+        "q37_type_dispatch": q37_type_dispatch,
         "q40_minhash_lsh": q40_minhash_lsh,
         "q41_simhash": q41_simhash,
         "q42_lsh_topk": q42_lsh_topk,
@@ -962,6 +1153,83 @@ _ORACLES: dict[str, str] = {
                sum(CASE WHEN text = 'schema_row' THEN 1 ELSE 0 END)::BIGINT AS n_sentinel,
                sum(doc_id)::BIGINT AS sum_ids
         FROM withs
+    """,
+    "q31_bridge_explode": """
+        WITH links AS (SELECT DISTINCT user_id, event_type FROM events),
+             active AS (SELECT DISTINCT user_id, event_type FROM events
+                        WHERE ts >= timestamp '2024-01-15 00:00:00')
+        SELECT l.event_type AS org_id, count(*)::BIGINT AS n_links,
+               sum(CASE WHEN a.user_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_active
+        FROM links l LEFT JOIN active a
+          ON l.user_id = a.user_id AND l.event_type = a.event_type
+        GROUP BY 1 ORDER BY 1
+    """,
+    "q32_assignment_explode": """
+        WITH per AS (SELECT user_id, event_type, max(value) AS mx
+                     FROM events GROUP BY 1, 2)
+        SELECT event_type AS aid, count(*)::BIGINT AS n_assigned,
+               sum(CASE WHEN mx > 90 THEN 1 ELSE 0 END)::BIGINT AS n_completed
+        FROM per GROUP BY 1 ORDER BY 1
+    """,
+    "q33_wow_delta": """
+        WITH base AS (
+          SELECT user_id, event_type, count(*) AS base_n FROM events
+          WHERE ts >= timestamp '2024-01-01' AND ts < timestamp '2024-01-08'
+          GROUP BY 1, 2),
+        cur AS (
+          SELECT user_id, event_type, count(*) AS cur_n FROM events
+          WHERE ts >= timestamp '2024-01-08' AND ts < timestamp '2024-01-15'
+          GROUP BY 1, 2),
+        j AS (
+          SELECT coalesce(b.event_type, c.event_type) AS event_type,
+                 greatest(coalesce(cur_n, 0) - coalesce(base_n, 0), 0) AS growth
+          FROM base b FULL OUTER JOIN cur c
+            ON b.user_id = c.user_id AND b.event_type = c.event_type)
+        SELECT event_type, sum(growth)::BIGINT AS total_growth,
+               sum(CASE WHEN growth > 0 THEN 1 ELSE 0 END)::BIGINT AS n_growing,
+               count(*)::BIGINT AS n_pairs
+        FROM j GROUP BY 1 ORDER BY 1
+    """,
+    "q34_schema_fingerprint": f"""
+        WITH d AS (SELECT event_type, {_JSON_SHAPE} AS doc FROM events),
+        ks AS (SELECT event_type, unnest(json_keys(doc)) AS k FROM d)
+        SELECT event_type, count(DISTINCT k)::BIGINT AS n_fields,
+               string_agg(DISTINCT k, ',' ORDER BY k) AS fields_csv
+        FROM ks GROUP BY 1 ORDER BY 1
+    """,
+    "q35_nan_normalize": """
+        WITH dirty AS (
+          SELECT CASE WHEN event_id % 7 = 0 THEN 'nan'::DOUBLE ELSE value END AS v
+          FROM events),
+        clean AS (SELECT CASE WHEN isnan(v) THEN NULL ELSE v END AS v FROM dirty)
+        SELECT count(*)::BIGINT AS n_rows,
+               sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null,
+               round(sum(v), 2) AS sum_clean
+        FROM clean
+    """,
+    "q36_union_missing_cols": """
+        WITH u AS (
+          SELECT event_id, user_id, event_type, NULL::DOUBLE AS value
+          FROM events WHERE event_id % 2 = 0
+          UNION ALL
+          SELECT event_id, NULL, NULL, value FROM events WHERE event_id % 2 = 1)
+        SELECT count(*)::BIGINT AS n_rows,
+               sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null_type,
+               sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null_value,
+               sum(event_id)::BIGINT AS sum_ids
+        FROM u
+    """,
+    "q37_type_dispatch": f"""
+        WITH d AS (SELECT {_JSON_SHAPE} AS doc FROM events),
+        c AS (
+          SELECT CASE
+            WHEN json_extract(doc, '$.k') IS NOT NULL
+             AND json_extract(doc, '$.tag') IS NOT NULL THEN 'tagged'
+            WHEN json_extract(doc, '$.k') IS NOT NULL THEN 'plain'
+            WHEN json_extract(doc, '$.v') IS NOT NULL THEN 'value_only'
+            ELSE 'unknown' END AS schema_class
+          FROM d)
+        SELECT schema_class, count(*)::BIGINT AS n FROM c GROUP BY 1 ORDER BY 1
     """,
     "q30_bool_coercion": """
         WITH raw AS (

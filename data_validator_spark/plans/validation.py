@@ -34,6 +34,10 @@ class ValidationConfig:
     check_audio: bool = True
     snr_min_db: float = 30.0
     decode_partitions: int | None = None  # repartition before decode stage
+    # persist the post-audio row set (bytes already dropped) so the
+    # fan-out actions (verdict rollup, violation write, stats) do not
+    # re-run the decode stage once per action. Never caches `bytes`.
+    persist: bool = False
     rule_version: str = clip_rules.RULE_VERSION
     # full profile (null rate / min-max / HLL / quantiles) over these:
     stats_specs: tuple[stats.ColumnSpec, ...] = (
@@ -61,6 +65,13 @@ class ValidationResult:
     histograms: DataFrame
     drift: DataFrame | None = None
     ref_winners: DataFrame | None = None
+    # the exact DataFrames persist() was called on (cfg.persist=True);
+    # unpersisting `validated` (a child plan) would be a silent no-op
+    persisted: list[DataFrame] = field(default_factory=list)
+
+    def unpersist(self) -> None:
+        for df in self.persisted:
+            df.unpersist()
 
 
 def _ref_winner_transcripts(transcripts_ref: DataFrame) -> tuple[DataFrame, DataFrame]:
@@ -101,6 +112,7 @@ def run_validation(
 ) -> ValidationResult:
     rules = clip_rules.all_clip_rules()
     id_cols = ["clip_id", cfg.order_col, cfg.partition_col]
+    _persisted: list[DataFrame] = []
 
     # ---- tier 1: hard schema failures -> side-channel
     ok, invalid = split_hard(clips, rules, ENTITY, id_cols)
@@ -151,6 +163,10 @@ def run_validation(
             # keys so stage retries land identically
             v = v.repartition(cfg.decode_partitions, "clip_id", cfg.order_col)
         v = run_audio_checks(v, snr_min=cfg.snr_min_db)
+        v = v.drop("bytes")  # payload never leaves the decode stage
+        if cfg.persist:
+            v = v.persist()
+            _persisted.append(v)
         # decode failure is a hard-tier outcome discovered late: divert
         decode_invalid = (
             v.filter(F.col("audio_decode_error").isNotNull())
@@ -164,6 +180,12 @@ def run_validation(
             )
         )
         invalid = invalid.unionByName(decode_invalid)
+        if cfg.persist:
+            # violation rows are tiny but their lineage re-scans the
+            # full input (incl. `bytes` for the required-field rule);
+            # caching them keeps every downstream action scan-free
+            invalid = invalid.persist()
+            _persisted.append(invalid)
         v = v.filter(F.col("audio_decode_error").isNull())
         v = append_messages(v, ENTITY, F.col("_snr_label")).drop("_snr_label")
         v = append_messages(
@@ -211,4 +233,5 @@ def run_validation(
         histograms=hist,
         drift=drift_df,
         ref_winners=ref_winners,
+        persisted=_persisted,
     )

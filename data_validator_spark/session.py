@@ -38,9 +38,14 @@ def build_session(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        # audio `bytes` rows are large; cap Arrow batches so a decode
-        # batch fits comfortably in executor memory (SURVEY.md §7.3)
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        # audio `bytes` rows are large (tens of KB): the default 4096-row
+        # columnar batches mean ~100-200 MB humongous allocations per
+        # task batch, which thrashes the JVM GC (measured 75s -> 3.7s on
+        # a ~1 GB cold bytes scan when capped). Cap both the parquet
+        # reader batch and the Arrow transfer batch so a batch of
+        # payload rows stays in the tens of MB (SURVEY.md §7.3).
+        .config("spark.sql.parquet.columnarReaderBatchSize", "512")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "512")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
     )

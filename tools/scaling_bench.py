@@ -1,0 +1,122 @@
+#!/usr/bin/env python
+"""Scaling-efficiency evidence for the north rule (BASELINE.json):
+"throughput scaling efficiency >= 0.8 from N to 4N executors".
+
+No real cluster exists in the sandbox, so per the driver instructions
+the same job (full clips validation: hard tier, soft rules, dedup,
+referential winner-selection, audio decode + SNR>=30dB, verdicts,
+stats) runs at two parallelism levels — local[8] (N) and local[32]
+(4N) — over the IDENTICAL pre-materialized parquet input, and we
+report throughput at both plus efficiency = T_4N / (4 * T_N).
+
+Each level runs in its own subprocess (one SparkSession per process)
+via `bench.py --clips-only --clips-dir ...`. BLAS/numpy threading is
+pinned to 1 so the only parallelism under test is Spark's task
+scheduling. Results land in BENCH.md (and the caller folds them into
+BASELINE.md).
+
+Usage: python tools/scaling_bench.py [--rows 60000] [--repeats 2]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_level(cores: int, rows: int, clips_dir: str, repeats: int) -> dict:
+    env = dict(os.environ)
+    for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS",
+                "NUMEXPR_NUM_THREADS", "VECLIB_MAXIMUM_THREADS"):
+        env[var] = "1"
+    out = subprocess.run(
+        [sys.executable, "bench.py", "--clips-only",
+         "--cores", str(cores), "--rows", str(rows),
+         "--repeats", str(repeats), "--clips-dir", clips_dir],
+        cwd=REPO, env=env, capture_output=True, text=True, check=True,
+    )
+    line = out.stdout.strip().splitlines()[-1]
+    res = json.loads(line)
+    print(f"  local[{cores}]: best of {repeats}: "
+          f"{res['clips_per_sec']} clips/s ({res['clips_sec']}s)",
+          file=sys.stderr, flush=True)
+    return res
+
+
+def materialize(rows: int, max_synth_ms: int, out_dir: str) -> None:
+    code = (
+        "import bench; s = bench.build(32); "
+        f"bench.materialize_clips(s, {rows}, {max_synth_ms}, {out_dir!r}); "
+        "s.stop()"
+    )
+    subprocess.run([sys.executable, "-c", code], cwd=REPO, check=True,
+                   stdout=subprocess.DEVNULL)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rows", type=int, default=250000)
+    ap.add_argument("--max-synth-ms", type=int, default=800)
+    ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--n", type=int, default=8)
+    ap.add_argument("--n4", type=int, default=32)
+    args = ap.parse_args()
+
+    tmp = tempfile.mkdtemp(prefix="scaling_clips_")
+    try:
+        print(f"materializing {args.rows} clips once -> {tmp}", file=sys.stderr)
+        materialize(args.rows, args.max_synth_ms, tmp)
+
+        lo = run_level(args.n, args.rows, tmp, args.repeats)
+        hi = run_level(args.n4, args.rows, tmp, args.repeats)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    t_n, t_4n = lo["clips_per_sec"], hi["clips_per_sec"]
+    eff = t_4n / (4.0 * t_n)
+    summary = {
+        "rows": args.rows,
+        "n_cores": args.n,
+        "n4_cores": args.n4,
+        "throughput_n": t_n,
+        "throughput_4n": t_4n,
+        "sec_n": lo["clips_sec"],
+        "sec_4n": hi["clips_sec"],
+        "scaling_efficiency": round(eff, 3),
+        "meets_0.8": eff >= 0.8,
+    }
+    print(json.dumps(summary))
+
+    md = f"""# BENCH — clips-validation throughput & scaling evidence
+
+Full rule suite per clip (hard schema tier, soft metadata rules,
+clip_id uniqueness dedup, transcript winner-selection + referential +
+equality joins, audio decode + PCM SNR>=30dB vs reference, per-
+partition verdicts, column stats/histograms), identical
+pre-materialized parquet input at both parallelism levels, numpy/BLAS
+pinned to 1 thread, best of {args.repeats} runs.
+
+| parallelism | rows | wall sec | clips/sec |
+|---|---|---|---|
+| local[{args.n}]  (N)  | {args.rows} | {lo['clips_sec']} | {t_n} |
+| local[{args.n4}] (4N) | {args.rows} | {hi['clips_sec']} | {t_4n} |
+
+**Scaling efficiency N -> 4N = {t_4n:.1f} / (4 x {t_n:.1f}) =
+{eff:.3f}** (north-rule threshold: >= 0.8 -> {"PASS" if eff >= 0.8 else "FAIL"}).
+
+Reproduce: `python tools/scaling_bench.py --rows {args.rows}`.
+"""
+    with open(os.path.join(REPO, "BENCH.md"), "w") as f:
+        f.write(md)
+    print("wrote BENCH.md", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()
