@@ -1,0 +1,15 @@
+from data_validator_spark.streaming.incremental import (
+    CLIPS_STREAM_SCHEMA,
+    clips_stream,
+    run_incremental,
+    validate_stream,
+    windowed_verdicts,
+)
+
+__all__ = [
+    "CLIPS_STREAM_SCHEMA",
+    "clips_stream",
+    "validate_stream",
+    "windowed_verdicts",
+    "run_incremental",
+]

@@ -1,0 +1,143 @@
+"""Structured Streaming ingestion for the clips table.
+
+The reference is strictly batch (Cloud Run Job, daily cron —
+/root/reference/settings.py:68, SURVEY.md §2.10); its incrementality
+is job-level re-runs gated on row-count diffs
+(/root/reference/shared/storage_services.py:58-91). The Spark-native
+generalizations are:
+
+  1. the per-partition checkpoint manifest (plans/manifest.py) for
+     batch resume, and
+  2. this module: `readStream` over the landing directory with
+     `Trigger.AvailableNow` + a streaming checkpoint, so each
+     invocation processes exactly the files that arrived since the
+     last run and a killed job resumes without reprocessing —
+     file-granular incrementality on top of the manifest's
+     partition-granular one.
+
+Semantics notes (documented, not hidden):
+  - Stateless tiers (hard schema split, soft/warning rules — pure
+    Column expressions) run directly on the stream.
+  - Cross-row operators (clip_id uniqueness, transcript
+    winner-selection) are scoped to the micro-batch inside
+    `foreachBatch` — the standard Spark pattern for batch-only ops in
+    a stream. Global uniqueness across the whole table remains the
+    batch path's job (plans/validation.py via plans/manifest.py).
+  - Event-time windowed verdicts with a watermark handle late files
+    (`windowed_verdicts`).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from data_validator_spark.plans.validation import ValidationConfig, run_validation
+from data_validator_spark.rules import clip_rules
+from data_validator_spark.rules.compiler import apply_rules, hard_predicate
+
+# input_hint shape + lineage columns the generator adds
+CLIPS_STREAM_SCHEMA = (
+    "clip_id string, bytes binary, sr_hz int, dur_ms int, codec string, "
+    "transcript string, ingest_date date, ingest_seq long"
+)
+
+
+def clips_stream(
+    spark: SparkSession,
+    path: str,
+    schema: str = CLIPS_STREAM_SCHEMA,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-source stream over the clips landing directory. The file
+    source tracks seen files in the streaming checkpoint, which is
+    what makes `availableNow` runs incremental."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.parquet(path)
+
+
+def validate_stream(
+    stream: DataFrame, entity: str = "clip"
+) -> tuple[DataFrame, DataFrame]:
+    """Stateless rule tiers applied directly on a streaming DataFrame:
+    (validated-with-messages, hard-invalid rows). Everything here is
+    Column expressions, so it runs inside the stream with no state."""
+    rules = clip_rules.all_clip_rules()
+    pred = hard_predicate(rules)
+    ok = apply_rules(stream.filter(~pred), rules, entity)
+    bad = stream.filter(pred)
+    return ok, bad
+
+
+def windowed_verdicts(
+    stream: DataFrame,
+    ts_col: str = "ingest_ts",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    entity: str = "clip",
+) -> DataFrame:
+    """Event-time windowed verdict counts with a watermark for late
+    data: the streaming analogue of the per-partition verdict rollup
+    (plans/validation.py), emitting (window, n_rows, n_soft_invalid)."""
+    ok, _ = validate_stream(stream, entity)
+    return (
+        ok.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum((~F.col(f"valid_{entity}")).cast("long")).alias("n_soft_invalid"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n_rows",
+            "n_soft_invalid",
+        )
+    )
+
+
+def run_incremental(
+    spark: SparkSession,
+    input_path: str,
+    output_dir: str,
+    transcripts_ref: DataFrame | None = None,
+    cfg: ValidationConfig = ValidationConfig(),
+    on_batch: Callable[[DataFrame, int], None] | None = None,
+) -> StreamingQuery:
+    """One incremental validation pass: process every not-yet-seen file
+    under `input_path`, run the FULL pipeline (incl. audio decode +
+    SNR) per micro-batch, append outputs, then stop (availableNow).
+
+    Outputs under `output_dir`:
+      validated/   soft-tier rows with flags/messages
+      invalid/     hard side-channel rows
+      verdicts/    per-partition verdicts, tagged with batch_id
+      _checkpoint/ streaming checkpoint (source file log) — resume
+                   point for the next invocation
+    """
+    stream = clips_stream(spark, input_path)
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        res = run_validation(batch_df, transcripts_ref, cfg=cfg)
+        res.validated.write.mode("append").parquet(f"{output_dir}/validated")
+        res.invalid.write.mode("append").parquet(f"{output_dir}/invalid")
+        (
+            res.partition_verdicts.withColumn("batch_id", F.lit(batch_id))
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(f"{output_dir}/verdicts")
+        )
+        if on_batch is not None:
+            on_batch(batch_df, batch_id)
+
+    return (
+        stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", f"{output_dir}/_checkpoint")
+        .trigger(availableNow=True)
+        .start()
+    )
