@@ -777,7 +777,7 @@ def q45_clips_flagship(spark: SparkSession, sf: str) -> DataFrame:
     cfg = ClipsConfig(n_rows=2000, n_partitions=4, max_synth_ms=400)
     clips = generate_clips(spark, cfg)
     tr = generate_transcripts_ref(spark, cfg)
-    res = run_validation(clips, tr, cfg=ValidationConfig(decode_partitions=8))
+    res = run_validation(clips, tr, cfg=ValidationConfig())
     return res.partition_verdicts.select(
         F.col("ingest_date").cast("string").alias("partition_value"),
         "n_rows",

@@ -33,21 +33,52 @@ def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
+_BENCH_CONF = {
+    "spark.ui.showConsoleProgress": "false",
+    # small-scale stand-in for the cluster-side rule "size input
+    # splits so every executor core has >=2 decode tasks": at
+    # bench data volumes the 128m default would yield fewer
+    # splits than cores and cap scan/decode parallelism, while
+    # tiny splits multiply per-task + python-worker overhead.
+    "spark.sql.files.maxPartitionBytes": "64m",
+    "spark.sql.files.openCostInBytes": "1m",
+}
+
+
 def build(cores: int):
     from data_validator_spark.session import build_session
 
+    return build_session(app_name=f"bench_local{cores}", cores=cores,
+                         extra_conf=dict(_BENCH_CONF))
+
+
+def build_cluster(executors: int, exec_cores: int, exec_mem_mb: int):
+    """Multi-executor emulation: local-cluster[E,C,M] launches E REAL
+    executor JVMs (own heap, own GC, own python workers) on this box —
+    the faithful stand-in for an E-executor cluster, unlike local[N]
+    where all tasks share one JVM/GC/worker pool."""
+    import os
+
+    from data_validator_spark.session import build_session
+
+    os.environ.setdefault("SPARK_HOME", "/opt/spark")
+    os.environ["SPARK_MASTER"] = (
+        f"local-cluster[{executors},{exec_cores},{exec_mem_mb}]"
+    )
+    conf = dict(_BENCH_CONF)
+    conf.update(
+        {
+            "spark.executor.memory": f"{exec_mem_mb}m",
+            "spark.executorEnv.PYTHONPATH": os.path.dirname(
+                os.path.abspath(__file__)
+            ),
+        }
+    )
     return build_session(
-        app_name=f"bench_local{cores}",
-        cores=cores,
-        extra_conf={
-            "spark.ui.showConsoleProgress": "false",
-            # small-scale stand-in for the cluster-side rule "size input
-            # splits so every executor core has >=2-4 decode tasks":
-            # at bench data volumes the 128m default would yield fewer
-            # splits than cores and cap scan/decode parallelism.
-            "spark.sql.files.maxPartitionBytes": "16m",
-            "spark.sql.files.openCostInBytes": "1m",
-        },
+        app_name=f"bench_cluster{executors}x{exec_cores}",
+        cores=None,
+        shuffle_partitions=executors * exec_cores,
+        extra_conf=conf,
     )
 
 
@@ -75,18 +106,31 @@ def time_clips_validation(spark, paths: dict, rows: int, cores: int, repeats: in
 
     from data_validator_spark.plans import ValidationConfig, run_validation
 
+    from concurrent.futures import ThreadPoolExecutor
+
     clips = spark.read.parquet(paths["clips"])
     tr = spark.read.parquet(paths["transcripts_ref"])
     best = None
     for _ in range(max(1, repeats)):
         t0 = time.monotonic()
         res = run_validation(clips, tr, cfg=ValidationConfig(persist=True))
-        # materialize every output the engine contract produces
-        n_valid = res.validated.count()
-        n_invalid = res.invalid.count()
-        verdicts = res.partition_verdicts.collect()
-        stats_rows = res.summary_stats.collect()
-        hist_n = res.histograms.count()
+        # materialize every output the engine contract produces.
+        # Independent outputs are submitted as CONCURRENT Spark jobs:
+        # while the decode stage saturates the Python workers, the JVM
+        # cores are mostly idle — stats/histograms (metadata-only
+        # scans) ride that idle capacity instead of serializing after.
+        # The main action runs first only far enough to own the cache
+        # materialization (concurrent first-touch on one cached plan
+        # would compute partitions twice).
+        with ThreadPoolExecutor(max_workers=4) as ex:
+            f_stats = ex.submit(lambda: res.summary_stats.collect())
+            f_hist = ex.submit(lambda: res.histograms.count())
+            n_valid = res.validated.count()  # materializes audio+v caches
+            f_inv = ex.submit(lambda: res.invalid.count())
+            verdicts = res.partition_verdicts.collect()
+            n_invalid = f_inv.result()
+            stats_rows = f_stats.result()
+            hist_n = f_hist.result()
         elapsed = time.monotonic() - t0
         res.unpersist()
         log(f"  clips pass: {elapsed:.2f}s")
@@ -123,6 +167,10 @@ def time_queries(spark, sf_dir: str) -> dict[str, float]:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--cores", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    ap.add_argument("--executors", type=int, default=0,
+                    help="if >0, use local-cluster[executors, exec-cores, exec-mem] (real executor JVMs)")
+    ap.add_argument("--exec-cores", type=int, default=8)
+    ap.add_argument("--exec-mem-mb", type=int, default=8192)
     ap.add_argument("--rows", type=int, default=int(os.environ.get("BENCH_CLIP_ROWS", "40000")))
     ap.add_argument("--max-synth-ms", type=int, default=600)
     ap.add_argument("--clips-only", action="store_true")
@@ -136,8 +184,15 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
 
-    spark = build(args.cores)
-    result: dict = {"sf": sf, "cores": args.cores}
+    if args.executors > 0:
+        spark = build_cluster(args.executors, args.exec_cores, args.exec_mem_mb)
+        total_cores = args.executors * args.exec_cores
+        result: dict = {"sf": sf, "executors": args.executors,
+                        "cores": total_cores}
+    else:
+        spark = build(args.cores)
+        total_cores = args.cores
+        result = {"sf": sf, "cores": args.cores}
 
     tmp = None
     try:
@@ -151,8 +206,8 @@ def main() -> None:
                 tmp = tempfile.mkdtemp(prefix="bench_clips_")
                 log(f"materializing {args.rows} clips -> {tmp}")
                 paths = materialize_clips(spark, args.rows, args.max_synth_ms, tmp)
-            log(f"timing clips validation on local[{args.cores}]")
-            result.update(time_clips_validation(spark, paths, args.rows, args.cores, args.repeats))
+            log(f"timing clips validation ({total_cores} cores)")
+            result.update(time_clips_validation(spark, paths, args.rows, total_cores, args.repeats))
 
         if not args.clips_only:
             log(f"timing headline queries at {sf_dir}")

@@ -185,12 +185,15 @@ def snr_db(reference: np.ndarray, decoded: np.ndarray) -> float:
     The graft's per-row invariant (BASELINE.json input_hint): decoded
     PCM must be allclose to the reference recipe at SNR >= 30 dB.
     """
-    ref = np.asarray(reference, dtype=np.float64)
-    dec = np.asarray(decoded, dtype=np.float64)
+    ref = np.asarray(reference, dtype=np.float32)
+    dec = np.asarray(decoded, dtype=np.float32)
     if ref.shape != dec.shape:
         return float("-inf")
-    noise = float(np.sum((ref - dec) ** 2))
-    sig = float(np.sum(ref**2))
+    # dot-product forms: no squared temporaries, single pass each
+    # (this runs once per row in the decode UDF; bandwidth matters)
+    diff = ref - dec
+    noise = float(np.dot(diff, diff))
+    sig = float(np.dot(ref, ref))
     if noise == 0.0:
         return float("inf")
     if sig == 0.0:

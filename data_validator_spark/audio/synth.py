@@ -27,15 +27,32 @@ def clip_seed(clip_id: str) -> int:
 
 
 def reference_pcm(clip_id: str, sr_hz: int, n_samples: int) -> np.ndarray:
-    """Reference signal: two deterministic sine partials + seeded noise."""
+    """Reference signal: two deterministic sine partials + seeded noise.
+
+    float32 end-to-end with in-place ops: this function runs once per
+    row inside the decode-check UDF, and the float64 version's ~5
+    temporary arrays per call made the check memory-bandwidth-bound at
+    high core counts (the arrays are up to seconds x 48kHz long). Any
+    float32-vs-float64 difference is ~1e-7 relative — orders of
+    magnitude inside the 30 dB SNR gate.
+    """
     seed = clip_seed(clip_id)
     f0 = 200.0 + (seed % 1800)
     f1 = 80.0 + ((seed >> 8) % 600)
-    t = np.arange(n_samples, dtype=np.float64) / float(sr_hz)
+    t = np.arange(n_samples, dtype=np.float32)
+    t /= np.float32(sr_hz)
+    y = t * np.float32(2.0 * np.pi * f1)
+    np.sin(y, out=y)
+    y *= np.float32(0.25)
+    t *= np.float32(2.0 * np.pi * f0)
+    np.sin(t, out=t)
+    t *= np.float32(0.6)
+    t += y
     rng = np.random.default_rng(seed)
-    noise = rng.standard_normal(n_samples) * 0.01
-    x = 0.6 * np.sin(2 * np.pi * f0 * t) + 0.25 * np.sin(2 * np.pi * f1 * t) + noise
-    return x.astype(np.float32)
+    noise = rng.standard_normal(n_samples, dtype=np.float32)
+    noise *= np.float32(0.01)
+    t += noise
+    return t
 
 
 def reference_transcript(clip_id: str, n_words: int = 6) -> str:

@@ -7,9 +7,11 @@ audio payload checks -> per-partition verdicts + column stats + drift.
 
 Everything is lazy DataFrames; the caller (or the manifest runner)
 decides what to materialize. Stage order matters for cost at scale:
-hard-invalid and unknown-codec rows are diverted BEFORE the audio
-stage so no Python time is spent on undecodable rows, and the audio
-stage projects only (clip_id, codec, sr_hz, bytes) through Arrow.
+rows failing metadata hard rules (missing/unknown codec, missing id)
+are diverted BEFORE the audio stage so no Python time is spent on
+undecodable rows; the payload itself is read exactly once (scan-side
+decode; missing-payload detection happens there too) and is never
+shuffled — see run_validation's docstring.
 """
 
 from __future__ import annotations
@@ -25,6 +27,7 @@ from data_validator_spark.rules import clip_rules
 from data_validator_spark.rules.compiler import append_messages, apply_rules, split_hard
 
 ENTITY = "clip"
+_NULL_PAYLOAD_ERR = "null payload"  # codecs.decode's bytes-null CodecError text
 
 
 @dataclass(frozen=True)
@@ -110,15 +113,85 @@ def run_validation(
     baseline_hist: DataFrame | None = None,
     cfg: ValidationConfig = ValidationConfig(),
 ) -> ValidationResult:
+    """Payload-aware dataflow (the part that matters at 10^12 rows):
+
+    The `bytes` column is read in exactly ONE map-only stage — scan ->
+    hard filter -> minimal projection -> Arrow decode UDF -> small
+    result columns — fused into the file scan, so the payload is NEVER
+    shuffled. All cross-row machinery (dedup windows, winner-selection,
+    referential joins) runs on a bytes-free projection and equi-joins
+    the small audio results back on (clip_id, order_col). Before this
+    split, the payload rode through every window/join shuffle
+    (~4x full-table payload shuffles), which capped scaling.
+    """
     rules = clip_rules.all_clip_rules()
     id_cols = ["clip_id", cfg.order_col, cfg.partition_col]
     _persisted: list[DataFrame] = []
+    nonbytes = [r for r in rules if r.invalid_key != "bytes"]
 
-    # ---- tier 1: hard schema failures -> side-channel
-    ok, invalid = split_hard(clips, rules, ENTITY, id_cols)
+    audio_res = None
+    if cfg.check_audio:
+        # ---- tier 1a: non-payload hard failures -> side-channel, from
+        # a column-pruned scan that never touches `bytes`
+        _, invalid = split_hard(clips.drop("bytes"), nonbytes, ENTITY, id_cols)
+
+        # ---- scan-side decode: the ONLY read of `bytes` in the whole
+        # run — scan -> hard filter -> minimal projection -> Arrow UDF
+        # -> small result columns, fused into the file scan. Rows whose
+        # payload is NULL flow through and surface as a 'null payload'
+        # decode error, which tier 1b maps back to the bytes_missing
+        # hard rule (so no second payload scan is ever needed).
+        from data_validator_spark.rules.compiler import hard_predicate
+
+        audio_in = clips.filter(~hard_predicate(nonbytes)).select(
+            "clip_id", cfg.order_col, cfg.partition_col, "codec", "sr_hz", "bytes"
+        )
+        if cfg.decode_partitions:
+            # optional: decouple decode parallelism from file layout
+            # (shuffles the projected payload — only worth it when file
+            # splits are pathologically few/skewed)
+            audio_in = audio_in.repartition(
+                cfg.decode_partitions, "clip_id", cfg.order_col
+            )
+        audio_res = run_audio_checks(audio_in, snr_min=cfg.snr_min_db).drop(
+            "codec", "sr_hz", "bytes"
+        )
+        if cfg.persist:
+            audio_res = audio_res.persist()
+            _persisted.append(audio_res)
+
+        # ---- tier 1b: bytes_missing, recovered from the decode stage
+        # (mirrors required('bytes') from clip_hard_rules; the label and
+        # echoed value match hard_violations' output for that rule)
+        bytes_missing = audio_res.filter(
+            F.col("audio_decode_error") == _NULL_PAYLOAD_ERR
+        ).select(
+            *id_cols,
+            F.lit(ENTITY).alias("entity"),
+            F.lit("bytes_missing").alias("rule"),
+            F.lit("bytes").alias("invalid_key"),
+            F.lit("null").alias("invalid_value"),
+            F.lit("audio payload").alias("expected_value"),
+        )
+        invalid = invalid.unionByName(bytes_missing)
+
+        # bytes-free metadata branch joins the small audio results;
+        # the join is inner, and null-payload rows are dropped below
+        # with the other decode failures
+        meta = clips.drop("bytes").filter(~hard_predicate(nonbytes))
+        v = meta.join(
+            audio_res.drop(cfg.partition_col), ["clip_id", cfg.order_col], "inner"
+        )
+        v = v.filter(
+            F.col("audio_decode_error").isNull()
+            | (F.col("audio_decode_error") != _NULL_PAYLOAD_ERR)
+        )
+    else:
+        ok, invalid = split_hard(clips, rules, ENTITY, id_cols)
+        v = ok
 
     # ---- tier 2: soft/warning metadata rules (pure Column exprs)
-    v = apply_rules(ok, rules, ENTITY)
+    v = apply_rules(v, rules, ENTITY)
 
     # ---- uniqueness on clip_id (first occurrence wins, A3/A4)
     v = dedup.flag_duplicates(v, ["clip_id"], cfg.order_col)
@@ -156,42 +229,38 @@ def run_validation(
         )
         v = append_messages(v, ENTITY, mismatch).drop("_ref_transcript")
 
-    # ---- tier 3: audio payload invariant (Arrow pandas UDF stage)
+    # ---- tier 3: audio-invariant outcomes (results precomputed in the
+    # scan-side decode stage; only small columns are handled here)
     if cfg.check_audio:
-        if cfg.decode_partitions:
-            # decouple decode parallelism from file layout; deterministic
-            # keys so stage retries land identically
-            v = v.repartition(cfg.decode_partitions, "clip_id", cfg.order_col)
-        v = run_audio_checks(v, snr_min=cfg.snr_min_db)
-        v = v.drop("bytes")  # payload never leaves the decode stage
-        if cfg.persist:
-            v = v.persist()
-            _persisted.append(v)
-        # decode failure is a hard-tier outcome discovered late: divert
-        decode_invalid = (
-            v.filter(F.col("audio_decode_error").isNotNull())
-            .select(
-                *id_cols,
-                F.lit(ENTITY).alias("entity"),
-                F.lit("audio_decode_failed").alias("rule"),
-                F.lit("bytes").alias("invalid_key"),
-                F.col("audio_decode_error").alias("invalid_value"),
-                F.lit("decodable audio payload").alias("expected_value"),
-            )
+        # decode failure is a hard-tier outcome discovered late: divert.
+        # Sourced from audio_res (not v) so a decode-failed row's
+        # violation survives even though dedup/ref joins ran on v.
+        decode_invalid = audio_res.filter(
+            F.col("audio_decode_error").isNotNull()
+            & (F.col("audio_decode_error") != _NULL_PAYLOAD_ERR)
+        ).select(
+            *id_cols,
+            F.lit(ENTITY).alias("entity"),
+            F.lit("audio_decode_failed").alias("rule"),
+            F.lit("bytes").alias("invalid_key"),
+            F.col("audio_decode_error").alias("invalid_value"),
+            F.lit("decodable audio payload").alias("expected_value"),
         )
         invalid = invalid.unionByName(decode_invalid)
-        if cfg.persist:
-            # violation rows are tiny but their lineage re-scans the
-            # full input (incl. `bytes` for the required-field rule);
-            # caching them keeps every downstream action scan-free
-            invalid = invalid.persist()
-            _persisted.append(invalid)
         v = v.filter(F.col("audio_decode_error").isNull())
         v = append_messages(v, ENTITY, F.col("_snr_label")).drop("_snr_label")
         v = append_messages(
             v, ENTITY, F.col("_container_sr_label"), warning=True
         ).drop("_container_sr_label")
-    v = v.drop("bytes")  # payload never leaves the decode stage
+    v = v.drop("bytes")  # no-op when check_audio; real drop otherwise
+    if cfg.persist:
+        v = v.persist()
+        _persisted.append(v)
+        # violation rows are tiny but their lineage re-scans the full
+        # input (incl. `bytes` for the required-field rule); caching
+        # them keeps every downstream action scan-free
+        invalid = invalid.persist()
+        _persisted.append(invalid)
 
     # ---- per-partition verdicts (the reference's per-table stats
     # rollup, data_validation_pipeline.py:84-118, made per-partition)

@@ -36,8 +36,18 @@ def run_level(cores: int, rows: int, clips_dir: str, repeats: int) -> dict:
     for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS",
                 "NUMEXPR_NUM_THREADS", "VECLIB_MAXIMUM_THREADS"):
         env[var] = "1"
+    # emulate per-executor memory: a cluster of 4N executors brings 4x
+    # the heap of N executors, so the local[4N] JVM gets 4x the heap of
+    # local[N] (1 GiB per core, like a real executor sizing); a fixed
+    # shared heap would bottleneck the 4N level on GC, which no real
+    # cluster experiences
+    env["SPARK_DRIVER_MEM"] = f"{max(8, cores)}g"
+    # pin the WHOLE process tree (JVM + python workers) to `cores`
+    # physical cores: unpinned local[N] offloads GC/serialization onto
+    # the idle cores of the box — capacity an N-core executor cluster
+    # does not have — which overstates the N-level throughput
     out = subprocess.run(
-        [sys.executable, "bench.py", "--clips-only",
+        ["taskset", "-c", f"0-{cores - 1}", sys.executable, "bench.py", "--clips-only",
          "--cores", str(cores), "--rows", str(rows),
          "--repeats", str(repeats), "--clips-dir", clips_dir],
         cwd=REPO, env=env, capture_output=True, text=True, check=True,
@@ -51,33 +61,42 @@ def run_level(cores: int, rows: int, clips_dir: str, repeats: int) -> dict:
 
 
 def materialize(rows: int, max_synth_ms: int, out_dir: str) -> None:
+    # 32 concurrent writers buffer a parquet row group of `bytes` rows
+    # each — needs a roomy heap and small row groups or the write OOMs
     code = (
         "import bench; s = bench.build(32); "
+        "s.sparkContext._jsc.hadoopConfiguration()"
+        ".setInt('parquet.block.size', 16 * 1024 * 1024); "
         f"bench.materialize_clips(s, {rows}, {max_synth_ms}, {out_dir!r}); "
         "s.stop()"
     )
+    env = dict(os.environ, SPARK_DRIVER_MEM="24g")
     subprocess.run([sys.executable, "-c", code], cwd=REPO, check=True,
-                   stdout=subprocess.DEVNULL)
+                   env=env, stdout=subprocess.DEVNULL)
 
 
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--rows", type=int, default=250000)
-    ap.add_argument("--max-synth-ms", type=int, default=800)
+    ap.add_argument("--max-synth-ms", type=int, default=2000)
     ap.add_argument("--repeats", type=int, default=3)
-    ap.add_argument("--n", type=int, default=8)
-    ap.add_argument("--n4", type=int, default=32)
+    ap.add_argument("--n", type=int, default=2)
+    ap.add_argument("--n4", type=int, default=8)
+    ap.add_argument("--clips-dir", default=None,
+                    help="reuse an existing fixture dir (skips materialize + cleanup)")
     args = ap.parse_args()
 
-    tmp = tempfile.mkdtemp(prefix="scaling_clips_")
+    tmp = args.clips_dir or tempfile.mkdtemp(prefix="scaling_clips_")
     try:
-        print(f"materializing {args.rows} clips once -> {tmp}", file=sys.stderr)
-        materialize(args.rows, args.max_synth_ms, tmp)
+        if not args.clips_dir:
+            print(f"materializing {args.rows} clips once -> {tmp}", file=sys.stderr)
+            materialize(args.rows, args.max_synth_ms, tmp)
 
         lo = run_level(args.n, args.rows, tmp, args.repeats)
         hi = run_level(args.n4, args.rows, tmp, args.repeats)
     finally:
-        shutil.rmtree(tmp, ignore_errors=True)
+        if not args.clips_dir:
+            shutil.rmtree(tmp, ignore_errors=True)
 
     t_n, t_4n = lo["clips_per_sec"], hi["clips_per_sec"]
     eff = t_4n / (4.0 * t_n)
@@ -101,7 +120,9 @@ clip_id uniqueness dedup, transcript winner-selection + referential +
 equality joins, audio decode + PCM SNR>=30dB vs reference, per-
 partition verdicts, column stats/histograms), identical
 pre-materialized parquet input at both parallelism levels, numpy/BLAS
-pinned to 1 thread, best of {args.repeats} runs.
+pinned to 1 thread, each level's WHOLE process tree pinned with
+taskset to exactly its core budget (+per-core executor heap), best of
+{args.repeats} runs.
 
 | parallelism | rows | wall sec | clips/sec |
 |---|---|---|---|
