@@ -48,38 +48,71 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.8,
 ) -> DataFrame:
-    """Exact Jaccard over word n-gram sets via inverted-index self-join:
-    explode shingles -> join on shingle -> |A∩B| -> J = i/(|A|+|B|-i).
+    """Exact Jaccard >= threshold pairs via PREFIX-FILTERED self-join
+    (AllPairs/PPJoin family) — same answers as the naive inverted-index
+    join, a fraction of its candidate pairs:
 
-    Output (id_a, id_b, jaccard) with id_a < id_b, J >= threshold.
-    Cost is sum over shingles of df^2 (inverted-index join), not n^2 —
-    suitable as the verify stage after LSH candidate generation, or
-    standalone at moderate scale.
+      1. global rare-first token order (by document frequency, then
+         token) — the AllPairs lemma: if |A∩B| >= a, the first
+         |A|-a+1 / |B|-a+1 tokens of A and B under ANY shared total
+         order must intersect; J >= t implies a >= ceil(t*max(|A|,|B|)),
+         so prefixes of length |x| - ceil(t*|x|) + 1 are sound.
+      2. candidates = prefix-token inverted-index join + size filter
+         (t*|A| <= |B| <= |A|/t).
+      3. exact verification on the full gram arrays
+         (array_intersect), so the threshold is exact, not estimated.
+
+    Output (id_a, id_b, jaccard) with id_a < id_b. The only wide
+    shuffle is the prefix join, whose key is the RAREST tokens —
+    bucket sizes shrink exactly where the naive join's explode (every
+    stopword shingle) blows up.
     """
+    t = float(threshold)
     grams = df.select(
         F.col(id_col).alias("_id"),
         F.array_distinct(word_ngrams(F.col(text_col), n)).alias("_grams"),
-    ).withColumn("_sz", F.size("_grams"))
-    exploded = grams.select("_id", "_sz", F.explode("_grams").alias("_g"))
-    a = exploded.select(
-        F.col("_id").alias("id_a"), F.col("_sz").alias("sz_a"), "_g"
+    ).filter(F.size("_grams") > 0)
+    ex = grams.select("_id", F.size("_grams").alias("_sz"), F.explode("_grams").alias("_g"))
+    dfreq = ex.groupBy("_g").agg(F.count(F.lit(1)).alias("_df"))
+    ranked = ex.join(dfreq, "_g")
+    w = Window.partitionBy("_id").orderBy("_df", "_g")
+    # round before ceil: 0.8*100 floats to 80.0000...01 -> ceil 81
+    prefix_len = F.col("_sz") - F.ceil(F.round(F.lit(t) * F.col("_sz"), 9)) + 1
+    prefix = ranked.withColumn("_pos", F.row_number().over(w)).filter(
+        F.col("_pos") <= prefix_len
     )
-    b = exploded.select(
-        F.col("_id").alias("id_b"), F.col("_sz").alias("sz_b"), "_g"
-    )
-    pairs = (
+    a = prefix.select(F.col("_id").alias("id_a"), F.col("_sz").alias("sz_a"), "_g")
+    b = prefix.select(F.col("_id").alias("id_b"), F.col("_sz").alias("sz_b"), "_g")
+    cand = (
         a.join(b, "_g")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b", "sz_a", "sz_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (
+                F.greatest("sz_a", "sz_b") * t
+                <= F.least("sz_a", "sz_b") + F.lit(1e-9)
+            )
+        )
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
     )
-    jac = pairs.withColumn(
-        "jaccard",
-        F.round(
-            F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6
-        ),
+    ga = grams.select(F.col("_id").alias("id_a"), F.col("_grams").alias("_ga"))
+    gb = grams.select(F.col("_id").alias("id_b"), F.col("_grams").alias("_gb"))
+    verified = (
+        cand.join(ga, "id_a")
+        .join(gb, "id_b")
+        .withColumn("inter", F.size(F.array_intersect("_ga", "_gb")))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter")
+                / (F.size("_ga") + F.size("_gb") - F.col("inter")),
+                6,
+            ),
+        )
     )
-    return jac.filter(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")
+    return verified.filter(F.col("jaccard") >= threshold).select(
+        "id_a", "id_b", "jaccard"
+    )
 
 
 # ------------------------------------------------------------------ MinHash + LSH

@@ -1,0 +1,90 @@
+"""Physical-plan assertions: the optimizations the engine's scale
+story depends on must be visible in the executed plan, not assumed.
+
+  - metadata-only stages never read the `bytes` payload column
+    (parquet column pruning / ReadSchema)
+  - partition-pruning predicates reach the scan (PushedFilters /
+    partition filters)
+  - the payload column never appears downstream of an Exchange
+    (shuffle) in the validation plan
+  - small dimension joins broadcast
+"""
+
+from __future__ import annotations
+
+import re
+
+import pyspark.sql.functions as F
+
+from data_validator_spark.plans.validation import ValidationConfig, run_validation
+from data_validator_spark.operators import stats
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _scans(plan: str) -> list[str]:
+    return [l for l in plan.splitlines() if "FileScan" in l or "Scan parquet" in l]
+
+
+def test_stats_profile_prunes_payload(spark, clips):
+    """The column profile must not read `bytes` — its ReadSchema is the
+    small columns only."""
+    df = stats.profile(
+        clips.drop("bytes"), [stats.ColumnSpec("dur_ms", "numeric", 0, 10_000, 10)]
+    )
+    plan = _plan(df)
+    scans = _scans(plan)
+    assert scans, plan
+    assert all("bytes" not in s for s in scans), scans
+
+
+def test_validation_payload_never_shuffled(spark, clips, transcripts_ref):
+    """In the full validation plan, `bytes` may appear in scans (the
+    decode stage reads it) but never in any Exchange's output schema —
+    the payload must not ride a shuffle."""
+    res = run_validation(clips, transcripts_ref, cfg=ValidationConfig())
+    plan = _plan(res.validated)
+    # walk plan lines; Exchange nodes list their output schema inline
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "bytes" not in line, f"payload in shuffle: {line}"
+
+
+def test_validation_reads_payload_once(spark, clips, transcripts_ref):
+    """Exactly one scan in the validated-side plan includes `bytes` in
+    its ReadSchema (the scan feeding the decode UDF)."""
+    res = run_validation(clips, transcripts_ref, cfg=ValidationConfig())
+    scans = _scans(_plan(res.validated))
+    with_bytes = [s for s in scans if re.search(r"bytes", s)]
+    assert len(with_bytes) == 1, scans
+
+
+def test_partition_filter_pushed(spark, fixture_paths):
+    """A partition-aligned predicate (the manifest's pruning predicate)
+    must show up as a partition filter on the scan, not a post-scan
+    Filter."""
+    clips = spark.read.parquet(fixture_paths["clips"])
+    df = clips.filter(F.col("ingest_date") == "2026-01-01").select("clip_id")
+    plan = _plan(df)
+    assert "PartitionFilters" in plan and "ingest_date" in plan.split(
+        "PartitionFilters"
+    )[1].split("]")[0], plan
+
+
+def test_predicate_pushdown_to_parquet(spark, fixture_paths):
+    clips = spark.read.parquet(fixture_paths["clips"])
+    df = clips.filter(F.col("sr_hz") == 16000).select("clip_id")
+    plan = _plan(df)
+    pushed = plan.split("PushedFilters")[1].split("]")[0] if "PushedFilters" in plan else ""
+    assert "sr_hz" in pushed, plan
+
+
+def test_small_dim_join_broadcasts(spark, clips, transcripts_ref):
+    """The transcript-winner join side is dim-sized here; Spark should
+    pick a broadcast join somewhere in the validated plan (AQE or
+    static) rather than shuffling the fact side for every ref join."""
+    res = run_validation(clips, transcripts_ref, cfg=ValidationConfig())
+    plan = _plan(res.validated)
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
