@@ -435,7 +435,9 @@ def q24_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     """N-gram Jaccard near-duplicate pairs (exact, inverted index)."""
     from data_validator_spark.operators.text_dedup import ngram_jaccard_pairs
 
-    d = _t(spark, sf, "documents")
+    # shingling is CPU-heavy; small single-file inputs must not cap
+    # its parallelism at the file-split count
+    d = _t(spark, sf, "documents").repartition(32)
     pairs = ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.8)
     return pairs.orderBy("id_a", "id_b")
 
@@ -722,7 +724,7 @@ def q37_type_dispatch(spark: SparkSession, sf: str) -> DataFrame:
 def q40_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     from data_validator_spark.operators.text_dedup import minhash_lsh_candidates
 
-    d = _t(spark, sf, "documents")
+    d = _t(spark, sf, "documents").repartition(32)
     return minhash_lsh_candidates(d, "doc_id", "text", n_hashes=32, bands=8).orderBy(
         "id_a", "id_b"
     )
@@ -731,7 +733,7 @@ def q40_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
 def q41_simhash(spark: SparkSession, sf: str) -> DataFrame:
     from data_validator_spark.operators.text_dedup import simhash_candidates
 
-    d = _t(spark, sf, "documents")
+    d = _t(spark, sf, "documents").repartition(32)
     return simhash_candidates(d, "doc_id", "text", max_hamming=8).orderBy("id_a", "id_b")
 
 

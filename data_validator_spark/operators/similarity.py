@@ -83,19 +83,32 @@ def hyperplane_signature(vec: Column, dim: int, n_planes: int = 16) -> Column:
     Plane p component j = (xxhash64(p*dim+j) / 2^63) in [-1, 1) —
     deterministic across executors, no stored plane matrix. Packed into
     a long bitmask.
+
+    Built as array folds (transform/zip_with/aggregate) rather than an
+    unrolled dim x n_planes expression tree: the unrolled form (512+
+    nodes) blew past codegen limits and evaluated interpreted.
     """
-    sig = F.lit(0).cast("long")
-    for p in range(n_planes):
-        comps = [
-            (F.xxhash64(F.lit(p * dim + j)) / F.lit(float(2**63))).cast("double")
-            for j in range(dim)
-        ]
-        dot = None
-        for j, comp in enumerate(comps):
-            term = F.element_at(vec, j + 1).cast("double") * comp
-            dot = term if dot is None else dot + term
-        sig = sig + F.when(dot > 0, F.lit(2**p).cast("long")).otherwise(F.lit(0).cast("long"))
-    return sig
+
+    def plane_dot(p: Column) -> Column:
+        comps = F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda j: (F.xxhash64((p * dim + j).cast("int")) / F.lit(float(2**63))),
+        )
+        return F.aggregate(
+            F.zip_with(vec, comps, lambda x, y: x.cast("double") * y),
+            F.lit(0.0).cast("double"),
+            lambda acc, v: acc + v,
+        )
+
+    bits = F.transform(
+        F.sequence(F.lit(0), F.lit(n_planes - 1)),
+        lambda p: F.when(
+            plane_dot(p) > 0, F.pow(F.lit(2.0), p).cast("long")
+        ).otherwise(F.lit(0).cast("long")),
+    )
+    return F.aggregate(
+        bits, F.lit(0).cast("long"), lambda acc, b: acc.bitwiseOR(b)
+    )
 
 
 def lsh_topk(

@@ -116,15 +116,28 @@ def fingerprint(c: Column) -> Column:
 
 
 def word_ngrams(c: Column, n: int = 3) -> Column:
-    """Array of word n-grams (shingles) from normalized text."""
-    toks = F.split(normalized_text(c), " ")
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1)))
-    return F.when(
-        F.size(toks) >= n,
-        F.transform(
-            idx,
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(toks, i + j + 1) for j in range(n)]
+    """Array of word n-grams (shingles) from normalized text.
+
+    The token array is bound ONCE via a single-element transform
+    lambda: referencing the split() expression directly inside the
+    per-gram lambda would re-inline (and re-execute) the whole
+    normalize+split subtree for every element_at — measured ~8x
+    slower on 300-char documents.
+    """
+
+    def build(toks: Column) -> Column:
+        idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1)))
+        return F.when(
+            F.size(toks) >= n,
+            F.transform(
+                idx,
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(toks, i + j + 1) for j in range(n)]
+                ),
             ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+        ).otherwise(F.array().cast("array<string>"))
+
+    bound = F.transform(
+        F.array(F.split(normalized_text(c), " ")), lambda toks: build(toks)
+    )
+    return F.element_at(bound, 1)
