@@ -808,6 +808,26 @@ def q46_multimodal_meta(spark: SparkSession, sf: str) -> DataFrame:
     return magg.crossJoin(fagg)
 
 
+def q47_pseudonymize(spark: SparkSession, sf: str) -> DataFrame:
+    """Hash family: blake2b length-preserving pseudonymizer
+    (utils.py:580-627) — deterministic, so rows-only check is stable."""
+    from data_validator_spark.functions.scalars import pseudonymize
+
+    c = _t(spark, sf, "customer")
+    p = pseudonymize(F.col("c_name"), salt="bench")
+    return (
+        c.withColumn("pseud", p)
+        .select(
+            "c_custkey",
+            F.length("pseud").alias("pseud_len"),
+            F.length("c_name").alias("name_len"),
+            F.substring("pseud", 1, 8).alias("pseud_prefix"),
+        )
+        .filter(F.col("c_custkey") <= 20)
+        .orderBy("c_custkey")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -854,6 +874,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q44_profile_hll": q44_profile_hll,
         "q45_clips_flagship": q45_clips_flagship,
         "q46_multimodal_meta": q46_multimodal_meta,
+        "q47_pseudonymize": q47_pseudonymize,
     }
 
 

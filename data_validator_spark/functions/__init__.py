@@ -3,5 +3,6 @@ from data_validator_spark.functions.scalars import (  # noqa: F401
     coerce_bool,
     nan_normalize,
     normalize_language,
+    pseudonymize,
     rename_snake,
 )

@@ -7,6 +7,7 @@ from __future__ import annotations
 
 import re
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -88,3 +89,33 @@ def rename_snake(df: DataFrame) -> DataFrame:
     """One-time ingest projection renaming every column to snake_case
     (the P1 rename-projection, utils.py:321-348)."""
     return df.toDF(*[camel_to_snake(c) for c in df.columns])
+
+
+def pseudonymize(c: Column, salt: str = "") -> Column:
+    """Length-preserving pseudonym: blake2b(value+salt) -> base32,
+    truncated/cycled to the input's length — the reference's
+    pseudonymizer semantics (utils.py:580-627: blake2b digest, base32,
+    length preserved, deterministic per value). Vectorized pandas UDF
+    (hashlib releases the GIL per call; Arrow batches amortize)."""
+    import base64
+    import hashlib
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _p(s: pd.Series) -> pd.Series:
+        def one(v):
+            if v is None:
+                return None
+            d = hashlib.blake2b((v + salt).encode("utf-8"), digest_size=20).digest()
+            enc = base64.b32encode(d).decode("ascii").rstrip("=").lower()
+            n = len(v)
+            if n == 0:
+                return ""
+            if len(enc) < n:
+                enc = enc * (n // len(enc) + 1)
+            return enc[:n]
+
+        return s.map(one)
+
+    return _p(c.cast("string"))

@@ -164,3 +164,28 @@ def test_multimodal_sniff_and_stub(spark, clips):
     assert all(r.features is None or len(r.features) == 8 for r in rows)
     with pytest.raises(NotImplementedError):
         multimodal.decode_image_features(clips, fake=False)
+
+
+def test_pseudonymize_length_preserving_deterministic(spark):
+    import pandas as pd
+    import pyspark.sql.functions as F
+
+    from data_validator_spark.functions.scalars import pseudonymize
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"v": ["Customer#001", "x", "", None, "Customer#001"]})
+    )
+    out = df.select("v", pseudonymize(F.col("v"), salt="s").alias("p")).collect()
+    by_v = {}
+    for r in out:
+        if r.v is None:
+            assert r.p is None
+        else:
+            assert len(r.p) == len(r.v)
+            by_v.setdefault(r.v, set()).add(r.p)
+    # deterministic: same value -> same pseudonym; and it differs from input
+    assert all(len(ps) == 1 for ps in by_v.values())
+    assert by_v["Customer#001"] != {"Customer#001"}
+    # salt changes the mapping
+    out2 = df.select(pseudonymize(F.col("v"), salt="other").alias("p")).collect()
+    assert out2[0].p != out[0].p
