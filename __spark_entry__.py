@@ -808,6 +808,52 @@ def q46_multimodal_meta(spark: SparkSession, sf: str) -> DataFrame:
     return magg.crossJoin(fagg)
 
 
+def q38_salted_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """Skew path: two-phase salted aggregation (operators/skew.py) —
+    must produce EXACTLY the same numbers as a plain groupBy, which is
+    what the oracle computes."""
+    from data_validator_spark.operators.skew import salted_agg
+
+    li = _t(spark, sf, "lineitem")
+    out = salted_agg(
+        li,
+        keys=["l_returnflag"],
+        aggs={
+            "n": ("count", "l_orderkey"),
+            "sum_qty": ("sum", "l_quantity"),
+            "avg_price": ("avg", "l_extendedprice"),
+            "max_disc": ("max", "l_discount"),
+        },
+        n_salt=16,
+        salt_source=["l_orderkey", "l_linenumber"],
+    )
+    return out.select(
+        "l_returnflag",
+        F.col("n").cast("long").alias("n"),
+        F.round("sum_qty", 2).alias("sum_qty"),
+        F.round("avg_price", 4).alias("avg_price"),
+        F.round("max_disc", 4).alias("max_disc"),
+    ).orderBy("l_returnflag")
+
+
+def q39_drift_verdicts(spark: SparkSession, sf: str) -> DataFrame:
+    """Drift verdict thresholds (pass/warn/fail bands) on top of the
+    q28 PSI/KS arithmetic (operators/drift.py drift_verdicts)."""
+    from data_validator_spark.operators import drift, stats
+
+    li = _t(spark, sf, "lineitem")
+    spec = [stats.ColumnSpec("l_extendedprice", "numeric", 0.0, 120_000.0, 24)]
+    base = stats.histogram(li.filter(F.year("l_shipdate") <= 1997), spec)
+    cur = stats.histogram(li.filter(F.year("l_shipdate") >= 1998), spec)
+    v = drift.drift_verdicts(base, cur, psi_warn=0.001, psi_fail=0.25, ks_fail=0.2)
+    return v.select(
+        "column_name",
+        F.round("psi", 6).alias("psi"),
+        F.round("ks", 6).alias("ks"),
+        "drift_status",
+    )
+
+
 def q47_pseudonymize(spark: SparkSession, sf: str) -> DataFrame:
     """Hash family: blake2b length-preserving pseudonymizer
     (utils.py:580-627) — deterministic, so rows-only check is stable."""
@@ -867,6 +913,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q35_nan_normalize": q35_nan_normalize,
         "q36_union_missing_cols": q36_union_missing_cols,
         "q37_type_dispatch": q37_type_dispatch,
+        "q38_salted_agg": q38_salted_agg,
+        "q39_drift_verdicts": q39_drift_verdicts,
         "q40_minhash_lsh": q40_minhash_lsh,
         "q41_simhash": q41_simhash,
         "q42_lsh_topk": q42_lsh_topk,
@@ -1253,6 +1301,43 @@ _ORACLES: dict[str, str] = {
             ELSE 'unknown' END AS schema_class
           FROM d)
         SELECT schema_class, count(*)::BIGINT AS n FROM c GROUP BY 1 ORDER BY 1
+    """,
+    "q38_salted_agg": """
+        SELECT l_returnflag, count(l_orderkey)::BIGINT AS n,
+               round(sum(l_quantity), 2) AS sum_qty,
+               round(avg(l_extendedprice), 4) AS avg_price,
+               round(max(l_discount), 4) AS max_disc
+        FROM lineitem GROUP BY 1 ORDER BY 1
+    """,
+    "q39_drift_verdicts": """
+        WITH base AS (
+          SELECT greatest(-1, least(floor(l_extendedprice / 5000.0), 24)) AS bucket,
+                 count(*) AS cnt
+          FROM lineitem WHERE year(l_shipdate) <= 1997 GROUP BY 1),
+        cur AS (
+          SELECT greatest(-1, least(floor(l_extendedprice / 5000.0), 24)) AS bucket,
+                 count(*) AS cnt
+          FROM lineitem WHERE year(l_shipdate) >= 1998 GROUP BY 1),
+        bt AS (SELECT bucket, cnt::DOUBLE / sum(cnt) OVER () AS p_base FROM base),
+        ct AS (SELECT bucket, cnt::DOUBLE / sum(cnt) OVER () AS p_cur FROM cur),
+        j AS (
+          SELECT coalesce(bt.bucket, ct.bucket) AS bucket,
+                 coalesce(p_base, 0.0) AS pb, coalesce(p_cur, 0.0) AS pc
+          FROM bt FULL OUTER JOIN ct ON bt.bucket = ct.bucket),
+        terms AS (
+          SELECT bucket, pb, pc,
+                 (pc + 1e-6 - (pb + 1e-6)) * ln((pc + 1e-6) / (pb + 1e-6)) AS psi_term,
+                 abs(sum(pc) OVER (ORDER BY bucket) -
+                     sum(pb) OVER (ORDER BY bucket)) AS cdf_gap
+          FROM j),
+        m AS (
+          SELECT 'l_extendedprice' AS column_name,
+                 sum(psi_term) AS psi_raw, max(cdf_gap) AS ks_raw
+          FROM terms)
+        SELECT column_name, round(psi_raw, 6) AS psi, round(ks_raw, 6) AS ks,
+               CASE WHEN psi_raw >= 0.25 OR ks_raw >= 0.2 THEN 'fail'
+                    WHEN psi_raw >= 0.001 THEN 'warn' ELSE 'pass' END AS drift_status
+        FROM m
     """,
     "q30_bool_coercion": """
         WITH raw AS (
