@@ -150,7 +150,6 @@ def minhash_lsh_candidates(
         F.array_distinct(word_ngrams(F.col(text_col), n)).alias("_grams"),
     ).filter(F.size("_grams") > 0)
     sig = grams.select("_id", minhash_signature(F.col("_grams"), n_hashes).alias("_sig"))
-    sig = sig.persist()
     band_structs = F.array(
         *[
             F.struct(
