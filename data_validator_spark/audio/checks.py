@@ -8,9 +8,10 @@ Python UDFs — SURVEY.md §2.11) with a minimal input projection:
 (labels, tiers, message appends) is Column expressions.
 
 Scale notes:
-  - Arrow batch size is capped session-wide (session.py sets
-    spark.sql.execution.arrow.maxRecordsPerBatch=2048) so a batch of
-    `bytes` payloads fits executor memory.
+  - Arrow batch size is capped session-wide (session.py caps both
+    spark.sql.execution.arrow.maxRecordsPerBatch and the parquet
+    columnar reader batch at 512 rows) so a batch of `bytes` payloads
+    fits executor memory.
   - decode parallelism is decoupled from file layout: callers
     repartition before this stage (plans/validation.py uses a
     deterministic repartition so task retries are stable).
@@ -84,6 +85,11 @@ def audio_check_udf(
 def run_audio_checks(clips: DataFrame, snr_min: float = SNR_MIN_DB) -> DataFrame:
     """Append audio-check outcome columns:
 
+      audio_bytes_null     boolean (structured null-payload flag —
+                           computed JVM-side, NOT parsed from the
+                           decode error text, so rewording CodecError
+                           messages can never reclassify missing
+                           payloads)
       audio_decode_error   string  (hard-tier material)
       audio_snr_db         double
       _snr_label           `audio_snr_below_30db(x.x)` or NULL (soft)
@@ -97,7 +103,9 @@ def run_audio_checks(clips: DataFrame, snr_min: float = SNR_MIN_DB) -> DataFrame
             F.col("clip_id"), F.col("codec"), F.col("sr_hz"), F.col("bytes")
         )
     )
-    out = clips.withColumn("_audio", res)
+    out = clips.withColumn("audio_bytes_null", F.col("bytes").isNull()).withColumn(
+        "_audio", res
+    )
     snr_name = f"audio_snr_below_{int(snr_min)}db"
     return (
         out.withColumn("audio_decode_error", F.col("_audio.decode_error"))

@@ -93,10 +93,17 @@ def rename_snake(df: DataFrame) -> DataFrame:
 
 def pseudonymize(c: Column, salt: str = "") -> Column:
     """Length-preserving pseudonym: blake2b(value+salt) -> base32,
-    truncated/cycled to the input's length — the reference's
-    pseudonymizer semantics (utils.py:580-627: blake2b digest, base32,
-    length preserved, deterministic per value). Vectorized pandas UDF
-    (hashlib releases the GIL per call; Arrow batches amortize)."""
+    truncated/cycled to the input's length.
+
+    Same construction family as the reference's pseudonymizer
+    (utils.py:580-627: blake2b digest -> base32, deterministic per
+    value) but a deliberately STRICTER length-preserving variant, not
+    reference-compatible output: the reference uses digest_size=24,
+    uppercase base32 and max(16, len) truncation (so short inputs grow
+    to 16 chars); this uses digest_size=20, lowercase, exact length
+    preservation with cycling for long inputs, and '' -> ''.
+    Vectorized pandas UDF (hashlib releases the GIL per call; Arrow
+    batches amortize)."""
     import base64
     import hashlib
 

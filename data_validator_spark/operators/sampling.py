@@ -60,6 +60,48 @@ def stratified_quota_sample(
     return ranked.filter(quota_expr).drop("_rn")
 
 
+def dependent_quota_sample(
+    children: DataFrame,
+    parents: DataFrame,
+    child_strata_col: str,
+    child_quotas: Mapping[str, int],
+    child_key_cols: Sequence[str],
+    link_col: str,
+    parent_key_col: str,
+    parent_strata_col: str,
+    parent_quotas: Mapping[str, int],
+    parent_key_cols: Sequence[str],
+) -> tuple[DataFrame, DataFrame]:
+    """R2's DEPENDENT second stratum (firestore_services.py:680-769):
+    the reference's 40/40/20 sample picks students by quota first, then
+    samples parents only among the parents OF THE PICKED students
+    (join at :727-747) — the parent stratum's population depends on the
+    child draw, it is not an independent quota over all parents.
+
+    Spark-side: child quota sample (deterministic md5 ranking), then a
+    left-semi join restricting parents to those referenced by picked
+    children (children.link_col -> parents.parent_key_col), then the
+    parent quota over that restricted population with the same
+    hash-deterministic ranking. Under-full strata yield what they have
+    (the reference logs, does not refill — VALIDATION_RULES.md:80-92).
+
+    Returns (sampled_children, sampled_parents). Both samples are
+    reproducible across engines (md5 ranking, no rand()), so a DuckDB
+    oracle can replay the full dependency chain.
+    """
+    kids = stratified_quota_sample(
+        children, child_strata_col, child_quotas, child_key_cols
+    )
+    picked_refs = kids.select(
+        F.col(link_col).alias(parent_key_col)
+    ).dropDuplicates([parent_key_col])
+    eligible = parents.join(picked_refs, parent_key_col, "left_semi")
+    pars = stratified_quota_sample(
+        eligible, parent_strata_col, parent_quotas, parent_key_cols
+    )
+    return kids, pars
+
+
 def recent_n_per_group(
     df: DataFrame, group_col: str, ts_col: str, n: int
 ) -> DataFrame:

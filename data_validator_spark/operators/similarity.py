@@ -4,14 +4,22 @@ Two paths:
   brute-force cosine top-k  — the exactness baseline: broadcast the
     (small) query set, JVM-side dot products via F.zip_with/aggregate,
     window top-k. One pass over the corpus, no O(n^2) shuffle.
-  LSH-bucketed ANN          — the scale path: random-hyperplane
-    signatures from deterministic xxhash64 streams bucket the corpus;
-    only same-bucket pairs are scored. Bucket count trades recall for
-    cost; probing multiple bands restores recall.
+  LSH-bucketed ANN          — the scale path: MULTI-BAND random-
+    hyperplane signatures bucket the corpus; only pairs sharing a
+    bucket in at least one band are scored. n_planes controls bucket
+    selectivity, n_bands restores recall (union of band candidates),
+    exactly like minhash LSH banding in operators/text_dedup.
+
+The hyperplane matrices are materialized ONCE as constant-folded
+literal array<array<double>> columns (numpy RandomState(seed), so
+deterministic across executors and runs). The earlier form derived
+each plane component from xxhash64(p*dim+j) per row — re-evaluating
+dim x n_planes hash expressions for every row.
 """
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -77,37 +85,60 @@ def brute_force_topk(
     )
 
 
-def hyperplane_signature(vec: Column, dim: int, n_planes: int = 16) -> Column:
-    """Sign pattern of dot products against pseudo-random hyperplanes.
+def _planes_literal(dim: int, n_planes: int, seed: int) -> Column:
+    """n_planes x dim standard-normal hyperplanes as a literal
+    array<array<double>> — constant-folded by Catalyst into a single
+    Literal, so it is NOT re-evaluated per row (numpy MT19937 stream:
+    deterministic across platforms/executors/runs)."""
+    rng = np.random.RandomState(seed)
+    planes = rng.standard_normal((n_planes, dim))
+    return F.array(
+        *[F.array(*[F.lit(float(v)) for v in row]) for row in planes]
+    )
 
-    Plane p component j = (xxhash64(p*dim+j) / 2^63) in [-1, 1) —
-    deterministic across executors, no stored plane matrix. Packed into
-    a long bitmask.
 
-    Built as array folds (transform/zip_with/aggregate) rather than an
-    unrolled dim x n_planes expression tree: the unrolled form (512+
-    nodes) blew past codegen limits and evaluated interpreted.
-    """
-
-    def plane_dot(p: Column) -> Column:
-        comps = F.transform(
-            F.sequence(F.lit(0), F.lit(dim - 1)),
-            lambda j: (F.xxhash64((p * dim + j).cast("int")) / F.lit(float(2**63))),
-        )
-        return F.aggregate(
-            F.zip_with(vec, comps, lambda x, y: x.cast("double") * y),
+def hyperplane_signature(
+    vec: Column, dim: int, n_planes: int = 16, seed: int = 0
+) -> Column:
+    """Sign pattern of dot products against n_planes fixed random
+    hyperplanes, packed into a long bitmask. Array folds only
+    (transform/zip_with/aggregate) so the expression stays inside
+    whole-stage codegen; the plane matrix is a folded constant."""
+    if n_planes > 62:
+        raise ValueError("n_planes must be <= 62 to pack into a long")
+    planes = _planes_literal(dim, n_planes, seed)
+    powers = F.array(*[F.lit(1 << p).cast("long") for p in range(n_planes)])
+    dots = F.transform(
+        planes,
+        lambda plane: F.aggregate(
+            F.zip_with(vec, plane, lambda x, y: x.cast("double") * y),
             F.lit(0.0).cast("double"),
             lambda acc, v: acc + v,
-        )
-
-    bits = F.transform(
-        F.sequence(F.lit(0), F.lit(n_planes - 1)),
-        lambda p: F.when(
-            plane_dot(p) > 0, F.pow(F.lit(2.0), p).cast("long")
-        ).otherwise(F.lit(0).cast("long")),
+        ),
     )
     return F.aggregate(
-        bits, F.lit(0).cast("long"), lambda acc, b: acc.bitwiseOR(b)
+        F.zip_with(
+            dots,
+            powers,
+            lambda d, pw: F.when(d > 0, pw).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, b: acc.bitwiseOR(b),
+    )
+
+
+def _band_structs(vec: Column, dim: int, n_planes: int, n_bands: int) -> Column:
+    """Array of (band, bucket) structs — band b uses an independent
+    plane matrix (seed=b), so exploding this column yields the
+    multi-probe banding used by lsh_topk / embedding_near_dups."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                hyperplane_signature(vec, dim, n_planes, seed=b).alias("bucket"),
+            )
+            for b in range(n_bands)
+        ]
     )
 
 
@@ -119,29 +150,50 @@ def lsh_topk(
     dim: int = 0,
     k: int = 5,
     n_planes: int = 12,
+    n_bands: int = 4,
 ) -> DataFrame:
-    """Approximate top-k: score only corpus vectors sharing the query's
-    hyperplane bucket. dim must be the embedding length (static).
+    """Approximate top-k: score only corpus vectors sharing the
+    query's hyperplane bucket in AT LEAST ONE of n_bands independent
+    bands. dim must be the embedding length (static).
 
-    -> (query_id, neighbor_id, cos_sim, rank) — a recall-controlled
-    subset of brute_force_topk's answer.
+    Plan shape: the query side (small) is banded and broadcast, so the
+    band join is a map-side BroadcastHashJoin — the corpus is scanned
+    once and never shuffled by the join. Scoring happens before the
+    pair dedup, so the dedup shuffle carries only
+    (query_id, neighbor_id, cos_sim).
+
+    -> (query_id, neighbor_id, cos_sim, rank) — recall grows with
+    n_bands (union of band candidates); see tests for measured recall
+    vs brute_force_topk.
     """
     if dim <= 0:
         raise ValueError("dim (embedding length) is required")
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("_cv"),
-        hyperplane_signature(F.col(vec_col), dim, n_planes).alias("_bucket"),
+    c = (
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("_cv"),
+            F.explode(
+                _band_structs(F.col(vec_col), dim, n_planes, n_bands)
+            ).alias("bb"),
+        )
+        .select("neighbor_id", "_cv", "bb.band", "bb.bucket")
     )
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("_qv"),
-        hyperplane_signature(F.col(vec_col), dim, n_planes).alias("_bucket"),
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("_qv"),
+            F.explode(
+                _band_structs(F.col(vec_col), dim, n_planes, n_bands)
+            ).alias("bb"),
+        )
+        .select("query_id", "_qv", "bb.band", "bb.bucket")
     )
     scored = (
-        c.join(F.broadcast(q), "_bucket")
+        c.join(F.broadcast(q), ["band", "bucket"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn("cos_sim", F.round(cosine(F.col("_cv"), F.col("_qv")), 6))
+        .select("query_id", "neighbor_id", "cos_sim")
+        .dropDuplicates(["query_id", "neighbor_id"])
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()
@@ -160,22 +212,38 @@ def embedding_near_dups(
     dim: int = 0,
     threshold: float = 0.95,
     n_planes: int = 10,
+    n_bands: int = 4,
+    bucket_cap: int = 4096,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs via bucketed self-join:
-    (id_a, id_b, cos_sim >= threshold), id_a < id_b."""
+    """Embedding-cosine near-duplicate pairs via multi-band bucketed
+    self-join: (id_a, id_b, cos_sim >= threshold), id_a < id_b.
+
+    Shuffle discipline mirrors minhash_lsh_candidates: the band join
+    carries only (id, band, bucket) — never the vectors — with hot
+    buckets chunk-split by skew.salted_self_join; vectors are
+    re-joined onto the deduped candidate pairs for exact cosine
+    verification.
+    """
     if dim <= 0:
         raise ValueError("dim (embedding length) is required")
-    sig = df.select(
-        F.col(id_col).alias("_id"),
-        F.col(vec_col).alias("_v"),
-        hyperplane_signature(F.col(vec_col), dim, n_planes).alias("_bucket"),
-    )
-    a = sig.select(F.col("_id").alias("id_a"), F.col("_v").alias("va"), "_bucket")
-    b = sig.select(F.col("_id").alias("id_b"), F.col("_v").alias("vb"), "_bucket")
+    from data_validator_spark.operators.skew import salted_self_join
+
+    vecs = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    banded = vecs.select(
+        "_id",
+        F.explode(_band_structs(F.col("_v"), dim, n_planes, n_bands)).alias("bb"),
+    ).select("_id", "bb.band", "bb.bucket")
     pairs = (
-        a.join(b, "_bucket")
-        .filter(F.col("id_a") < F.col("id_b"))
+        salted_self_join(banded, "_id", ["band", "bucket"], cap=bucket_cap)
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    va = vecs.select(F.col("_id").alias("id_a"), F.col("_v").alias("va"))
+    vb = vecs.select(F.col("_id").alias("id_b"), F.col("_v").alias("vb"))
+    return (
+        pairs.join(va, "id_a")
+        .join(vb, "id_b")
         .withColumn("cos_sim", F.round(cosine(F.col("va"), F.col("vb")), 6))
         .filter(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", "cos_sim")
     )
-    return pairs.select("id_a", "id_b", "cos_sim").dropDuplicates(["id_a", "id_b"])

@@ -33,6 +33,71 @@ def add_salt(
     return df.withColumn("_salt", F.pmod(F.xxhash64(*cols), F.lit(n_salt)))
 
 
+def salted_self_join(
+    banded: DataFrame,
+    id_col: str,
+    bucket_cols: Sequence[str],
+    cap: int = 4096,
+    payload_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Skew-bounded bucketed self-join: candidate pairs (id_a, id_b)
+    with id_a < id_b from rows sharing a bucket key, with hot buckets
+    split so no join-key group exceeds ~cap rows per side.
+
+    Buckets with <= cap rows behave exactly like a plain self-join
+    (chunk count k=1). Oversized buckets are split into k = ceil(n/cap)
+    chunks by a deterministic hash of the id; BOTH sides replicate k
+    ways and the join key becomes (bucket, chunk_a, chunk_b), so
+    per-key side cardinality drops to ~n/k <= cap while every
+    within-bucket pair still meets exactly once per bucket row.
+    Replication cost is O(n*k) id-sized rows; the pair output is
+    O(n^2) per bucket regardless — the salt bounds the *straggler
+    task*, not total work. Deterministic (no rand()), so stage retries
+    and speculative tasks reproduce identical partitions.
+
+    Output: one row per (pair, colliding bucket) — callers compute
+    their verification scalar (est_jaccard / hamming / cosine), drop
+    payloads, then dropDuplicates(["id_a","id_b"]) so the pair-dedup
+    shuffle carries only scalars. payload_cols are carried to both
+    sides as <col>_a / <col>_b (keep them scalar-sized; signatures and
+    vectors should instead be re-joined on the deduped pairs).
+    """
+    sizes = banded.groupBy(*bucket_cols).agg(F.count(F.lit(1)).alias("_bn"))
+    hot = (
+        sizes.filter(F.col("_bn") > cap)
+        .withColumn("_k", F.ceil(F.col("_bn") / cap).cast("int"))
+        .drop("_bn")
+    )
+    bd = (
+        banded.join(F.broadcast(hot), list(bucket_cols), "left")
+        .withColumn("_k", F.coalesce(F.col("_k"), F.lit(1)))
+        .withColumn(
+            "_chunk", F.pmod(F.xxhash64(F.col(id_col)), F.col("_k")).cast("int")
+        )
+    )
+    reps = F.explode(F.sequence(F.lit(0), F.col("_k") - 1))
+    a = bd.select(
+        F.col(id_col).alias("id_a"),
+        *bucket_cols,
+        F.col("_chunk").alias("_ca"),
+        reps.alias("_cb"),
+        *[F.col(c).alias(f"{c}_a") for c in payload_cols],
+    )
+    b = bd.select(
+        F.col(id_col).alias("id_b"),
+        *bucket_cols,
+        reps.alias("_ca"),
+        F.col("_chunk").alias("_cb"),
+        *[F.col(c).alias(f"{c}_b") for c in payload_cols],
+    )
+    join_keys = list(bucket_cols) + ["_ca", "_cb"]
+    return (
+        a.join(b, join_keys)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .drop("_ca", "_cb")
+    )
+
+
 def salted_agg(
     df: DataFrame,
     keys: Sequence[str],

@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from data_validator_spark.operators.skew import salted_self_join
 from data_validator_spark.operators.text import fingerprint, normalized_text, word_ngrams
 
 
@@ -118,14 +119,52 @@ def ngram_jaccard_pairs(
 # ------------------------------------------------------------------ MinHash + LSH
 
 
+_LONG_MAX = (1 << 63) - 1
+
+
 def minhash_signature(grams: Column, n_hashes: int = 64) -> Column:
     """Array of n_hashes minimum hash values over the shingle set.
-    Hash stream i = xxhash64(shingle, i) — deterministic, JVM-side."""
-    return F.array(
-        *[
-            F.array_min(F.transform(grams, lambda g: F.xxhash64(g, F.lit(i))))
-            for i in range(n_hashes)
-        ]
+    Hash stream i = xxhash64(shingle, i) — deterministic, JVM-side.
+
+    Single `aggregate` pass over the shingle array accumulating all
+    n_hashes minima at once (the seed array is a constant-folded
+    literal). The earlier form — n_hashes separate
+    array_min(transform(...)) passes — walked the shingle array
+    n_hashes times per row and fell out of codegen on wide configs.
+    Values are identical (same per-element xxhash64(gram, seed_int)
+    stream); empty arrays yield LONG_MAX fills, but every caller
+    filters size(grams) > 0 first.
+    """
+    seeds = F.array(*[F.lit(i) for i in range(n_hashes)])
+    init = F.array_repeat(F.lit(_LONG_MAX).cast("long"), n_hashes)
+    return F.aggregate(
+        grams,
+        init,
+        lambda acc, g: F.zip_with(
+            acc,
+            F.transform(seeds, lambda s: F.xxhash64(g, s)),
+            lambda a, h: F.least(a, h),
+        ),
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    n_hashes: int = 64,
+) -> DataFrame:
+    """(_id, _sig) signature table — the reusable/persistable artifact
+    (at production scale this is written once and shared by dedup and
+    retrieval; minhash_lsh_candidates persists it for the duration of
+    one candidate computation)."""
+    grams = df.select(
+        F.col(id_col).alias("_id"),
+        F.array_distinct(word_ngrams(F.col(text_col), n)).alias("_grams"),
+    ).filter(F.size("_grams") > 0)
+    return grams.select(
+        "_id", minhash_signature(F.col("_grams"), n_hashes).alias("_sig")
     )
 
 
@@ -136,20 +175,34 @@ def minhash_lsh_candidates(
     n: int = 3,
     n_hashes: int = 64,
     bands: int = 16,
+    bucket_cap: int = 4096,
+    persist_signatures: bool = True,
 ) -> DataFrame:
     """LSH candidate pairs (id_a, id_b, est_jaccard).
 
     Signature matrix banded into `bands` rows of n_hashes/bands; docs
-    colliding in ANY band become candidates (bucket join on the band
-    hash — the only shuffle key, so skewed buckets can be salted).
-    est_jaccard = fraction of matching signature positions.
+    colliding in ANY band become candidates. Shuffle discipline (the
+    part that matters at 100 TB):
+
+      - the band-bucket join carries ONLY (id, band, bucket) — the
+        64-long signature arrays never ride the widest shuffle;
+      - hot buckets (boilerplate/near-identical clusters are Zipf-
+        skewed) are chunk-split by skew.salted_self_join so no join
+        task exceeds ~bucket_cap rows per side;
+      - the pair-dedup shuffle carries only (id_a, id_b); signatures
+        are re-joined onto the (small) deduped pair set to compute
+        est_jaccard = fraction of matching signature positions.
+
+    The signature table feeds three plan branches (banding + the two
+    pair-side joins); persist_signatures=True (default) persists it so
+    shingling+hashing runs once, not three times. It is unpersisted
+    when the session drops it (LRU) — or materialize it yourself via
+    minhash_signatures() and manage its lifecycle.
     """
     rows_per_band = n_hashes // bands
-    grams = df.select(
-        F.col(id_col).alias("_id"),
-        F.array_distinct(word_ngrams(F.col(text_col), n)).alias("_grams"),
-    ).filter(F.size("_grams") > 0)
-    sig = grams.select("_id", minhash_signature(F.col("_grams"), n_hashes).alias("_sig"))
+    sig = minhash_signatures(df, id_col, text_col, n, n_hashes)
+    if persist_signatures:
+        sig = sig.persist()
     band_structs = F.array(
         *[
             F.struct(
@@ -161,30 +214,31 @@ def minhash_lsh_candidates(
             for b in range(bands)
         ]
     )
-    banded = sig.select("_id", "_sig", F.explode(band_structs).alias("bb")).select(
-        "_id", "_sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    banded = sig.select("_id", F.explode(band_structs).alias("bb")).select(
+        "_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
-    a = banded.select(
-        F.col("_id").alias("id_a"), F.col("_sig").alias("sig_a"), "band", "bucket"
-    )
-    b = banded.select(
-        F.col("_id").alias("id_b"), F.col("_sig").alias("sig_b"), "band", "bucket"
-    )
-    cand = (
-        a.join(b, ["band", "bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sig_a", "sig_b")
+    pairs = (
+        salted_self_join(banded, "_id", ["band", "bucket"], cap=bucket_cap)
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
-    cand = cand.withColumn(
-        "est_jaccard",
-        F.round(
-            F.size(
-                F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m)
-            )
-            / F.lit(float(n_hashes)),
-            6,
-        ),
+    sa = sig.select(F.col("_id").alias("id_a"), F.col("_sig").alias("sig_a"))
+    sb = sig.select(F.col("_id").alias("id_b"), F.col("_sig").alias("sig_b"))
+    cand = (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "est_jaccard",
+            F.round(
+                F.size(
+                    F.filter(
+                        F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m
+                    )
+                )
+                / F.lit(float(n_hashes)),
+                6,
+            ),
+        )
     )
     return cand.select("id_a", "id_b", "est_jaccard")
 
@@ -192,23 +246,44 @@ def minhash_lsh_candidates(
 # ------------------------------------------------------------------ SimHash
 
 
+# bit masks 2^0..2^62 plus the sign bit as a two's-complement long
+_BIT_MASKS = [1 << b for b in range(63)] + [-(1 << 63)]
+
+
 def simhash64(grams: Column) -> Column:
     """64-bit SimHash of a shingle/token array: per-bit weighted vote
-    of xxhash64 token bits, fully as Column expressions."""
+    of xxhash64 token bits, fully as Column expressions.
+
+    ONE aggregate pass over the token-hash array accumulating a
+    64-element vote vector ((h & mask_j) != 0 -> +1 else -1 per bit),
+    then one fold packing votes back into a long. The earlier form ran
+    64 separate `aggregate` passes (one per bit) — 64x the array
+    walks. Output is bit-identical: (h & 2^j) != 0 <=> (h >> j) & 1,
+    including bit 63 via the negative-long sign mask.
+    """
+    masks = F.array(*[F.lit(m).cast("long") for m in _BIT_MASKS])
     hashed = F.transform(grams, lambda g: F.xxhash64(g))
-    out = F.lit(0).cast("long")
-    for bit in range(64):
-        vote = F.aggregate(
-            hashed,
-            F.lit(0),
-            lambda acc, h: acc
-            + F.when(F.shiftright(h, bit).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
-        )
-        # set bit via shiftleft (two's-complement safe for bit 63)
-        out = out.bitwiseOR(
-            F.shiftleft(F.when(vote > 0, F.lit(1)).otherwise(F.lit(0)).cast("long"), bit)
-        )
-    return out
+    votes = F.aggregate(
+        hashed,
+        F.array_repeat(F.lit(0), 64),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.transform(
+                masks,
+                lambda m: F.when(h.bitwiseAND(m) != 0, F.lit(1)).otherwise(F.lit(-1)),
+            ),
+            lambda a, v: a + v,
+        ),
+    )
+    return F.aggregate(
+        F.zip_with(
+            votes,
+            masks,
+            lambda v, m: F.when(v > 0, m).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, m: acc.bitwiseOR(m),
+    )
 
 
 def simhash_candidates(
@@ -217,10 +292,18 @@ def simhash_candidates(
     text_col: str,
     max_hamming: int = 3,
     n_bands: int = 4,
+    bucket_cap: int = 4096,
 ) -> DataFrame:
     """Near-dup candidates by SimHash banding: split the 64-bit hash
     into n_bands chunks; by pigeonhole, pairs within hamming distance
     < n_bands share at least one exact chunk. Verify with popcount.
+
+    The simhash itself (one long) rides the band join as a payload
+    column — unlike minhash's 64-long arrays it's scalar-sized, so
+    in-join verification is cheaper than a re-join. Hot chunks
+    (duplicate-heavy corpora collapse to few simhashes) are split by
+    skew.salted_self_join; hamming is computed BEFORE the pair-dedup
+    shuffle so dedup carries only (id_a, id_b, hamming).
 
     Output (id_a, id_b, hamming <= max_hamming).
     """
@@ -242,16 +325,13 @@ def simhash_candidates(
     banded = sh.select("_id", "_sh", F.explode(chunks).alias("c")).select(
         "_id", "_sh", F.col("c.band").alias("band"), F.col("c.chunk").alias("chunk")
     )
-    a = banded.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a"), "band", "chunk")
-    b = banded.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b"), "band", "chunk")
-    cand = (
-        a.join(b, ["band", "chunk"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
+    cand = salted_self_join(
+        banded, "_id", ["band", "chunk"], cap=bucket_cap, payload_cols=["_sh"]
     )
-    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    ham = F.bit_count(F.col("_sh_a").bitwiseXOR(F.col("_sh_b")))
     return (
         cand.withColumn("hamming", ham)
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
+        .dropDuplicates(["id_a", "id_b"])
     )

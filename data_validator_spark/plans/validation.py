@@ -27,7 +27,19 @@ from data_validator_spark.rules import clip_rules
 from data_validator_spark.rules.compiler import append_messages, apply_rules, split_hard
 
 ENTITY = "clip"
-_NULL_PAYLOAD_ERR = "null payload"  # codecs.decode's bytes-null CodecError text
+
+
+def _bytes_missing_cols() -> list:
+    """Normalized error columns for the bytes_missing hard violation
+    (mirrors required('bytes') from clip_hard_rules; the label and
+    echoed value match hard_violations' output for that rule)."""
+    return [
+        F.lit(ENTITY).alias("entity"),
+        F.lit("bytes_missing").alias("rule"),
+        F.lit("bytes").alias("invalid_key"),
+        F.lit("null").alias("invalid_value"),
+        F.lit("audio payload").alias("expected_value"),
+    ]
 
 
 @dataclass(frozen=True)
@@ -123,6 +135,14 @@ def run_validation(
     the small audio results back on (clip_id, order_col). Before this
     split, the payload rode through every window/join shuffle
     (~4x full-table payload shuffles), which capped scaling.
+
+    Input contract: (clip_id, order_col) must uniquely identify a row
+    of `clips` — order_col is the deterministic dedup ordering AND the
+    equi-join key attaching the audio results back to the bytes-free
+    metadata branch, so duplicate (clip_id, order_col) pairs would
+    cross-multiply that join. The fixture generator guarantees it
+    (ingest_seq is a global row index); external job.py inputs must
+    provide an equivalent ingestion sequence/rowid.
     """
     rules = clip_rules.all_clip_rules()
     id_cols = ["clip_id", cfg.order_col, cfg.partition_col]
@@ -133,16 +153,26 @@ def run_validation(
     if cfg.check_audio:
         # ---- tier 1a: non-payload hard failures -> side-channel, from
         # a column-pruned scan that never touches `bytes`
-        _, invalid = split_hard(clips.drop("bytes"), nonbytes, ENTITY, id_cols)
-
-        # ---- scan-side decode: the ONLY read of `bytes` in the whole
-        # run — scan -> hard filter -> minimal projection -> Arrow UDF
-        # -> small result columns, fused into the file scan. Rows whose
-        # payload is NULL flow through and surface as a 'null payload'
-        # decode error, which tier 1b maps back to the bytes_missing
-        # hard rule (so no second payload scan is ever needed).
         from data_validator_spark.rules.compiler import hard_predicate
 
+        _, invalid = split_hard(clips.drop("bytes"), nonbytes, ENTITY, id_cols)
+
+        # a row failing a non-bytes hard rule is diverted before the
+        # decode stage — but if it ALSO has a null payload it still
+        # owes a bytes_missing violation (side-channel contract: one
+        # row per failed hard rule). Recovered from a scan that reads
+        # only the payload's null mask, never its bytes.
+        overlap_missing = clips.filter(
+            hard_predicate(nonbytes) & F.col("bytes").isNull()
+        ).select(*id_cols, *_bytes_missing_cols())
+        invalid = invalid.unionByName(overlap_missing)
+
+        # ---- scan-side decode: the ONLY full read of `bytes` in the
+        # run — scan -> hard filter -> minimal projection -> Arrow UDF
+        # -> small result columns, fused into the file scan. Rows whose
+        # payload is NULL flow through flagged with the structured
+        # audio_bytes_null column, which tier 1b maps back to the
+        # bytes_missing hard rule (no second payload scan needed).
         audio_in = clips.filter(~hard_predicate(nonbytes)).select(
             "clip_id", cfg.order_col, cfg.partition_col, "codec", "sr_hz", "bytes"
         )
@@ -161,31 +191,22 @@ def run_validation(
             _persisted.append(audio_res)
 
         # ---- tier 1b: bytes_missing, recovered from the decode stage
-        # (mirrors required('bytes') from clip_hard_rules; the label and
-        # echoed value match hard_violations' output for that rule)
-        bytes_missing = audio_res.filter(
-            F.col("audio_decode_error") == _NULL_PAYLOAD_ERR
-        ).select(
-            *id_cols,
-            F.lit(ENTITY).alias("entity"),
-            F.lit("bytes_missing").alias("rule"),
-            F.lit("bytes").alias("invalid_key"),
-            F.lit("null").alias("invalid_value"),
-            F.lit("audio payload").alias("expected_value"),
+        # via the structured audio_bytes_null flag (never by matching
+        # the CodecError message text)
+        bytes_missing = audio_res.filter(F.col("audio_bytes_null")).select(
+            *id_cols, *_bytes_missing_cols()
         )
         invalid = invalid.unionByName(bytes_missing)
 
         # bytes-free metadata branch joins the small audio results;
-        # the join is inner, and null-payload rows are dropped below
-        # with the other decode failures
+        # the join is inner on the unique (clip_id, order_col) key —
+        # see the input contract in the docstring — and null-payload
+        # rows are dropped below with the other decode failures
         meta = clips.drop("bytes").filter(~hard_predicate(nonbytes))
         v = meta.join(
             audio_res.drop(cfg.partition_col), ["clip_id", cfg.order_col], "inner"
         )
-        v = v.filter(
-            F.col("audio_decode_error").isNull()
-            | (F.col("audio_decode_error") != _NULL_PAYLOAD_ERR)
-        )
+        v = v.filter(~F.col("audio_bytes_null"))
     else:
         ok, invalid = split_hard(clips, rules, ENTITY, id_cols)
         v = ok
@@ -236,8 +257,7 @@ def run_validation(
         # Sourced from audio_res (not v) so a decode-failed row's
         # violation survives even though dedup/ref joins ran on v.
         decode_invalid = audio_res.filter(
-            F.col("audio_decode_error").isNotNull()
-            & (F.col("audio_decode_error") != _NULL_PAYLOAD_ERR)
+            F.col("audio_decode_error").isNotNull() & ~F.col("audio_bytes_null")
         ).select(
             *id_cols,
             F.lit(ENTITY).alias("entity"),
@@ -252,7 +272,9 @@ def run_validation(
         v = append_messages(
             v, ENTITY, F.col("_container_sr_label"), warning=True
         ).drop("_container_sr_label")
-    v = v.drop("bytes")  # no-op when check_audio; real drop otherwise
+    # bytes is a no-op drop when check_audio (never joined back);
+    # audio_bytes_null is all-false on the validated side by now
+    v = v.drop("bytes", "audio_bytes_null")
     if cfg.persist:
         v = v.persist()
         _persisted.append(v)

@@ -54,11 +54,19 @@ def clips_stream(
 ) -> DataFrame:
     """File-source stream over the clips landing directory. The file
     source tracks seen files in the streaming checkpoint, which is
-    what makes `availableNow` runs incremental."""
+    what makes `availableNow` runs incremental.
+
+    Adds an `ingest_ts` event-time column (date-granular proxy derived
+    from ingest_date) so windowed_verdicts' default ts_col works out of
+    the box; callers with a real event-time column can overwrite it.
+    """
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
-    return reader.parquet(path)
+    stream = reader.parquet(path)
+    if "ingest_ts" not in stream.columns and "ingest_date" in stream.columns:
+        stream = stream.withColumn("ingest_ts", F.to_timestamp("ingest_date"))
+    return stream
 
 
 def validate_stream(
@@ -111,26 +119,36 @@ def run_incremental(
 ) -> StreamingQuery:
     """One incremental validation pass: process every not-yet-seen file
     under `input_path`, run the FULL pipeline (incl. audio decode +
-    SNR) per micro-batch, append outputs, then stop (availableNow).
+    SNR) per micro-batch, write outputs, then stop (availableNow).
 
-    Outputs under `output_dir`:
-      validated/   soft-tier rows with flags/messages
-      invalid/     hard side-channel rows
-      verdicts/    per-partition verdicts, tagged with batch_id
-      _checkpoint/ streaming checkpoint (source file log) — resume
-                   point for the next invocation
+    Outputs under `output_dir`, each batch in its own
+    `batch_id=<id>/` partition directory written with overwrite mode —
+    so a crash between the three writes followed by checkpoint-driven
+    batch replay RE-WRITES the same directories instead of appending
+    duplicates (the file source replays a batch with an identical file
+    list, and the pipeline is deterministic, so replays converge:
+    effectively-once output despite foreachBatch's at-least-once
+    invocation contract). `on_batch` callbacks, by contrast, may fire
+    more than once per batch on crash-replay.
+
+      validated/batch_id=N/   soft-tier rows with flags/messages
+      invalid/batch_id=N/     hard side-channel rows
+      verdicts/batch_id=N/    per-partition verdicts
+      _checkpoint/            streaming checkpoint (source file log) —
+                              resume point for the next invocation
     """
     stream = clips_stream(spark, input_path)
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         res = run_validation(batch_df, transcripts_ref, cfg=cfg)
-        res.validated.write.mode("append").parquet(f"{output_dir}/validated")
-        res.invalid.write.mode("append").parquet(f"{output_dir}/invalid")
-        (
-            res.partition_verdicts.withColumn("batch_id", F.lit(batch_id))
-            .coalesce(1)
-            .write.mode("append")
-            .parquet(f"{output_dir}/verdicts")
+        res.validated.write.mode("overwrite").parquet(
+            f"{output_dir}/validated/batch_id={batch_id}"
+        )
+        res.invalid.write.mode("overwrite").parquet(
+            f"{output_dir}/invalid/batch_id={batch_id}"
+        )
+        res.partition_verdicts.coalesce(1).write.mode("overwrite").parquet(
+            f"{output_dir}/verdicts/batch_id={batch_id}"
         )
         if on_batch is not None:
             on_batch(batch_df, batch_id)
