@@ -5,7 +5,15 @@ TPC-H-ish tables; every SQL-expressible operator carries a DuckDB
 oracle in `oracle_sql()` (column names aligned, floats rounded, sums
 cast to long so both engines agree on schema). Engine-hash-dependent
 operators (MinHash/SimHash/LSH, binomial UDF, HLL profile, the clips
-audio pipeline) are rows-only checks.
+audio pipeline) are oracle-checked through ASSERTION queries: each
+emits deterministic scalars DuckDB can predict — containment counts
+that are structurally zero (simhash pigeonhole radius), near-certain
+zero (minhash at r=2 over jaccard>=0.8: P[miss]~6e-15), planted-twin
+ANN answers whose exact ground truth is SQL-computable, tolerance
+booleans (HLL ±5%, approx_percentile within 1% of IQR), contract
+booleans (pseudonymizer length/stability/salt), and golden-fixture
+deltas for the full clips pipeline (the reference's rule-outcome
+fixture pattern). Every query is therefore oracle-gated.
 """
 
 from __future__ import annotations
@@ -717,32 +725,129 @@ def q37_type_dispatch(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# rows-only queries (engine-hash / UDF / audio dependent — no SQL oracle)
+# engine-hash-dependent operators, oracle-checked via ASSERTION queries:
+# each emits deterministic scalars a DuckDB oracle predicts (containment
+# counts that are structurally/empirically zero, tolerance booleans, or
+# planted-twin recall where the ground truth is SQL-expressible)
 # --------------------------------------------------------------------------
 
 
 def q40_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
-    from data_validator_spark.operators.text_dedup import minhash_lsh_candidates
+    """MinHash+LSH containment oracle: at 64 hashes / 32 bands (r=2),
+    P[miss | jaccard >= 0.8] = (1 - 0.8^2)^32 ~ 6e-15 — so the banded
+    candidate set must be a superset of the exact prefix-filtered
+    jaccard pairs. DuckDB computes the exact pair count; n_missed = 0
+    proves the LSH path (signature, banding, salted bucket join)
+    generates every true near-dup candidate."""
+    from data_validator_spark.operators.text_dedup import (
+        minhash_lsh_candidates,
+        ngram_jaccard_pairs,
+    )
 
     d = _t(spark, sf, "documents").repartition(32)
-    return minhash_lsh_candidates(d, "doc_id", "text", n_hashes=32, bands=8).orderBy(
-        "id_a", "id_b"
-    )
+    exact = ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.8)
+    cand = minhash_lsh_candidates(d, "doc_id", "text", n_hashes=64, bands=32)
+    missed = exact.join(cand, ["id_a", "id_b"], "left_anti")
+    return exact.agg(
+        F.count(F.lit(1)).cast("long").alias("n_exact_pairs")
+    ).crossJoin(missed.agg(F.count(F.lit(1)).cast("long").alias("n_missed")))
 
 
 def q41_simhash(spark: SparkSession, sf: str) -> DataFrame:
-    from data_validator_spark.operators.text_dedup import simhash_candidates
+    """SimHash containment oracle: with 8 bands over 64 bits, the
+    pigeonhole guarantee is that ANY pair within hamming distance 7
+    shares at least one exact 8-bit chunk — so every exact jaccard
+    pair whose simhash distance is within the design radius MUST be a
+    banded candidate. n_missed_in_radius = 0 is structural (not
+    luck); n_exact_pairs comes from the DuckDB jaccard oracle."""
+    from data_validator_spark.operators.text import normalized_text
+    from data_validator_spark.operators.text_dedup import (
+        ngram_jaccard_pairs,
+        simhash64,
+        simhash_candidates,
+    )
 
     d = _t(spark, sf, "documents").repartition(32)
-    return simhash_candidates(d, "doc_id", "text", max_hamming=8).orderBy("id_a", "id_b")
+    exact = ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.8)
+    cand = simhash_candidates(d, "doc_id", "text", max_hamming=7, n_bands=8)
+    toks = F.split(normalized_text(F.col("text")), " ")
+    sh = d.select(F.col("doc_id"), simhash64(toks).alias("_sh"))
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("_sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("_sh").alias("sh_b"))
+    in_radius = (
+        exact.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("ham", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        .filter(F.col("ham") <= 7)
+        .select("id_a", "id_b")
+    )
+    missed = in_radius.join(cand, ["id_a", "id_b"], "left_anti")
+    return exact.agg(
+        F.count(F.lit(1)).cast("long").alias("n_exact_pairs")
+    ).crossJoin(
+        missed.agg(F.count(F.lit(1)).cast("long").alias("n_missed_in_radius"))
+    )
+
+
+def _perturbed_twins(e: DataFrame, n: int) -> DataFrame:
+    """Deterministic near-duplicate twins of the first n vectors:
+    id + 100000, each component x -> x*(1 + 0.1x) (cos ~ 0.9998 to the
+    original). Expressible identically in DuckDB list_transform, so
+    the ANN ground truth is SQL-computable."""
+    return e.filter(F.col("vec_id") < n).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * (1 + F.lit(0.1) * x)).alias(
+            "embedding"
+        ),
+    )
 
 
 def q42_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Multi-band hyperplane ANN vs an exact SQL oracle: queries are
+    planted near-duplicate twins whose true nearest neighbor (the
+    original vector, cos ~ 0.9998) is unambiguous; with 8 bands of 8
+    planes the per-twin miss probability is ~1e-9, so lsh_topk's k=1
+    answer must equal the brute-force answer row-for-row — a full
+    hash-match oracle exercising banding, bucket join and ranking."""
     from data_validator_spark.operators.similarity import lsh_topk
 
     e = _t(spark, sf, "embeddings")
-    queries = e.filter(F.col("vec_id") < 5)
-    return lsh_topk(e, queries, dim=64, k=3, n_planes=8).orderBy("query_id", "rank")
+    pert = _perturbed_twins(e, 5)
+    out = lsh_topk(
+        e, pert, dim=64, k=1, n_planes=8, n_bands=8, round_digits=4
+    )
+    return out.withColumn("rank", F.col("rank").cast("long")).orderBy("query_id")
+
+
+def q50_embedding_neardups(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding near-dup containment oracle: augment the corpus with
+    50 planted twins; every exact cosine>=0.99 pair involving a twin
+    (SQL-computable: 50 x n scan, no O(n^2)) must appear in the
+    multi-band bucketed near-dup output. n_missed = 0."""
+    from data_validator_spark.operators.similarity import cosine, embedding_near_dups
+
+    e = _t(spark, sf, "embeddings").select("vec_id", "embedding")
+    pert = _perturbed_twins(e, 50)
+    aug = e.unionByName(pert)
+    t = pert.select(F.col("vec_id").alias("t_id"), F.col("embedding").alias("tv"))
+    exact = (
+        aug.crossJoin(F.broadcast(t))
+        .filter(F.col("vec_id") != F.col("t_id"))
+        .withColumn("cs", F.round(cosine(F.col("embedding"), F.col("tv")), 6))
+        .filter(F.col("cs") >= 0.99)
+        .select(
+            F.least("vec_id", "t_id").alias("id_a"),
+            F.greatest("vec_id", "t_id").alias("id_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    nd = embedding_near_dups(
+        aug, dim=64, threshold=0.99, n_planes=12, n_bands=6
+    )
+    missed = exact.join(nd, ["id_a", "id_b"], "left_anti")
+    return exact.agg(
+        F.count(F.lit(1)).cast("long").alias("n_exact_pairs")
+    ).crossJoin(missed.agg(F.count(F.lit(1)).cast("long").alias("n_missed")))
 
 
 def q43_below_chance(spark: SparkSession, sf: str) -> DataFrame:
@@ -757,6 +862,10 @@ def q43_below_chance(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q44_profile_hll(spark: SparkSession, sf: str) -> DataFrame:
+    """Column profile with a tolerance oracle for the HLL sketch: the
+    exact stats (null_rate, min/max, n_rows, exact distinct) are
+    DuckDB-computable; approx_count_distinct must land within ±5% of
+    the exact cardinality (hll_ok = true for every column)."""
     from data_validator_spark.operators import stats
 
     li = _t(spark, sf, "lineitem")
@@ -765,47 +874,168 @@ def q44_profile_hll(spark: SparkSession, sf: str) -> DataFrame:
         stats.ColumnSpec("l_extendedprice", "numeric", 0, 120_000, 24),
         stats.ColumnSpec("l_returnflag", "categorical"),
     ]
-    return stats.profile(li, specs).select(
-        "column_name", "null_rate", "min_val", "max_val", "approx_distinct", "n_rows"
-    ).orderBy("column_name")
+    prof = stats.profile(li, specs)
+    exact = li.agg(
+        *[F.count_distinct(F.col(s.name)).alias(s.name) for s in specs]
+    )
+    exact_long = exact.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s.name).alias("column_name"),
+                        F.col(s.name).cast("long").alias("exact_distinct"),
+                    )
+                    for s in specs
+                ]
+            )
+        ).alias("s")
+    ).select("s.*")
+    return (
+        prof.join(exact_long, "column_name")
+        .select(
+            "column_name",
+            F.round("null_rate", 6).alias("null_rate"),
+            "min_val",
+            "max_val",
+            F.col("n_rows").cast("long").alias("n_rows"),
+            "exact_distinct",
+            (
+                F.abs(F.col("approx_distinct") - F.col("exact_distinct"))
+                <= 0.05 * F.col("exact_distinct")
+            ).alias("hll_ok"),
+        )
+        .orderBy("column_name")
+    )
 
 
 def q45_clips_flagship(spark: SparkSession, sf: str) -> DataFrame:
-    """The north-star pipeline end-to-end on a deterministically
-    synthesized clips table (audio decode + SNR included)."""
-    from data_validator_spark.fixtures import ClipsConfig, generate_clips, generate_transcripts_ref
+    """The north-star pipeline end-to-end on the deterministically
+    synthesized clips table (audio decode + SNR included), gated by
+    the GOLDEN injected-violation fixture — the reference's own
+    rule-outcome-fixture test pattern (BASELINE.json input_hint).
+
+    Every emitted scalar is a cross-check between the pipeline output
+    and the independently generated golden flags; the oracle row is
+    the config's literal expectation (2000 rows, 4 partitions, all
+    deltas/misses exactly 0)."""
+    from data_validator_spark.fixtures import (
+        ClipsConfig,
+        generate_clips,
+        generate_golden,
+        generate_transcripts_ref,
+    )
     from data_validator_spark.plans import ValidationConfig, run_validation
 
     cfg = ClipsConfig(n_rows=2000, n_partitions=4, max_synth_ms=400)
     clips = generate_clips(spark, cfg)
     tr = generate_transcripts_ref(spark, cfg)
-    res = run_validation(clips, tr, cfg=ValidationConfig())
-    return res.partition_verdicts.select(
-        F.col("ingest_date").cast("string").alias("partition_value"),
-        "n_rows",
-        "n_soft_invalid",
-        "n_hard_invalid",
-        "status",
-    ).orderBy("partition_value")
+    golden = generate_golden(spark, cfg)
+    res = run_validation(clips, tr, cfg=ValidationConfig(persist=True))
+    j = res.validated.join(golden, "ingest_seq")
+    msg = F.col("validation_msg_clip")
+    checks = j.agg(
+        F.count(F.lit(1)).cast("long").alias("_n_validated"),
+        F.sum(
+            (
+                F.col("inj_low_snr") & ~msg.contains("audio_snr_below_30db(")
+            ).cast("long")
+        ).alias("snr_missed"),
+        F.sum(
+            (
+                ~F.col("inj_low_snr") & msg.contains("audio_snr_below_30db(")
+            ).cast("long")
+        ).alias("snr_false_pos"),
+        F.sum(
+            (F.col("inj_dup") & ~msg.contains("duplicate_clip_id(")).cast("long")
+        ).alias("dup_missed"),
+        F.sum(
+            (
+                F.col("inj_transcript_mismatch")
+                & ~F.col("inj_ref_missing")
+                & ~msg.contains("transcript_mismatch")
+            ).cast("long")
+        ).alias("mismatch_missed"),
+        F.sum(
+            (
+                F.col("inj_ref_missing")
+                & ~F.col("inj_dup")
+                & ~msg.contains("transcript_ref_missing")
+            ).cast("long")
+        ).alias("refmiss_missed"),
+    )
+    hard = res.invalid.agg(
+        F.count_distinct("ingest_seq").cast("long").alias("_n_hard"),
+        F.sum((F.col("rule") == "audio_decode_failed").cast("long")).alias(
+            "_n_decode_failed"
+        ),
+    )
+    g = golden.agg(
+        F.sum(F.col("inj_corrupt").cast("long")).alias("_g_corrupt")
+    )
+    parts = res.partition_verdicts.agg(
+        F.count(F.lit(1)).cast("long").alias("n_partitions")
+    )
+    return (
+        checks.crossJoin(hard)
+        .crossJoin(g)
+        .crossJoin(parts)
+        .select(
+            (F.col("_n_validated") + F.col("_n_hard")).alias("n_rows"),
+            "n_partitions",
+            (F.col("_n_decode_failed") - F.col("_g_corrupt")).alias(
+                "decode_fail_delta"
+            ),
+            "snr_missed",
+            "snr_false_pos",
+            "dup_missed",
+            "mismatch_missed",
+            "refmiss_missed",
+        )
+    )
 
 
 def q46_multimodal_meta(spark: SparkSession, sf: str) -> DataFrame:
-    from data_validator_spark.fixtures import ClipsConfig, generate_clips
-    from data_validator_spark.operators.multimodal import decode_image_features, payload_metadata
+    """Multimodal plumbing assertion: magic-byte sniffing must observe
+    exactly the 4 container formats the fixture encodes (riff +
+    flac/mulaw/opus stand-ins), every null payload must sniff to NULL
+    and match the golden inj_bytes_null count, and the mapInPandas
+    feature stage must emit features for exactly the non-null rows.
+    All scalars are config-determined -> literal oracle row."""
+    from data_validator_spark.fixtures import ClipsConfig, generate_clips, generate_golden
+    from data_validator_spark.operators.multimodal import (
+        decode_image_features,
+        payload_metadata,
+    )
 
     cfg = ClipsConfig(n_rows=1000, n_partitions=2, max_synth_ms=300)
     clips = generate_clips(spark, cfg)
+    golden = generate_golden(spark, cfg)
     meta = payload_metadata(clips)
     feats = decode_image_features(clips, fake=True, batch_partitions=4)
-    fagg = feats.filter(F.col("features").isNotNull()).agg(
-        F.count(F.lit(1)).cast("long").alias("n_feat")
+    magg = meta.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.count_distinct("payload_format").cast("long").alias("n_formats"),
+        F.sum(F.col("payload_format").isNull().cast("long")).alias("_n_null"),
     )
-    magg = (
-        meta.groupBy("payload_format")
-        .agg(F.count(F.lit(1)).cast("long").alias("n"))
-        .orderBy("payload_format")
+    fagg = feats.agg(
+        F.sum(F.col("features").isNotNull().cast("long")).alias("_n_feat")
     )
-    return magg.crossJoin(fagg)
+    gagg = golden.agg(
+        F.sum(F.col("inj_bytes_null").cast("long")).alias("_g_null")
+    )
+    return (
+        magg.crossJoin(fagg)
+        .crossJoin(gagg)
+        .select(
+            "n_rows",
+            "n_formats",
+            (F.col("n_rows") - F.col("_n_feat") - F.col("_n_null")).alias(
+                "feat_plus_null_delta"
+            ),
+            (F.col("_n_null") - F.col("_g_null")).alias("bytes_null_delta"),
+        )
+    )
 
 
 def q38_salted_agg(spark: SparkSession, sf: str) -> DataFrame:
@@ -856,21 +1086,87 @@ def q39_drift_verdicts(spark: SparkSession, sf: str) -> DataFrame:
 
 def q47_pseudonymize(spark: SparkSession, sf: str) -> DataFrame:
     """Hash family: blake2b length-preserving pseudonymizer
-    (utils.py:580-627) — deterministic, so rows-only check is stable."""
+    (reference family: utils.py:580-627) — the blake2b digest itself
+    is not DuckDB-expressible, but its CONTRACT is: output length
+    equals input length, same (value, salt) is stable across
+    invocations, and changing the salt changes the output. All three
+    booleans must be true per row -> oracle-checkable."""
     from data_validator_spark.functions.scalars import pseudonymize
 
-    c = _t(spark, sf, "customer")
-    p = pseudonymize(F.col("c_name"), salt="bench")
+    c = _t(spark, sf, "customer").filter(F.col("c_custkey") <= 20)
+    p1 = pseudonymize(F.col("c_name"), salt="bench")
+    p2 = pseudonymize(F.col("c_name"), salt="bench")
+    p3 = pseudonymize(F.col("c_name"), salt="other")
     return (
-        c.withColumn("pseud", p)
+        c.withColumn("_p1", p1)
+        .withColumn("_p2", p2)
+        .withColumn("_p3", p3)
         .select(
             "c_custkey",
-            F.length("pseud").alias("pseud_len"),
             F.length("c_name").alias("name_len"),
-            F.substring("pseud", 1, 8).alias("pseud_prefix"),
+            (F.length("_p1") == F.length("c_name")).alias("len_match"),
+            (F.col("_p1") == F.col("_p2")).alias("stable"),
+            (F.col("_p1") != F.col("_p3")).alias("salt_sensitive"),
         )
-        .filter(F.col("c_custkey") <= 20)
         .orderBy("c_custkey")
+    )
+
+
+def q48_dependent_quota(spark: SparkSession, sf: str) -> DataFrame:
+    """R2's DEPENDENT parent stratum (firestore_services.py:680-769):
+    orders sampled by priority quota, then customers sampled by
+    segment quota among ONLY the customers of the picked orders. The
+    md5-deterministic chain replays identically in DuckDB."""
+    from data_validator_spark.operators.sampling import dependent_quota_sample
+
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    kids, pars = dependent_quota_sample(
+        o,
+        c,
+        child_strata_col="o_orderpriority",
+        child_quotas={"1-URGENT": 30, "2-HIGH": 30, "3-MEDIUM": 20},
+        child_key_cols=["o_orderkey"],
+        link_col="o_custkey",
+        parent_key_col="c_custkey",
+        parent_strata_col="c_mktsegment",
+        parent_quotas={"AUTOMOBILE": 20, "BUILDING": 20, "MACHINERY": 10},
+        parent_key_cols=["c_custkey"],
+    )
+    p_agg = pars.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("c_custkey").cast("long").alias("sum_keys"),
+    )
+    k_agg = kids.agg(
+        F.count(F.lit(1)).cast("long").alias("n_kids"),
+        F.sum("o_orderkey").cast("long").alias("sum_kid_keys"),
+    )
+    return p_agg.crossJoin(k_agg).orderBy("c_mktsegment")
+
+
+def q49_iqr_approx(spark: SparkSession, sf: str) -> DataFrame:
+    """A10's scale path: the engine computes quantiles via the
+    approx_percentile sketch (mergeable, bounded memory — exact
+    F.percentile buffers every value and is demoted to the q19 oracle
+    probe only). Oracle: exact quantiles + a tolerance assertion that
+    the sketch lands within 1% of the IQR on both hinges."""
+    li = _t(spark, sf, "lineitem")
+    q = li.agg(
+        F.percentile("l_extendedprice", F.lit(0.25)).alias("q1e"),
+        F.percentile("l_extendedprice", F.lit(0.75)).alias("q3e"),
+        F.percentile_approx("l_extendedprice", F.lit(0.25), F.lit(10_000)).alias(
+            "q1a"
+        ),
+        F.percentile_approx("l_extendedprice", F.lit(0.75), F.lit(10_000)).alias(
+            "q3a"
+        ),
+    )
+    iqr = F.col("q3e") - F.col("q1e")
+    return q.select(
+        F.round("q1e", 2).alias("q1_exact"),
+        F.round("q3e", 2).alias("q3_exact"),
+        (F.abs(F.col("q1a") - F.col("q1e")) <= 0.01 * iqr).alias("q1_approx_ok"),
+        (F.abs(F.col("q3a") - F.col("q3e")) <= 0.01 * iqr).alias("q3_approx_ok"),
     )
 
 
@@ -923,6 +1219,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q45_clips_flagship": q45_clips_flagship,
         "q46_multimodal_meta": q46_multimodal_meta,
         "q47_pseudonymize": q47_pseudonymize,
+        "q48_dependent_quota": q48_dependent_quota,
+        "q49_iqr_approx": q49_iqr_approx,
+        "q50_embedding_neardups": q50_embedding_neardups,
     }
 
 
@@ -1338,6 +1637,175 @@ _ORACLES: dict[str, str] = {
                CASE WHEN psi_raw >= 0.25 OR ks_raw >= 0.2 THEN 'fail'
                     WHEN psi_raw >= 0.001 THEN 'warn' ELSE 'pass' END AS drift_status
         FROM m
+    """,
+    # ---- assertion oracles for engine-hash-dependent operators ----
+    "q40_minhash_lsh": f"""
+        WITH d AS (SELECT doc_id, {_NORM_TEXT} nt FROM documents),
+        toks AS (SELECT doc_id, string_split(nt, ' ') tk FROM d),
+        grams AS (
+          SELECT doc_id,
+                 list_distinct([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+                                for i in range(1, len(tk)-1)]) gs
+          FROM toks WHERE len(tk) >= 3),
+        ex AS (SELECT doc_id, len(gs) sz, unnest(gs) g FROM grams),
+        pairs AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+          HAVING count(*)::DOUBLE /
+                 (any_value(a.sz) + any_value(b.sz) - count(*)) >= 0.8)
+        SELECT count(*)::BIGINT AS n_exact_pairs, 0::BIGINT AS n_missed FROM pairs
+    """,
+    "q41_simhash": f"""
+        WITH d AS (SELECT doc_id, {_NORM_TEXT} nt FROM documents),
+        toks AS (SELECT doc_id, string_split(nt, ' ') tk FROM d),
+        grams AS (
+          SELECT doc_id,
+                 list_distinct([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+                                for i in range(1, len(tk)-1)]) gs
+          FROM toks WHERE len(tk) >= 3),
+        ex AS (SELECT doc_id, len(gs) sz, unnest(gs) g FROM grams),
+        pairs AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+          HAVING count(*)::DOUBLE /
+                 (any_value(a.sz) + any_value(b.sz) - count(*)) >= 0.8)
+        SELECT count(*)::BIGINT AS n_exact_pairs,
+               0::BIGINT AS n_missed_in_radius
+        FROM pairs
+    """,
+    "q42_lsh_topk": """
+        WITH pert AS (
+          SELECT vec_id + 100000 AS query_id,
+                 list_transform(embedding, x -> x*(1+0.1*x)) AS qv
+          FROM embeddings WHERE vec_id < 5),
+        scored AS (
+          SELECT p.query_id, e.vec_id AS neighbor_id,
+                 round(CAST(list_cosine_similarity(e.embedding, p.qv) AS DOUBLE), 4)
+                   AS cos_sim
+          FROM embeddings e CROSS JOIN pert p),
+        ranked AS (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+                     ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+          FROM scored)
+        SELECT query_id, neighbor_id, cos_sim, rank::BIGINT AS rank
+        FROM ranked WHERE rank <= 1 ORDER BY query_id
+    """,
+    "q43_below_chance": """
+        WITH g AS (
+          SELECT user_id, count(*) AS n,
+                 sum(CASE WHEN value > 75 THEN 1 ELSE 0 END) AS k
+          FROM events GROUP BY 1),
+        p AS (
+          SELECT n, k,
+                 CASE WHEN n >= 8 THEN
+                   list_sum([exp(lgamma(n+1) - lgamma(i+1) - lgamma(n-i+1)
+                                 + i*ln(0.25) + (n-i)*ln(0.75))
+                             for i in range(0, CAST(least(k, n)+1 AS BIGINT))])
+                 END AS pv
+          FROM g)
+        SELECT count(*)::BIGINT AS n_groups,
+               sum(CASE WHEN pv < 0.05 THEN 1 ELSE 0 END)::BIGINT AS n_below
+        FROM p
+    """,
+    "q44_profile_hll": """
+        WITH m AS (SELECT count(*) AS n FROM lineitem)
+        SELECT * FROM (
+          SELECT 'l_extendedprice' AS column_name,
+                 round(sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END)::DOUBLE
+                       / greatest((SELECT n FROM m), 1), 6) AS null_rate,
+                 CAST(min(l_extendedprice) AS VARCHAR) AS min_val,
+                 CAST(max(l_extendedprice) AS VARCHAR) AS max_val,
+                 (SELECT n FROM m)::BIGINT AS n_rows,
+                 count(DISTINCT l_extendedprice)::BIGINT AS exact_distinct,
+                 true AS hll_ok
+          FROM lineitem
+          UNION ALL
+          SELECT 'l_quantity',
+                 round(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END)::DOUBLE
+                       / greatest((SELECT n FROM m), 1), 6),
+                 CAST(min(l_quantity) AS VARCHAR), CAST(max(l_quantity) AS VARCHAR),
+                 (SELECT n FROM m)::BIGINT,
+                 count(DISTINCT l_quantity)::BIGINT, true
+          FROM lineitem
+          UNION ALL
+          SELECT 'l_returnflag',
+                 round(sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END)::DOUBLE
+                       / greatest((SELECT n FROM m), 1), 6),
+                 CAST(min(l_returnflag) AS VARCHAR), CAST(max(l_returnflag) AS VARCHAR),
+                 (SELECT n FROM m)::BIGINT,
+                 count(DISTINCT l_returnflag)::BIGINT, true
+          FROM lineitem
+        ) ORDER BY column_name
+    """,
+    "q45_clips_flagship": """
+        SELECT 2000::BIGINT AS n_rows, 4::BIGINT AS n_partitions,
+               0::BIGINT AS decode_fail_delta, 0::BIGINT AS snr_missed,
+               0::BIGINT AS snr_false_pos, 0::BIGINT AS dup_missed,
+               0::BIGINT AS mismatch_missed, 0::BIGINT AS refmiss_missed
+    """,
+    "q46_multimodal_meta": """
+        SELECT 1000::BIGINT AS n_rows, 4::BIGINT AS n_formats,
+               0::BIGINT AS feat_plus_null_delta, 0::BIGINT AS bytes_null_delta
+    """,
+    "q47_pseudonymize": """
+        SELECT c_custkey, length(c_name)::INT AS name_len,
+               true AS len_match, true AS stable, true AS salt_sensitive
+        FROM customer WHERE c_custkey <= 20 ORDER BY c_custkey
+    """,
+    "q48_dependent_quota": """
+        WITH kids AS (
+          SELECT * FROM (
+            SELECT o_orderkey, o_custkey, o_orderpriority,
+                   row_number() OVER (PARTITION BY o_orderpriority
+                     ORDER BY md5(CAST(o_orderkey AS VARCHAR))) rn
+            FROM orders)
+          WHERE (o_orderpriority = '1-URGENT' AND rn <= 30)
+             OR (o_orderpriority = '2-HIGH' AND rn <= 30)
+             OR (o_orderpriority = '3-MEDIUM' AND rn <= 20)),
+        eligible AS (
+          SELECT * FROM customer c
+          WHERE EXISTS (SELECT 1 FROM kids k WHERE k.o_custkey = c.c_custkey)),
+        pars AS (
+          SELECT * FROM (
+            SELECT c_custkey, c_mktsegment,
+                   row_number() OVER (PARTITION BY c_mktsegment
+                     ORDER BY md5(CAST(c_custkey AS VARCHAR))) rn
+            FROM eligible)
+          WHERE (c_mktsegment = 'AUTOMOBILE' AND rn <= 20)
+             OR (c_mktsegment = 'BUILDING' AND rn <= 20)
+             OR (c_mktsegment = 'MACHINERY' AND rn <= 10)),
+        k AS (SELECT count(*)::BIGINT AS n_kids,
+                     sum(o_orderkey)::BIGINT AS sum_kid_keys FROM kids)
+        SELECT c_mktsegment, count(*)::BIGINT AS n,
+               sum(c_custkey)::BIGINT AS sum_keys,
+               (SELECT n_kids FROM k) AS n_kids,
+               (SELECT sum_kid_keys FROM k) AS sum_kid_keys
+        FROM pars GROUP BY 1 ORDER BY 1
+    """,
+    "q49_iqr_approx": """
+        SELECT round(quantile_cont(l_extendedprice, 0.25), 2) AS q1_exact,
+               round(quantile_cont(l_extendedprice, 0.75), 2) AS q3_exact,
+               true AS q1_approx_ok, true AS q3_approx_ok
+        FROM lineitem
+    """,
+    "q50_embedding_neardups": """
+        WITH pert AS (
+          SELECT vec_id + 100000 AS vec_id,
+                 list_transform(embedding, x -> x*(1+0.1*x)) AS embedding
+          FROM embeddings WHERE vec_id < 50),
+        aug AS (
+          SELECT vec_id, embedding FROM embeddings
+          UNION ALL SELECT vec_id, embedding FROM pert),
+        exact AS (
+          SELECT DISTINCT least(a.vec_id, p.vec_id) AS id_a,
+                          greatest(a.vec_id, p.vec_id) AS id_b
+          FROM aug a CROSS JOIN pert p
+          WHERE a.vec_id != p.vec_id
+            AND round(CAST(list_cosine_similarity(a.embedding, p.embedding)
+                           AS DOUBLE), 6) >= 0.99)
+        SELECT count(*)::BIGINT AS n_exact_pairs, 0::BIGINT AS n_missed FROM exact
     """,
     "q30_bool_coercion": """
         WITH raw AS (

@@ -151,6 +151,7 @@ def lsh_topk(
     k: int = 5,
     n_planes: int = 12,
     n_bands: int = 4,
+    round_digits: int = 6,
 ) -> DataFrame:
     """Approximate top-k: score only corpus vectors sharing the
     query's hyperplane bucket in AT LEAST ONE of n_bands independent
@@ -191,7 +192,9 @@ def lsh_topk(
     scored = (
         c.join(F.broadcast(q), ["band", "bucket"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cos_sim", F.round(cosine(F.col("_cv"), F.col("_qv")), 6))
+        .withColumn(
+            "cos_sim", F.round(cosine(F.col("_cv"), F.col("_qv")), round_digits)
+        )
         .select("query_id", "neighbor_id", "cos_sim")
         .dropDuplicates(["query_id", "neighbor_id"])
     )

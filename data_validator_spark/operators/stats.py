@@ -41,12 +41,19 @@ def profile(
     df: DataFrame,
     specs: Sequence[ColumnSpec],
     quantiles: Sequence[float] = DEFAULT_QUANTILES,
+    hll_rsd: float = 0.02,
 ) -> DataFrame:
     """Long-format per-column summary:
     (column_name, null_rate, min_val, max_val, approx_distinct, quantiles).
 
     min/max are stringified so one schema fits all column types
-    (mirrors the reference's stringly typed stats payloads)."""
+    (mirrors the reference's stringly typed stats payloads).
+
+    hll_rsd: target relative standard deviation of the HLL++ sketch.
+    0.02 costs ~2^13 registers (~8 KB) per column — still a fixed-size
+    mergeable sketch at any row count — and keeps the estimate inside
+    the engine's ±5% cardinality contract with margin (the 0.05
+    default rsd breaches 5% routinely on low-cardinality columns)."""
     aggs: list[Column] = [F.count(F.lit(1)).alias("_n")]
     for s in specs:
         c = F.col(s.name)
@@ -54,7 +61,7 @@ def profile(
             F.sum(c.isNull().cast("long")).alias(f"{s.name}__nulls"),
             F.min(c).cast("string").alias(f"{s.name}__min"),
             F.max(c).cast("string").alias(f"{s.name}__max"),
-            F.approx_count_distinct(c).alias(f"{s.name}__hll"),
+            F.approx_count_distinct(c, rsd=hll_rsd).alias(f"{s.name}__hll"),
         ]
         if s.kind == "numeric":
             aggs.append(
