@@ -733,8 +733,8 @@ def q37_type_dispatch(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q40_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
-    """MinHash+LSH containment oracle: at 64 hashes / 32 bands (r=2),
-    P[miss | jaccard >= 0.8] = (1 - 0.8^2)^32 ~ 6e-15 — so the banded
+    """MinHash+LSH containment oracle: at 32 hashes / 16 bands (r=2),
+    P[miss | jaccard >= 0.8] = (1 - 0.8^2)^16 ~ 8e-8 — so the banded
     candidate set must be a superset of the exact prefix-filtered
     jaccard pairs. DuckDB computes the exact pair count; n_missed = 0
     proves the LSH path (signature, banding, salted bucket join)
@@ -742,15 +742,22 @@ def q40_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     from data_validator_spark.operators.text_dedup import (
         minhash_lsh_candidates,
         ngram_jaccard_pairs,
+        shingles,
     )
 
     d = _t(spark, sf, "documents").repartition(32)
-    exact = ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.8)
-    cand = minhash_lsh_candidates(d, "doc_id", "text", n_hashes=64, bands=32)
-    missed = exact.join(cand, ["id_a", "id_b"], "left_anti")
-    return exact.agg(
-        F.count(F.lit(1)).cast("long").alias("n_exact_pairs")
-    ).crossJoin(missed.agg(F.count(F.lit(1)).cast("long").alias("n_missed")))
+    # one shingling pass feeds both the exact tier and the LSH tier
+    sh = shingles(d, "doc_id", "text", n=3).persist()
+    exact = ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.8, shingled=sh)
+    cand = minhash_lsh_candidates(
+        d, "doc_id", "text", n_hashes=32, bands=16, shingled=sh
+    )
+    # superset check as ONE action: left join + conditional count
+    hit = cand.select("id_a", "id_b").withColumn("_hit", F.lit(1))
+    return exact.join(hit, ["id_a", "id_b"], "left").agg(
+        F.count(F.lit(1)).cast("long").alias("n_exact_pairs"),
+        F.sum(F.col("_hit").isNull().cast("long")).alias("n_missed"),
+    )
 
 
 def q41_simhash(spark: SparkSession, sf: str) -> DataFrame:
@@ -774,18 +781,19 @@ def q41_simhash(spark: SparkSession, sf: str) -> DataFrame:
     sh = d.select(F.col("doc_id"), simhash64(toks).alias("_sh"))
     a = sh.select(F.col("doc_id").alias("id_a"), F.col("_sh").alias("sh_a"))
     b = sh.select(F.col("doc_id").alias("id_b"), F.col("_sh").alias("sh_b"))
-    in_radius = (
+    hit = cand.select("id_a", "id_b").withColumn("_hit", F.lit(1))
+    # containment-in-radius as ONE action over the annotated pair set
+    per_pair = (
         exact.join(a, "id_a")
         .join(b, "id_b")
         .withColumn("ham", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
-        .filter(F.col("ham") <= 7)
-        .select("id_a", "id_b")
+        .join(hit, ["id_a", "id_b"], "left")
     )
-    missed = in_radius.join(cand, ["id_a", "id_b"], "left_anti")
-    return exact.agg(
-        F.count(F.lit(1)).cast("long").alias("n_exact_pairs")
-    ).crossJoin(
-        missed.agg(F.count(F.lit(1)).cast("long").alias("n_missed_in_radius"))
+    return per_pair.agg(
+        F.count(F.lit(1)).cast("long").alias("n_exact_pairs"),
+        F.sum(
+            ((F.col("ham") <= 7) & F.col("_hit").isNull()).cast("long")
+        ).alias("n_missed_in_radius"),
     )
 
 
@@ -844,10 +852,11 @@ def q50_embedding_neardups(spark: SparkSession, sf: str) -> DataFrame:
     nd = embedding_near_dups(
         aug, dim=64, threshold=0.99, n_planes=12, n_bands=6
     )
-    missed = exact.join(nd, ["id_a", "id_b"], "left_anti")
-    return exact.agg(
-        F.count(F.lit(1)).cast("long").alias("n_exact_pairs")
-    ).crossJoin(missed.agg(F.count(F.lit(1)).cast("long").alias("n_missed")))
+    hit = nd.select("id_a", "id_b").withColumn("_hit", F.lit(1))
+    return exact.join(hit, ["id_a", "id_b"], "left").agg(
+        F.count(F.lit(1)).cast("long").alias("n_exact_pairs"),
+        F.sum(F.col("_hit").isNull().cast("long")).alias("n_missed"),
+    )
 
 
 def q43_below_chance(spark: SparkSession, sf: str) -> DataFrame:

@@ -20,6 +20,7 @@ dim x n_planes hash expressions for every row.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd  # module scope: pandas_udf type hints resolve here
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -127,18 +128,64 @@ def hyperplane_signature(
     )
 
 
-def _band_structs(vec: Column, dim: int, n_planes: int, n_bands: int) -> Column:
-    """Array of (band, bucket) structs — band b uses an independent
-    plane matrix (seed=b), so exploding this column yields the
-    multi-probe banding used by lsh_topk / embedding_near_dups."""
-    return F.array(
+def _band_buckets_udf(dim: int, n_planes: int, n_bands: int):
+    """Arrow-batched bucket computation: ALL n_bands signatures in one
+    numpy matmul per batch ((rows x dim) @ (dim x n_bands*n_planes) ->
+    sign bits -> packed longs per band). Returns array<long> of length
+    n_bands per row.
+
+    The per-row Column-fold form (hyperplane_signature) evaluates
+    ~n_bands*n_planes*dim scalar expression nodes per row — measured
+    ~17M element-ops/s interpreted, i.e. seconds per 100k vectors.
+    The matmul form moves the same math into BLAS at negligible Arrow
+    transfer cost (vectors are small), and stays a map-only stage.
+    Plane matrices are identical to _planes_literal (same RandomState
+    stream per band seed), so both forms bucket identically up to
+    float-summation order."""
+    from pyspark.sql.functions import pandas_udf
+
+    mats = [
+        np.random.RandomState(b).standard_normal((n_planes, dim))
+        for b in range(n_bands)
+    ]
+    planes = np.concatenate(mats, axis=0).T  # (dim, n_bands*n_planes)
+    powers = (1 << np.arange(n_planes, dtype=np.int64))
+
+    @pandas_udf("array<long>")
+    def _buckets(vs: pd.Series) -> pd.Series:
+        mat = np.asarray(
+            [np.asarray(v, dtype=np.float64) for v in vs], dtype=np.float64
+        )
+        if mat.size == 0:
+            return pd.Series([], dtype=object)
+        bits = (mat @ planes) > 0  # (rows, n_bands*n_planes)
+        by_band = bits.reshape(len(mat), n_bands, n_planes)
+        packed = (by_band * powers).sum(axis=2).astype(np.int64)
+        return pd.Series(list(packed))
+
+    return _buckets
+
+
+def _banded(
+    df: DataFrame, id_col: str, vec_col: str, dim: int, n_planes: int, n_bands: int
+) -> DataFrame:
+    """(id, band, bucket) rows: one per (vector, band) — the multi-
+    probe banding used by lsh_topk / embedding_near_dups. Extra
+    columns of df are preserved (e.g. the vector itself for in-join
+    scoring on the broadcast side)."""
+    buckets = _band_buckets_udf(dim, n_planes, n_bands)
+    bands = F.array(
         *[
             F.struct(
-                F.lit(b).alias("band"),
-                hyperplane_signature(vec, dim, n_planes, seed=b).alias("bucket"),
+                F.lit(b).alias("band"), F.element_at("_bk", b + 1).alias("bucket")
             )
             for b in range(n_bands)
         ]
+    )
+    return (
+        df.withColumn("_bk", buckets(F.col(vec_col)))
+        .select(*df.columns, F.explode(bands).alias("bb"))
+        .select(*df.columns, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
     )
 
 
@@ -169,25 +216,17 @@ def lsh_topk(
     """
     if dim <= 0:
         raise ValueError("dim (embedding length) is required")
-    c = (
+    c = _banded(
         corpus.select(
-            F.col(id_col).alias("neighbor_id"),
-            F.col(vec_col).alias("_cv"),
-            F.explode(
-                _band_structs(F.col(vec_col), dim, n_planes, n_bands)
-            ).alias("bb"),
-        )
-        .select("neighbor_id", "_cv", "bb.band", "bb.bucket")
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
+        ),
+        "neighbor_id", "_cv", dim, n_planes, n_bands,
     )
-    q = (
+    q = _banded(
         queries.select(
-            F.col(id_col).alias("query_id"),
-            F.col(vec_col).alias("_qv"),
-            F.explode(
-                _band_structs(F.col(vec_col), dim, n_planes, n_bands)
-            ).alias("bb"),
-        )
-        .select("query_id", "_qv", "bb.band", "bb.bucket")
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+        ),
+        "query_id", "_qv", dim, n_planes, n_bands,
     )
     scored = (
         c.join(F.broadcast(q), ["band", "bucket"])
@@ -232,10 +271,9 @@ def embedding_near_dups(
     from data_validator_spark.operators.skew import salted_self_join
 
     vecs = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
-    banded = vecs.select(
-        "_id",
-        F.explode(_band_structs(F.col("_v"), dim, n_planes, n_bands)).alias("bb"),
-    ).select("_id", "bb.band", "bb.bucket")
+    banded = _banded(
+        vecs.select("_id", "_v"), "_id", "_v", dim, n_planes, n_bands
+    ).select("_id", "band", "bucket")
     pairs = (
         salted_self_join(banded, "_id", ["band", "bucket"], cap=bucket_cap)
         .select("id_a", "id_b")

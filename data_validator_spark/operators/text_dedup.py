@@ -42,12 +42,30 @@ def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 # ------------------------------------------------------------------ n-gram Jaccard
 
 
+def shingles(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """(_id, _grams) distinct word-shingle arrays — the normalization +
+    shingling pass is the dominant CPU of every text-dedup tier, so
+    compute it ONCE, persist, and pass the result to
+    ngram_jaccard_pairs / minhash_signatures / minhash_lsh_candidates
+    via their `shingled=` parameter when running more than one tier
+    over the same corpus (at production scale this table is written
+    out and shared, like the signature table)."""
+    return df.select(
+        F.col(id_col).alias("_id"),
+        F.array_distinct(word_ngrams(F.col(text_col), n)).alias("_grams"),
+    ).filter(F.size("_grams") > 0)
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,
     text_col: str,
     n: int = 3,
     threshold: float = 0.8,
+    shingled: DataFrame | None = None,
+    persist_shingles: bool = True,
 ) -> DataFrame:
     """Exact Jaccard >= threshold pairs via PREFIX-FILTERED self-join
     (AllPairs/PPJoin family) — same answers as the naive inverted-index
@@ -67,12 +85,19 @@ def ngram_jaccard_pairs(
     shuffle is the prefix join, whose key is the RAREST tokens —
     bucket sizes shrink exactly where the naive join's explode (every
     stopword shingle) blows up.
+
+    The shingle table feeds three plan branches (inverted index + the
+    two verification sides); it is persisted by default so the
+    shingling pass runs once — or pass a pre-persisted `shingled`
+    (from shingles()) shared with the minhash tier.
     """
     t = float(threshold)
-    grams = df.select(
-        F.col(id_col).alias("_id"),
-        F.array_distinct(word_ngrams(F.col(text_col), n)).alias("_grams"),
-    ).filter(F.size("_grams") > 0)
+    if shingled is not None:
+        grams = shingled
+    else:
+        grams = shingles(df, id_col, text_col, n)
+        if persist_shingles:
+            grams = grams.persist()
     ex = grams.select("_id", F.size("_grams").alias("_sz"), F.explode("_grams").alias("_g"))
     dfreq = ex.groupBy("_g").agg(F.count(F.lit(1)).alias("_df"))
     ranked = ex.join(dfreq, "_g")
@@ -154,15 +179,18 @@ def minhash_signatures(
     text_col: str,
     n: int = 3,
     n_hashes: int = 64,
+    shingled: DataFrame | None = None,
 ) -> DataFrame:
     """(_id, _sig) signature table — the reusable/persistable artifact
     (at production scale this is written once and shared by dedup and
     retrieval; minhash_lsh_candidates persists it for the duration of
-    one candidate computation)."""
-    grams = df.select(
-        F.col(id_col).alias("_id"),
-        F.array_distinct(word_ngrams(F.col(text_col), n)).alias("_grams"),
-    ).filter(F.size("_grams") > 0)
+    one candidate computation). Pass `shingled` (from shingles()) to
+    reuse an already-computed shingle table."""
+    grams = (
+        shingled
+        if shingled is not None
+        else shingles(df, id_col, text_col, n)
+    )
     return grams.select(
         "_id", minhash_signature(F.col("_grams"), n_hashes).alias("_sig")
     )
@@ -177,6 +205,7 @@ def minhash_lsh_candidates(
     bands: int = 16,
     bucket_cap: int = 4096,
     persist_signatures: bool = True,
+    shingled: DataFrame | None = None,
 ) -> DataFrame:
     """LSH candidate pairs (id_a, id_b, est_jaccard).
 
@@ -200,7 +229,7 @@ def minhash_lsh_candidates(
     minhash_signatures() and manage its lifecycle.
     """
     rows_per_band = n_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, n, n_hashes)
+    sig = minhash_signatures(df, id_col, text_col, n, n_hashes, shingled=shingled)
     if persist_signatures:
         sig = sig.persist()
     band_structs = F.array(
