@@ -50,8 +50,14 @@ _RESULT_SCHEMA = T.StructType(
 def audio_check_udf(
     it: Iterator[pd.DataFrame],
 ) -> Iterator[pd.DataFrame]:
-    """Batch-iterator UDF: struct(clip_id, codec, sr_hz, bytes) batches
-    -> (decode_error, snr_db, container_sr, n_samples)."""
+    """Batch-iterator UDF: struct(clip_id, codec, sr_hz, bytes, skip)
+    batches -> (decode_error, snr_db, container_sr, n_samples).
+
+    skip=True rows pass through with all-null outcomes and NO decode
+    attempt: the caller uses this for rows already diverted by a
+    non-payload hard rule, so their payloads ride the one scan (their
+    null-mask is still observed JVM-side) without costing any Python
+    decode time."""
     for pdf in it:
         n = len(pdf)
         err = np.full(n, None, dtype=object)
@@ -61,7 +67,10 @@ def audio_check_udf(
         clip_ids = pdf["clip_id"].to_numpy()
         codecs_col = pdf["codec"].to_numpy()
         payloads = pdf["bytes"].to_numpy()
+        skips = pdf["skip"].to_numpy()
         for i in range(n):
+            if skips[i]:
+                continue
             payload = payloads[i]
             try:
                 pcm, sr = codecs.decode(codecs_col[i], payload)
@@ -82,7 +91,11 @@ def audio_check_udf(
         )
 
 
-def run_audio_checks(clips: DataFrame, snr_min: float = SNR_MIN_DB) -> DataFrame:
+def run_audio_checks(
+    clips: DataFrame,
+    snr_min: float = SNR_MIN_DB,
+    skip_col: str | None = None,
+) -> DataFrame:
     """Append audio-check outcome columns:
 
       audio_bytes_null     boolean (structured null-payload flag —
@@ -98,9 +111,14 @@ def run_audio_checks(clips: DataFrame, snr_min: float = SNR_MIN_DB) -> DataFrame
     The SNR label rounds to 1dp, echoing the offending value like the
     reference's `fast_rt_...s` labels (core_models.py:169-202).
     """
+    skip = F.col(skip_col) if skip_col else F.lit(False)
     res = audio_check_udf(
         F.struct(
-            F.col("clip_id"), F.col("codec"), F.col("sr_hz"), F.col("bytes")
+            F.col("clip_id"),
+            F.col("codec"),
+            F.col("sr_hz"),
+            F.col("bytes"),
+            skip.alias("skip"),
         )
     )
     out = clips.withColumn("audio_bytes_null", F.col("bytes").isNull()).withColumn(

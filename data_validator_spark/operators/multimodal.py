@@ -5,12 +5,15 @@ level (magic sniffing, sizes, frame-sample planning) is JVM Column
 expressions, and the decode/feature stages are mapInPandas pipelines
 whose Spark-side shape (schema, batching, partitioning) is real.
 
-The actual image/video decoding is STUBBED: the container has no
-imaging/av libraries. `decode_image_features` raises
-NotImplementedError unless `fake=True`, which substitutes a
-deterministic hash-derived feature vector so the distributed plumbing
-is testable end-to-end. A production deployment replaces `_fake_rgb`
-with a PIL/libav call — nothing else changes.
+Image decode is REAL for PNG: operators/imaging.py implements the
+PNG container (zlib scanlines, all five filters) in pure
+numpy+stdlib, so `decode_image_features` turns PNG bytes into pixel
+statistics with no imaging library. Other formats (jpeg/video) have
+no pure-python decode path in this sandbox (install attempts recorded
+in BASELINE.md) and yield NULL features; `fake=True` substitutes a
+deterministic hash-derived vector for ANY payload so the distributed
+plumbing is exercisable on non-PNG fixtures. A production deployment
+adds PIL/libav branches next to the PNG one — nothing else changes.
 """
 
 from __future__ import annotations
@@ -24,7 +27,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 _MAGIC_HEX = {
-    "89504E47": "png",
+    "89504E47": "png",  # real decode path: operators/imaging.py
     "FFD8FFE0": "jpeg",
     "FFD8FFE1": "jpeg",
     "52494646": "riff",  # wav/avi container
@@ -90,25 +93,34 @@ def decode_image_features(
 ) -> DataFrame:
     """mapInPandas image-feature extraction: (id, features array<double>).
 
-    Real decode is unavailable in this environment; fake=True swaps in
-    the deterministic stand-in. The Arrow batching, minimal projection,
-    and repartition-before-decode are the production shape.
+    Real path (fake=False): PNG payloads decode for real (pure-python
+    codec, operators/imaging.py) into shape/mean/std features;
+    non-PNG or undecodable payloads yield NULL features. fake=True
+    swaps in the deterministic crc32 stand-in for every payload (used
+    when the fixture's payloads are audio, not images). The Arrow
+    batching, minimal projection, and repartition-before-decode are
+    the production shape either way.
     """
-    if not fake:
-        raise NotImplementedError(
-            "image decoding requires an imaging library not present in "
-            "this environment; pass fake=True for the deterministic stub"
-        )
     proj = df.select(F.col(id_col).alias("id"), F.col(payload_col).alias("payload"))
     if batch_partitions:
         proj = proj.repartition(batch_partitions, "id")
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from data_validator_spark.operators import imaging
+
+        def one(p):
+            if p is None:
+                return None
+            if fake:
+                return _fake_rgb(p).tolist()
+            try:
+                return imaging.image_features(imaging.decode_png(p)).tolist()
+            except imaging.ImageError:
+                return None
+
         for pdf in batches:
-            feats = [
-                _fake_rgb(p).tolist() if p is not None else None
-                for p in pdf["payload"]
-            ]
-            yield pd.DataFrame({"id": pdf["id"], "features": feats})
+            yield pd.DataFrame(
+                {"id": pdf["id"], "features": [one(p) for p in pdf["payload"]]}
+            )
 
     return proj.mapInPandas(extract, schema="id string, features array<double>")

@@ -173,6 +173,7 @@ def _banded(
     probe banding used by lsh_topk / embedding_near_dups. Extra
     columns of df are preserved (e.g. the vector itself for in-join
     scoring on the broadcast side)."""
+    df = df.filter(F.col(vec_col).isNotNull())  # null vectors have no bucket
     buckets = _band_buckets_udf(dim, n_planes, n_bands)
     bands = F.array(
         *[

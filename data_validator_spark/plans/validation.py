@@ -157,24 +157,24 @@ def run_validation(
 
         _, invalid = split_hard(clips.drop("bytes"), nonbytes, ENTITY, id_cols)
 
-        # a row failing a non-bytes hard rule is diverted before the
-        # decode stage — but if it ALSO has a null payload it still
-        # owes a bytes_missing violation (side-channel contract: one
-        # row per failed hard rule). Recovered from a scan that reads
-        # only the payload's null mask, never its bytes.
-        overlap_missing = clips.filter(
-            hard_predicate(nonbytes) & F.col("bytes").isNull()
-        ).select(*id_cols, *_bytes_missing_cols())
-        invalid = invalid.unionByName(overlap_missing)
-
-        # ---- scan-side decode: the ONLY full read of `bytes` in the
-        # run — scan -> hard filter -> minimal projection -> Arrow UDF
-        # -> small result columns, fused into the file scan. Rows whose
-        # payload is NULL flow through flagged with the structured
-        # audio_bytes_null column, which tier 1b maps back to the
-        # bytes_missing hard rule (no second payload scan needed).
-        audio_in = clips.filter(~hard_predicate(nonbytes)).select(
-            "clip_id", cfg.order_col, cfg.partition_col, "codec", "sr_hz", "bytes"
+        # ---- scan-side decode: the ONLY read of `bytes` in the run —
+        # scan -> minimal projection -> Arrow UDF -> small result
+        # columns, fused into the file scan. ALL rows ride this one
+        # scan; rows already diverted by a non-bytes hard rule carry
+        # _skip_decode=true so the UDF spends no Python time on them,
+        # but their payload null-mask is still observed JVM-side
+        # (audio_bytes_null) — that is how a diverted row with a null
+        # payload still earns its bytes_missing violation (side-channel
+        # contract: one row per failed hard rule) without a second
+        # payload scan.
+        audio_in = clips.select(
+            "clip_id",
+            cfg.order_col,
+            cfg.partition_col,
+            "codec",
+            "sr_hz",
+            "bytes",
+            hard_predicate(nonbytes).alias("_skip_decode"),
         )
         if cfg.decode_partitions:
             # optional: decouple decode parallelism from file layout
@@ -183,16 +183,16 @@ def run_validation(
             audio_in = audio_in.repartition(
                 cfg.decode_partitions, "clip_id", cfg.order_col
             )
-        audio_res = run_audio_checks(audio_in, snr_min=cfg.snr_min_db).drop(
-            "codec", "sr_hz", "bytes"
-        )
+        audio_res = run_audio_checks(
+            audio_in, snr_min=cfg.snr_min_db, skip_col="_skip_decode"
+        ).drop("codec", "sr_hz", "bytes")
         if cfg.persist:
             audio_res = audio_res.persist()
             _persisted.append(audio_res)
 
         # ---- tier 1b: bytes_missing, recovered from the decode stage
         # via the structured audio_bytes_null flag (never by matching
-        # the CodecError message text)
+        # the CodecError message text); covers diverted rows too
         bytes_missing = audio_res.filter(F.col("audio_bytes_null")).select(
             *id_cols, *_bytes_missing_cols()
         )
@@ -200,11 +200,13 @@ def run_validation(
 
         # bytes-free metadata branch joins the small audio results;
         # the join is inner on the unique (clip_id, order_col) key —
-        # see the input contract in the docstring — and null-payload
-        # rows are dropped below with the other decode failures
+        # see the input contract in the docstring. Diverted rows drop
+        # out on the meta side; null-payload rows are dropped here.
         meta = clips.drop("bytes").filter(~hard_predicate(nonbytes))
         v = meta.join(
-            audio_res.drop(cfg.partition_col), ["clip_id", cfg.order_col], "inner"
+            audio_res.drop(cfg.partition_col, "_skip_decode"),
+            ["clip_id", cfg.order_col],
+            "inner",
         )
         v = v.filter(~F.col("audio_bytes_null"))
     else:

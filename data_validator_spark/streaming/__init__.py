@@ -5,6 +5,7 @@ from data_validator_spark.streaming.incremental import (
     validate_stream,
     windowed_verdicts,
 )
+from data_validator_spark.streaming.stateful import streaming_dedup_flags
 
 __all__ = [
     "CLIPS_STREAM_SCHEMA",
@@ -12,4 +13,5 @@ __all__ = [
     "validate_stream",
     "windowed_verdicts",
     "run_incremental",
+    "streaming_dedup_flags",
 ]

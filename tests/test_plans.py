@@ -81,6 +81,88 @@ def test_predicate_pushdown_to_parquet(spark, fixture_paths):
     assert "sr_hz" in pushed, plan
 
 
+def _exchanges(df) -> list[tuple[str, list[str]]]:
+    """[(partitioning_keys_str, output_column_names)] for every
+    Exchange in the physical plan (tree walk — the toString form does
+    not print Exchange output schemas)."""
+    out: list[tuple[str, list[str]]] = []
+
+    def walk(node):
+        name = node.nodeName()
+        if name == "AdaptiveSparkPlan":  # AQE wrapper: descend into it
+            walk(node.initialPlan())
+            return
+        if "Exchange" in name:
+            cols = [
+                node.output().apply(i).name()
+                for i in range(node.output().size())
+            ]
+            out.append((node.outputPartitioning().toString(), cols))
+        for i in range(node.children().size()):
+            walk(node.children().apply(i))
+
+    walk(df._jdf.queryExecution().executedPlan())
+    return out
+
+
+def test_minhash_band_join_carries_no_signature_arrays(spark):
+    """Shuffle discipline of the LSH candidate plan (VERDICT round-1
+    item 7): the band-bucket join Exchanges (which scale with the
+    banding explosion) and the pair-dedup Exchange must carry only
+    ids/band/bucket — the 64-long signature arrays may ride ONLY the
+    final re-join onto the (small) deduped pair set."""
+    from data_validator_spark.operators import text_dedup
+
+    df = spark.createDataFrame(
+        [(i, f"tok{i} alpha beta gamma delta epsilon zeta eta theta") for i in range(30)],
+        "doc_id long, text string",
+    )
+    cand = text_dedup.minhash_lsh_candidates(
+        df, "doc_id", "text", n_hashes=32, bands=8, persist_signatures=False
+    )
+    exchanges = _exchanges(cand)
+    band_exchanges = [
+        (part, cols) for part, cols in exchanges if "band" in part or "bucket" in part
+    ]
+    # the pair-dedup shuffle partitions on BOTH ids; the later re-join
+    # exchanges (partitioned on a single id) legitimately carry a sig
+    dedup_exchanges = [
+        (part, cols)
+        for part, cols in exchanges
+        if "id_a" in part and "id_b" in part
+    ]
+    assert band_exchanges, exchanges  # the banding shuffle exists
+    for part, cols in band_exchanges + dedup_exchanges:
+        assert not any(c.startswith(("_sig", "sig_a", "sig_b")) for c in cols), (
+            part,
+            cols,
+        )
+
+
+def test_embedding_near_dup_band_join_carries_no_vectors(spark):
+    """Same discipline for the embedding near-dup plan: band-join and
+    pair-dedup Exchanges must not carry the embedding arrays."""
+    import math
+
+    from data_validator_spark.operators import similarity
+
+    df = spark.createDataFrame(
+        [(i, [math.sin(0.3 * i + j) for j in range(8)]) for i in range(30)],
+        "vec_id long, embedding array<double>",
+    )
+    nd = similarity.embedding_near_dups(df, dim=8, threshold=0.9, n_planes=6, n_bands=3)
+    exchanges = _exchanges(nd)
+    band_exchanges = [
+        (part, cols) for part, cols in exchanges if "band" in part or "bucket" in part
+    ]
+    assert band_exchanges, exchanges
+    for part, cols in band_exchanges:
+        assert not any(c.startswith(("_v", "va", "vb", "embedding")) for c in cols), (
+            part,
+            cols,
+        )
+
+
 def test_small_dim_join_broadcasts(spark, clips, transcripts_ref):
     """The transcript-winner join side is dim-sized here; Spark should
     pick a broadcast join somewhere in the validated plan (AQE or

@@ -79,6 +79,62 @@ def test_stateless_tiers_run_on_stream(spark, stream_dirs):
     assert "validation_msg_clip" in ok.columns
 
 
+def test_stateful_dedup_flags_across_restarts(spark, tmp_path):
+    """applyInPandasWithState uniqueness: a clip_id re-ingested in a
+    LATER availableNow run (new query, same checkpoint) is flagged as
+    a duplicate because the key state is restored from the checkpoint
+    — the cross-batch gap the batch-scoped window cannot see."""
+    from data_validator_spark.streaming import streaming_dedup_flags
+
+    in_dir = str(tmp_path / "landing")
+    ckpt = str(tmp_path / "ckpt")
+    out_dir = str(tmp_path / "flags")
+    schema = "clip_id string, ingest_seq long"
+
+    def run_pass():
+        before = set()
+        try:
+            before = {
+                (r.clip_id, r.ingest_seq)
+                for r in spark.read.parquet(out_dir).collect()
+            }
+        except Exception:
+            pass  # first pass: no output yet
+        stream = spark.readStream.schema(schema).parquet(in_dir)
+        out = streaming_dedup_flags(stream)
+        q = (
+            out.writeStream.format("parquet")
+            .option("path", out_dir)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        return {
+            (r.clip_id, r.ingest_seq): (r.dup_rank, r.dup_label)
+            for r in spark.read.parquet(out_dir).collect()
+            if (r.clip_id, r.ingest_seq) not in before
+        }
+
+    spark.createDataFrame(
+        [("a", 0), ("b", 1), ("a", 2)], schema
+    ).write.mode("append").parquet(in_dir)
+    got1 = run_pass()
+    assert got1[("a", 0)] == (0, None)
+    assert got1[("b", 1)] == (0, None)
+    assert got1[("a", 2)] == (1, "duplicate_clip_id(1)")
+
+    # second batch of files: 'b' re-ingested -> duplicate via restored state
+    spark.createDataFrame(
+        [("b", 3), ("c", 4)], schema
+    ).write.mode("append").parquet(in_dir)
+    got2 = run_pass()
+    assert got2[("b", 3)] == (1, "duplicate_clip_id(1)")
+    assert got2[("c", 4)] == (0, None)
+    assert ("a", 0) not in got2  # only the new files were processed
+
+
 def test_windowed_verdicts_with_watermark(spark, stream_dirs, tmp_path):
     in_dir, _ = stream_dirs
     stream = clips_stream(spark, in_dir).withColumn(
