@@ -1179,6 +1179,112 @@ def q49_iqr_approx(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q51_bpe_tokens(spark: SparkSession, sf: str) -> DataFrame:
+    """BPE-ish regex token counting (subword approximation) — the
+    token-budget primitive of a training-data pipeline; same regex
+    runs in DuckDB."""
+    from data_validator_spark.operators.text import bpe_ish_token_count
+
+    d = _t(spark, sf, "documents")
+    return (
+        d.withColumn("bpe", bpe_ish_token_count(F.col("text")))
+        .groupBy("lang")
+        .agg(
+            F.sum("bpe").cast("long").alias("sum_bpe_tokens"),
+            F.max("bpe").cast("long").alias("max_bpe_tokens"),
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+        )
+        .orderBy("lang")
+    )
+
+
+def q52_quality_score(spark: SparkSession, sf: str) -> DataFrame:
+    """Composite quality score (length band + alpha ratio + stopword
+    presence - punctuation excess, clamped to [0,1]) — the scalar a
+    corpus-filtering pass thresholds on."""
+    from data_validator_spark.operators.text import quality_score
+
+    d = _t(spark, sf, "documents")
+    scored = quality_score(d)
+    return (
+        scored.groupBy("lang")
+        .agg(
+            F.round(F.avg("quality_score"), 4).alias("avg_score"),
+            F.sum((F.col("quality_score") >= 0.5).cast("long")).alias("n_good"),
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+        )
+        .orderBy("lang")
+    )
+
+
+def q53_exact_dups(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact dedup tier (fingerprint groupBy, smallest-id keeper) over
+    a corpus augmented with 20 planted byte-identical copies — full
+    (keeper, dup) pair rows hash-matched against the SQL replay."""
+    from data_validator_spark.operators.text_dedup import exact_duplicates
+
+    d = (
+        _t(spark, sf, "documents")
+        .filter(F.col("text").isNotNull())  # null fp groups differ across engines
+        .select("doc_id", "text")
+    )
+    copies = d.filter(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    aug = d.unionByName(copies)
+    pairs = exact_duplicates(aug, "doc_id", "text")
+    return pairs.select(
+        "fingerprint",
+        F.col("keep_id").cast("long").alias("keep_id"),
+        F.col("dup_id").cast("long").alias("dup_id"),
+    ).orderBy("dup_id")
+
+
+def q54_frame_plan(spark: SparkSession, sf: str) -> DataFrame:
+    """Multimodal frame-sample planning: k evenly-spaced frame indices
+    per payload, computed WITHOUT touching the payload (metadata
+    column arithmetic only)."""
+    from data_validator_spark.operators.multimodal import frame_sample_plan
+
+    ev = _t(spark, sf, "events").filter(F.col("event_id") < 20)
+    # explicit floor: Spark's double->int cast truncates, DuckDB's rounds
+    n_frames = F.floor(F.col("value") * 10).cast("int")
+    plan = frame_sample_plan(n_frames, 6)
+    return (
+        ev.select(
+            "event_id",
+            n_frames.alias("n_frames"),
+            F.concat_ws(",", plan.cast("array<string>")).alias("frames_csv"),
+        )
+        .orderBy("event_id")
+    )
+
+
+def q55_lang_normalize(spark: SparkSession, sf: str) -> DataFrame:
+    """Language normalization (short-code expansion + region
+    recasing) + BCP-47 format validation — the variant language rule
+    family (core_models.py:815-869)."""
+    from data_validator_spark.functions.scalars import BCP47_RE, normalize_language
+
+    ev = _t(spark, sf, "events")
+    raw = (
+        F.when(F.col("event_id") % 6 == 0, F.lit("en"))
+        .when(F.col("event_id") % 6 == 1, F.lit("ES-co"))
+        .when(F.col("event_id") % 6 == 2, F.lit("de"))
+        .when(F.col("event_id") % 6 == 3, F.lit("  fr-CA  "))
+        .when(F.col("event_id") % 6 == 4, F.lit("nl-nl"))
+        .otherwise(F.lit("xx"))
+    )
+    norm = normalize_language(raw)
+    return (
+        ev.withColumn("lang_norm", norm)
+        .withColumn("bcp47_ok", F.col("lang_norm").rlike(BCP47_RE))
+        .groupBy("lang_norm", "bcp47_ok")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy("lang_norm")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1231,6 +1337,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q48_dependent_quota": q48_dependent_quota,
         "q49_iqr_approx": q49_iqr_approx,
         "q50_embedding_neardups": q50_embedding_neardups,
+        "q51_bpe_tokens": q51_bpe_tokens,
+        "q52_quality_score": q52_quality_score,
+        "q53_exact_dups": q53_exact_dups,
+        "q54_frame_plan": q54_frame_plan,
+        "q55_lang_normalize": q55_lang_normalize,
     }
 
 
@@ -1815,6 +1926,95 @@ _ORACLES: dict[str, str] = {
             AND round(CAST(list_cosine_similarity(a.embedding, p.embedding)
                            AS DOUBLE), 6) >= 0.99)
         SELECT count(*)::BIGINT AS n_exact_pairs, 0::BIGINT AS n_missed FROM exact
+    """,
+    "q51_bpe_tokens": r"""
+        WITH b AS (
+          SELECT lang,
+                 len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS bpe
+          FROM documents)
+        SELECT lang, sum(bpe)::BIGINT AS sum_bpe_tokens,
+               max(bpe)::BIGINT AS max_bpe_tokens,
+               count(*)::BIGINT AS n_docs
+        FROM b GROUP BY 1 ORDER BY 1
+    """,
+    "q52_quality_score": f"""
+        WITH f AS (
+          SELECT lang,
+            length(text) AS n_chars,
+            CASE WHEN trim(text) IS NULL OR trim(text)='' THEN 0
+                 ELSE len(string_split(trim(text), ' ')) END AS toks,
+            length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha,
+            length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS punct,
+            len(regexp_extract_all({_NORM_TEXT}, '{_EN_RX}')) AS stop_hits
+          FROM documents),
+        r AS (
+          SELECT lang,
+            CASE WHEN n_chars > 0 THEN round(alpha / n_chars, 4) ELSE 0.0 END AS alpha_r,
+            CASE WHEN n_chars > 0 THEN round(punct / n_chars, 4) ELSE 0.0 END AS punct_r,
+            CASE WHEN toks > 0 THEN round(stop_hits / toks, 4) ELSE 0.0 END AS stop_r,
+            toks
+          FROM f),
+        s AS (
+          SELECT lang,
+            round(greatest(least(
+              0.4 * least(toks / 20.0, 1.0)
+              + 0.3 * alpha_r
+              + 0.3 * least(stop_r * 2, 1.0)
+              - 0.2 * greatest(punct_r - 0.1, 0.0), 1.0), 0.0), 4) AS score
+          FROM r)
+        SELECT lang, round(avg(score), 4) AS avg_score,
+               sum(CASE WHEN score >= 0.5 THEN 1 ELSE 0 END)::BIGINT AS n_good,
+               count(*)::BIGINT AS n_docs
+        FROM s GROUP BY 1 ORDER BY 1
+    """,
+    "q53_exact_dups": f"""
+        WITH base AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+        aug AS (
+          SELECT doc_id, text FROM base
+          UNION ALL SELECT doc_id + 100000, text FROM base WHERE doc_id < 20),
+        n AS (SELECT doc_id, md5({_NORM_TEXT}) AS fp FROM aug),
+        g AS (SELECT fp, min(doc_id) AS keep_id FROM n GROUP BY 1)
+        SELECT n.fp AS fingerprint, g.keep_id::BIGINT AS keep_id,
+               n.doc_id::BIGINT AS dup_id
+        FROM n JOIN g ON n.fp = g.fp AND n.doc_id != g.keep_id
+        ORDER BY dup_id
+    """,
+    "q54_frame_plan": """
+        WITH e AS (
+          SELECT event_id, CAST(floor(value * 10) AS INT) AS n_frames
+          FROM events WHERE event_id < 20)
+        SELECT event_id, n_frames,
+               CASE WHEN n_frames > 0 THEN
+                 array_to_string([CAST(floor(i * n_frames / 6) AS INT)
+                                  for i in range(0, 6)], ',')
+               END AS frames_csv
+        FROM e ORDER BY event_id
+    """,
+    "q55_lang_normalize": """
+        WITH raw AS (
+          SELECT CASE event_id % 6
+                   WHEN 0 THEN 'en' WHEN 1 THEN 'ES-co' WHEN 2 THEN 'de'
+                   WHEN 3 THEN '  fr-CA  ' WHEN 4 THEN 'nl-nl' ELSE 'xx'
+                 END AS r
+          FROM events),
+        t AS (SELECT trim(r) AS s FROM raw),
+        e AS (
+          SELECT CASE lower(s)
+                   WHEN 'en' THEN 'en-US' WHEN 'es' THEN 'es-CO'
+                   WHEN 'de' THEN 'de-DE' WHEN 'fr' THEN 'fr-CA'
+                   WHEN 'nl' THEN 'nl-NL' ELSE s
+                 END AS x
+          FROM t),
+        n AS (
+          SELECT CASE WHEN len(string_split(x, '-')) = 2
+                      THEN lower(string_split(x, '-')[1]) || '-'
+                           || upper(string_split(x, '-')[2])
+                      ELSE x END AS lang_norm
+          FROM e)
+        SELECT lang_norm,
+               regexp_matches(lang_norm, '^[a-z]{2}-[A-Z]{2}$') AS bcp47_ok,
+               count(*)::BIGINT AS n
+        FROM n GROUP BY 1, 2 ORDER BY 1
     """,
     "q30_bool_coercion": """
         WITH raw AS (
