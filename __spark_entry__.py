@@ -1285,6 +1285,46 @@ def q55_lang_normalize(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q56_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    """Dedup CLUSTERS (not just pairs): connected components over the
+    near-dup graph via iterative min-label propagation, including
+    planted 2-hop chains (doc -> copy -> copy-of-copy) that force real
+    multi-round transitive propagation. Oracle: DuckDB recursive-CTE
+    reachability closure computes the identical component labels."""
+    from data_validator_spark.operators.graph import dedup_clusters
+    from data_validator_spark.operators.text_dedup import ngram_jaccard_pairs
+
+    d = (
+        _t(spark, sf, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", "text")
+        .repartition(32)
+    )
+    jac = ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.8).select(
+        "id_a", "id_b"
+    )
+    ten = d.filter(F.col("doc_id") < 10).select("doc_id")
+    chains = ten.select(
+        F.col("doc_id").alias("id_a"), (F.col("doc_id") + 100000).alias("id_b")
+    ).unionByName(
+        ten.select(
+            (F.col("doc_id") + 100000).alias("id_a"),
+            (F.col("doc_id") + 200000).alias("id_b"),
+        )
+    )
+    edges = jac.unionByName(chains)
+    clusters = dedup_clusters(edges)
+    return (
+        clusters.groupBy("component")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            F.sum("member_id").cast("long").alias("sum_members"),
+            F.sum(F.col("is_keeper").cast("long")).alias("n_keepers"),
+        )
+        .orderBy("component")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1342,6 +1382,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q53_exact_dups": q53_exact_dups,
         "q54_frame_plan": q54_frame_plan,
         "q55_lang_normalize": q55_lang_normalize,
+        "q56_dedup_clusters": q56_dedup_clusters,
     }
 
 
@@ -2015,6 +2056,42 @@ _ORACLES: dict[str, str] = {
                regexp_matches(lang_norm, '^[a-z]{2}-[A-Z]{2}$') AS bcp47_ok,
                count(*)::BIGINT AS n
         FROM n GROUP BY 1, 2 ORDER BY 1
+    """,
+    "q56_dedup_clusters": f"""
+        WITH RECURSIVE
+        d AS (SELECT doc_id, {_NORM_TEXT} nt FROM documents WHERE text IS NOT NULL),
+        toks AS (SELECT doc_id, string_split(nt, ' ') tk FROM d),
+        grams AS (
+          SELECT doc_id,
+                 list_distinct([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+                                for i in range(1, len(tk)-1)]) gs
+          FROM toks WHERE len(tk) >= 3),
+        ex AS (SELECT doc_id, len(gs) sz, unnest(gs) g FROM grams),
+        jac AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+          HAVING count(*)::DOUBLE /
+                 (any_value(a.sz) + any_value(b.sz) - count(*)) >= 0.8),
+        chains AS (
+          SELECT doc_id AS id_a, doc_id + 100000 AS id_b
+          FROM documents WHERE text IS NOT NULL AND doc_id < 10
+          UNION ALL
+          SELECT doc_id + 100000, doc_id + 200000
+          FROM documents WHERE text IS NOT NULL AND doc_id < 10),
+        edges AS (SELECT id_a, id_b FROM jac UNION SELECT id_a, id_b FROM chains),
+        sym AS (SELECT id_a AS s, id_b AS t FROM edges
+                UNION SELECT id_b, id_a FROM edges),
+        reach(src, dst) AS (
+          SELECT s, s FROM sym
+          UNION
+          SELECT r.src, y.t FROM reach r JOIN sym y ON r.dst = y.s
+        ),
+        comp AS (SELECT src AS id, min(dst) AS component FROM reach GROUP BY 1)
+        SELECT component, count(*)::BIGINT AS n_members,
+               sum(id)::BIGINT AS sum_members,
+               sum(CASE WHEN id = component THEN 1 ELSE 0 END)::BIGINT AS n_keepers
+        FROM comp GROUP BY 1 ORDER BY 1
     """,
     "q30_bool_coercion": """
         WITH raw AS (

@@ -220,3 +220,24 @@ def test_null_payload_plus_other_hard_rule_emits_both_violations(spark):
     # c1: codec_missing AND bytes_missing; c2: bytes_missing only
     assert (0, "bytes_missing") in got_a and (0, "codec_missing") in got_a
     assert (1, "bytes_missing") in got_a
+
+
+def test_connected_components_chain_and_cliques(spark):
+    from data_validator_spark.operators.graph import connected_components, dedup_clusters
+
+    edges = spark.createDataFrame(
+        # a 5-node chain (needs multi-round propagation) + a disjoint triangle
+        [(10, 20), (20, 30), (30, 40), (40, 50), (7, 8), (8, 9), (7, 9)],
+        "id_a long, id_b long",
+    )
+    cc = {r.id: r.component for r in connected_components(edges).collect()}
+    assert {cc[x] for x in (10, 20, 30, 40, 50)} == {10}
+    assert {cc[x] for x in (7, 8, 9)} == {7}
+    # dedup action: exactly one keeper per component, keeper == min id
+    cl = dedup_clusters(edges).collect()
+    keepers = {r.component for r in cl if r.is_keeper}
+    assert keepers == {7, 10}
+    assert sum(1 for r in cl if r.is_keeper) == 2
+    # determinism
+    cc2 = {r.id: r.component for r in connected_components(edges).collect()}
+    assert cc2 == cc
