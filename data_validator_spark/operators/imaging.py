@@ -62,6 +62,14 @@ def encode_png(pixels: np.ndarray) -> bytes:
 
 
 def _unfilter(raw: bytes, h: int, w: int, channels: int) -> np.ndarray:
+    """Reverse PNG scanline filtering. None/Up/Sub are vectorized
+    (Sub's recurrence out[x] = line[x] + out[x-bpp] is a per-channel
+    prefix sum mod 256); Average/Paeth predict from BOTH the left and
+    the upper pixel, which is inherently sequential in x — those rows
+    fall back to a per-byte loop. Our own encoder emits filter 0
+    everywhere (fully vectorized decode); the loop only runs for
+    externally-produced PNGs, where a 10^12-row sweep would use
+    libpng anyway."""
     stride = w * channels
     out = np.zeros((h, stride), dtype=np.uint8)
     pos = 0
@@ -75,15 +83,18 @@ def _unfilter(raw: bytes, h: int, w: int, channels: int) -> np.ndarray:
             out[y] = line
         elif ftype == 2:  # Up
             out[y] = line + prev
-        elif ftype in (1, 3, 4):  # Sub / Average / Paeth need left pixel
+        elif ftype == 1:  # Sub: prefix sum per channel (uint8 wraps)
+            cols = line.reshape(w, bpp)
+            out[y] = np.cumsum(cols, axis=0, dtype=np.uint64).astype(
+                np.uint8
+            ).reshape(stride)
+        elif ftype in (3, 4):  # Average / Paeth need left pixel
             cur = out[y]
             line_i = line.astype(np.int32)
             prev_i = prev.astype(np.int32)
             for x in range(stride):
                 left = int(cur[x - bpp]) if x >= bpp else 0
-                if ftype == 1:
-                    val = line_i[x] + left
-                elif ftype == 3:
+                if ftype == 3:
                     val = line_i[x] + ((left + int(prev_i[x])) >> 1)
                 else:  # Paeth
                     ul = int(out[y - 1][x - bpp]) if (y > 0 and x >= bpp) else 0
