@@ -1285,6 +1285,22 @@ def q55_lang_normalize(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q57_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF ANN (k-means coarse quantizer + nprobe probing) vs the same
+    exact SQL oracle as q42: the planted twin's true nearest neighbor
+    must surface at rank 1 through cell assignment + probe join —
+    both ANN scale paths (hyperplane LSH q42, IVF q57) answer
+    identically on ground truth the oracle can compute."""
+    from data_validator_spark.operators.similarity import ivf_topk
+
+    e = _t(spark, sf, "embeddings")
+    pert = _perturbed_twins(e, 5)
+    out = ivf_topk(
+        e, pert, dim=64, k=1, n_cells=16, nprobe=4, round_digits=4
+    )
+    return out.withColumn("rank", F.col("rank").cast("long")).orderBy("query_id")
+
+
 def q56_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     """Dedup CLUSTERS (not just pairs): connected components over the
     near-dup graph via iterative min-label propagation, including
@@ -1383,6 +1399,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q54_frame_plan": q54_frame_plan,
         "q55_lang_normalize": q55_lang_normalize,
         "q56_dedup_clusters": q56_dedup_clusters,
+        "q57_ivf_topk": q57_ivf_topk,
     }
 
 
@@ -1837,6 +1854,23 @@ _ORACLES: dict[str, str] = {
         FROM pairs
     """,
     "q42_lsh_topk": """
+        WITH pert AS (
+          SELECT vec_id + 100000 AS query_id,
+                 list_transform(embedding, x -> x*(1+0.1*x)) AS qv
+          FROM embeddings WHERE vec_id < 5),
+        scored AS (
+          SELECT p.query_id, e.vec_id AS neighbor_id,
+                 round(CAST(list_cosine_similarity(e.embedding, p.qv) AS DOUBLE), 4)
+                   AS cos_sim
+          FROM embeddings e CROSS JOIN pert p),
+        ranked AS (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+                     ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+          FROM scored)
+        SELECT query_id, neighbor_id, cos_sim, rank::BIGINT AS rank
+        FROM ranked WHERE rank <= 1 ORDER BY query_id
+    """,
+    "q57_ivf_topk": """
         WITH pert AS (
           SELECT vec_id + 100000 AS query_id,
                  list_transform(embedding, x -> x*(1+0.1*x)) AS qv

@@ -241,3 +241,30 @@ def test_connected_components_chain_and_cliques(spark):
     # determinism
     cc2 = {r.id: r.component for r in connected_components(edges).collect()}
     assert cc2 == cc
+
+
+def test_ivf_topk_finds_planted_twins_and_subsets_bruteforce(spark):
+    import math
+
+    rows = [
+        (i, [math.sin(0.3 * i + 0.7 * j) for j in range(16)]) for i in range(300)
+    ]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    twins = corpus.filter(F.col("vec_id") < 8).select(
+        (F.col("vec_id") + 1000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * (1 + F.lit(0.05) * x)).alias(
+            "embedding"
+        ),
+    )
+    out = similarity.ivf_topk(
+        corpus, twins, dim=16, k=1, n_cells=8, nprobe=3
+    ).collect()
+    found = {r.query_id: (r.neighbor_id, r.rank) for r in out}
+    assert found == {1000 + i: (i, 1) for i in range(8)}
+    # every IVF hit carries the exact cosine brute force would compute
+    bf = {
+        (r.query_id, r.neighbor_id): r.cos_sim
+        for r in similarity.brute_force_topk(corpus, twins, k=300).collect()
+    }
+    for r in out:
+        assert bf[(r.query_id, r.neighbor_id)] == r.cos_sim
