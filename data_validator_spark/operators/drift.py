@@ -45,11 +45,13 @@ def drift_metrics(baseline_hist: DataFrame, current_hist: DataFrame) -> DataFram
     term = (pc - pb) * F.log(pc / pb)
 
     # numeric buckets sort numerically (-1 underflow .. n overflow);
-    # categorical buckets sort lexicographically
-    order_key = F.coalesce(
-        F.col("bucket").try_cast("double"), F.xxhash64("bucket").cast("double")
+    # categorical buckets sort lexicographically (a column's buckets
+    # are homogeneous, so the numeric key is all-null for categorical
+    # and the string tiebreak takes over)
+    w = Window.partitionBy("column_name").orderBy(
+        F.col("bucket").try_cast("double").asc_nulls_last(),
+        F.col("bucket").asc(),
     )
-    w = Window.partitionBy("column_name").orderBy(order_key)
     cdf_gap = F.abs(
         F.sum("p_cur").over(w) - F.sum("p_base").over(w)
     )
