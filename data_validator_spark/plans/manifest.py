@@ -138,12 +138,20 @@ def run_resumable(
     transcripts_ref: DataFrame | None = None,
     baseline_hist: DataFrame | None = None,
     cfg: ValidationConfig = ValidationConfig(),
+    record: bool = True,
 ) -> tuple[list[str], ValidationResult | None]:
     """Validate only unvalidated partitions; record verdicts.
 
     Returns (validated_partition_values, result|None). The pruning
     predicate is partition-aligned (`ingest_date IN (...)`) so on a
     partitioned source Catalyst prunes files before any read.
+
+    record=False defers the manifest append: the manifest row is the
+    COMMIT POINT of a partition, so callers that also write
+    validated/invalid outputs (job.py) must land those first and then
+    call `manifest.record(result.manifest_rows)` — otherwise a crash
+    between recording and writing would mark partitions done with no
+    outputs on disk. record=True is for verdict-only runs.
     """
     todo = pending_partitions(spark, clips, manifest, cfg)
     if not todo:
@@ -155,5 +163,7 @@ def run_resumable(
     verdicts = result.partition_verdicts.withColumn(
         "partition_value", F.col(cfg.partition_col).cast("string")
     ).join(fp, "partition_value", "left")
-    manifest.record(verdicts)
+    result.manifest_rows = verdicts
+    if record:
+        manifest.record(verdicts)
     return todo, result

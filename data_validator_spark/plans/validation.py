@@ -80,6 +80,11 @@ class ValidationResult:
     histograms: DataFrame
     drift: DataFrame | None = None
     ref_winners: DataFrame | None = None
+    # set by manifest.run_resumable: the (verdict + fingerprint) rows to
+    # append to the checkpoint manifest — callers that write outputs
+    # themselves record these LAST, so a crash can never mark a
+    # partition done before its outputs landed
+    manifest_rows: DataFrame | None = None
     # the exact DataFrames persist() was called on (cfg.persist=True);
     # unpersisting `validated` (a child plan) would be a silent no-op
     persisted: list[DataFrame] = field(default_factory=list)

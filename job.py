@@ -69,7 +69,12 @@ def main() -> int:
     manifest = CheckpointManifest(payload.get("manifest_path", f"{out}/manifest"))
 
     t0 = time.monotonic()
-    todo, result = run_resumable(spark, clips, manifest, tr, baseline, cfg)
+    # record=False: the manifest row is the partition's COMMIT POINT —
+    # it must land AFTER the outputs, so a crash mid-job re-validates
+    # the partition instead of silently skipping it with no outputs
+    todo, result = run_resumable(
+        spark, clips, manifest, tr, baseline, cfg, record=False
+    )
     if result is None:
         print(json.dumps({"status": "up_to_date", "partitions": 0}))
         return 0
@@ -80,6 +85,7 @@ def main() -> int:
     result.histograms.coalesce(1).write.mode("append").parquet(f"{out}/histograms")
     if result.drift is not None:
         result.drift.coalesce(1).write.mode("append").parquet(f"{out}/drift")
+    manifest.record(result.manifest_rows)
     n_rows = result.validated.count()
     result.unpersist()
     print(

@@ -66,3 +66,20 @@ def test_fingerprint_order_independent(spark, clips):
     shuffled = clips.orderBy(F.rand(7))
     fp2 = {r.partition_value: r.fingerprint for r in partition_fingerprints(shuffled, "ingest_date").collect()}
     assert fp1 == fp2
+
+
+def test_deferred_record_is_the_commit_point(spark, clips, transcripts_ref, tmp_path):
+    """record=False: a crash BETWEEN validation and output writes must
+    leave every partition pending (manifest untouched); recording
+    result.manifest_rows afterwards commits them."""
+    m = CheckpointManifest(str(tmp_path / "manifest"))
+    cfg = ValidationConfig(check_audio=False)
+    todo, result = run_resumable(spark, clips, m, transcripts_ref, cfg=cfg, record=False)
+    assert todo and result is not None and result.manifest_rows is not None
+    # simulated crash before record: everything still pending
+    todo2, _ = run_resumable(spark, clips, m, transcripts_ref, cfg=cfg, record=False)
+    assert sorted(todo2) == sorted(todo)
+    # commit, then nothing is pending
+    m.record(result.manifest_rows)
+    todo3, result3 = run_resumable(spark, clips, m, transcripts_ref, cfg=cfg)
+    assert todo3 == [] and result3 is None
