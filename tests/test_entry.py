@@ -16,10 +16,13 @@ def test_entry_runs(spark):
     assert {"o_orderpriority", "n_rows", "n_invalid"} <= set(df.columns)
 
 
-def test_queries_have_oracles_or_are_marked(spark):
+def test_every_query_is_oracle_gated(spark):
+    """Round-2 invariant: ZERO rows-only checks — every queries() entry
+    carries a DuckDB oracle (hash-dependent operators via assertion
+    oracles; see __spark_entry__ module docstring)."""
     qs = entry.queries()
     oracles = entry.oracle_sql()
-    assert set(oracles) <= set(qs)
+    assert set(oracles) == set(qs), set(qs) - set(oracles)
     # every oracle-checked query name resolves to a callable
     assert all(callable(f) for f in qs.values())
     # sql strings reference only pre-registered views
