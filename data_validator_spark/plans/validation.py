@@ -80,6 +80,10 @@ class ValidationResult:
     histograms: DataFrame
     drift: DataFrame | None = None
     ref_winners: DataFrame | None = None
+    # transcript-side referential integrity: reference rows whose
+    # clip_id matches no clip (the other direction of the clip <->
+    # transcript pair; the fixture injects these via p_ref_extra)
+    orphan_transcripts: DataFrame | None = None
     # set by manifest.run_resumable: the (verdict + fingerprint) rows to
     # append to the checkpoint manifest — callers that write outputs
     # themselves record these LAST, so a crash can never mark a
@@ -226,7 +230,16 @@ def run_validation(
     v = append_messages(v, ENTITY, F.col("_dup_label")).drop("_dup_label")
 
     ref_winners = None
+    orphan_transcripts = None
     if transcripts_ref is not None:
+        # transcript-side referential integrity (J3's other direction):
+        # reference rows pointing at no clip, from a bytes-free
+        # clip-id projection (raw transcripts_ref rows carry base ids;
+        # :dupN suffixing only happens inside winner_selection)
+        clip_ids = clips.select("clip_id").dropDuplicates(["clip_id"])
+        orphan_transcripts = transcripts_ref.join(
+            clip_ids, "clip_id", "left_anti"
+        )
         ref_winners, ambiguous = _ref_winner_transcripts(transcripts_ref)
         # inherited dedup message (J6): clip references a transcript
         # group with >=2 completed rows -> no authoritative transcript
@@ -331,5 +344,6 @@ def run_validation(
         histograms=hist,
         drift=drift_df,
         ref_winners=ref_winners,
+        orphan_transcripts=orphan_transcripts,
         persisted=_persisted,
     )

@@ -123,3 +123,19 @@ def test_ambiguous_ref_inherits_multi_message(result, transcripts_ref, golden):
         ~F.col("validation_msg_clip").contains("multiple_completed_transcripts")
     )
     assert missed.count() == 0
+
+
+def test_orphan_transcripts_surfaced(result, clips, transcripts_ref):
+    """Transcript-side referential integrity: the fixture injects
+    orphan reference rows (p_ref_extra, 'clip-x...' ids); every one of
+    them — and nothing else — lands in result.orphan_transcripts."""
+    got = result.orphan_transcripts
+    assert got is not None
+    clip_ids = {r.clip_id for r in clips.select("clip_id").distinct().collect()}
+    rows = got.collect()
+    assert len(rows) > 0  # fixture covers this branch
+    assert all(r.clip_id not in clip_ids for r in rows)
+    exp = transcripts_ref.join(
+        clips.select("clip_id").distinct(), "clip_id", "left_anti"
+    ).count()
+    assert len(rows) == exp
