@@ -985,10 +985,41 @@ def q45_clips_flagship(spark: SparkSession, sf: str) -> DataFrame:
     parts = res.partition_verdicts.agg(
         F.count(F.lit(1)).cast("long").alias("n_partitions")
     )
+    # transcript-side referential integrity: the EXPECTED orphan set is
+    # derivable from the golden flags alone — (a) the generator's
+    # injected extra reference rows ('<prefix>-x...' ids), plus (b)
+    # base ids of dup-injected clips (a dup row carries its SOURCE's
+    # clip_id, so its own base id vanishes from the clip side) whose
+    # transcript row exists (i.e. not also ref_missing). The
+    # pipeline's anti-join must surface exactly that set, both ways.
+    expected_ids = (
+        tr.filter(F.col("clip_id").rlike(r"^clip-x\d+$")).select("clip_id")
+        .unionByName(
+            golden.filter(F.col("inj_dup") & ~F.col("inj_ref_missing")).select(
+                F.format_string("clip-%012d", F.col("ingest_seq")).alias(
+                    "clip_id"
+                )
+            )
+        )
+        .dropDuplicates(["clip_id"])
+    )
+    orph_ids = res.orphan_transcripts.select("clip_id").dropDuplicates(
+        ["clip_id"]
+    )
+    orph = (
+        orph_ids.join(expected_ids, "clip_id", "left_anti")
+        .agg(F.count(F.lit(1)).cast("long").alias("orphan_unexplained"))
+        .crossJoin(
+            expected_ids.join(orph_ids, "clip_id", "left_anti").agg(
+                F.count(F.lit(1)).cast("long").alias("orphan_missing")
+            )
+        )
+    )
     return (
         checks.crossJoin(hard)
         .crossJoin(g)
         .crossJoin(parts)
+        .crossJoin(orph)
         .select(
             (F.col("_n_validated") + F.col("_n_hard")).alias("n_rows"),
             "n_partitions",
@@ -1000,6 +1031,8 @@ def q45_clips_flagship(spark: SparkSession, sf: str) -> DataFrame:
             "dup_missed",
             "mismatch_missed",
             "refmiss_missed",
+            "orphan_unexplained",
+            "orphan_missing",
         )
     )
 
@@ -1938,7 +1971,8 @@ _ORACLES: dict[str, str] = {
         SELECT 2000::BIGINT AS n_rows, 4::BIGINT AS n_partitions,
                0::BIGINT AS decode_fail_delta, 0::BIGINT AS snr_missed,
                0::BIGINT AS snr_false_pos, 0::BIGINT AS dup_missed,
-               0::BIGINT AS mismatch_missed, 0::BIGINT AS refmiss_missed
+               0::BIGINT AS mismatch_missed, 0::BIGINT AS refmiss_missed,
+               0::BIGINT AS orphan_unexplained, 0::BIGINT AS orphan_missing
     """,
     "q46_multimodal_meta": """
         SELECT 1000::BIGINT AS n_rows, 4::BIGINT AS n_formats,
