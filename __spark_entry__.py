@@ -1374,6 +1374,50 @@ def q56_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q58_png_features(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL image decode through the full mapInPandas plumbing: 32
+    deterministic gradient PNGs are encoded in-executor, decoded by
+    the pure-python PNG codec (operators/imaging.py), and reduced to
+    pixel statistics — which DuckDB computes ANALYTICALLY from the
+    gradient formula ((x*7 + ch*31) % 256 + y % 2), no image bytes on
+    the oracle side at all."""
+    from data_validator_spark.operators.multimodal import decode_image_features
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        from data_validator_spark.operators import imaging
+
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            out_id, out_png = [], []
+            for i in ids:
+                h, w = 6 + int(i) % 5, 9 + int(i) % 3
+                y, x = np.mgrid[0:h, 0:w]
+                px = np.stack(
+                    [(x * 7 + ch * 31) % 256 + y % 2 for ch in range(3)],
+                    axis=2,
+                ).astype(np.uint8)
+                out_id.append(str(i))
+                out_png.append(bytearray(imaging.encode_png(px)))
+            yield pd.DataFrame({"clip_id": out_id, "bytes": out_png})
+
+    imgs = spark.range(0, 32, numPartitions=4).mapInPandas(
+        gen, "clip_id string, bytes binary"
+    )
+    feats = decode_image_features(imgs, fake=False)
+    return feats.select(
+        F.col("id").cast("long").alias("img_id"),
+        F.element_at("features", 1).cast("long").alias("h"),
+        F.element_at("features", 2).cast("long").alias("w"),
+        F.element_at("features", 3).cast("long").alias("c"),
+        F.round(F.element_at("features", 4), 6).alias("mean_px"),
+        F.round(F.element_at("features", 5), 6).alias("std_px"),
+        F.round(F.element_at("features", 6), 6).alias("ch0_mean"),
+    ).orderBy("img_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1433,6 +1477,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q55_lang_normalize": q55_lang_normalize,
         "q56_dedup_clusters": q56_dedup_clusters,
         "q57_ivf_topk": q57_ivf_topk,
+        "q58_png_features": q58_png_features,
     }
 
 
@@ -2160,6 +2205,26 @@ _ORACLES: dict[str, str] = {
                sum(id)::BIGINT AS sum_members,
                sum(CASE WHEN id = component THEN 1 ELSE 0 END)::BIGINT AS n_keepers
         FROM comp GROUP BY 1 ORDER BY 1
+    """,
+    "q58_png_features": """
+        WITH imgs AS (
+          SELECT i AS img_id, 6 + i % 5 AS h, 9 + i % 3 AS w
+          FROM range(0, 32) t(i)),
+        px AS (
+          SELECT img_id, h, w, ch,
+                 ((x*7 + ch*31) % 256 + y % 2)::DOUBLE AS v
+          FROM imgs, range(0, 12) ty(y), range(0, 12) tx(x), range(0, 3) tc(ch)
+          WHERE y < h AND x < w),
+        agg AS (
+          SELECT img_id, any_value(h) AS h, any_value(w) AS w,
+                 avg(v) AS mean_px,
+                 sqrt(avg(v*v) - avg(v)*avg(v)) AS std_px,
+                 avg(CASE WHEN ch = 0 THEN v END) AS ch0_mean
+          FROM px GROUP BY 1)
+        SELECT img_id, h::BIGINT AS h, w::BIGINT AS w, 3::BIGINT AS c,
+               round(mean_px, 6) AS mean_px, round(std_px, 6) AS std_px,
+               round(ch0_mean, 6) AS ch0_mean
+        FROM agg ORDER BY img_id
     """,
     "q30_bool_coercion": """
         WITH raw AS (
