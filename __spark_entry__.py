@@ -1418,6 +1418,48 @@ def q58_png_features(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("img_id")
 
 
+def q59_manifest_resume(spark: SparkSession, sf: str) -> DataFrame:
+    """Checkpoint-manifest incrementality (S8/S9, §2.10) under the
+    driver gate: run 1 validates all partitions, run 2 finds nothing
+    pending, appending rows to ONE partition makes exactly that
+    partition pending again (content-fingerprint change detection).
+    All counts are config-determined -> literal oracle row."""
+    import shutil
+    import tempfile
+
+    from data_validator_spark.fixtures import ClipsConfig, generate_clips
+    from data_validator_spark.plans import ValidationConfig, run_validation  # noqa: F401
+    from data_validator_spark.plans.manifest import CheckpointManifest, run_resumable
+
+    cfg = ClipsConfig(n_rows=600, n_partitions=3, max_synth_ms=200)
+    vcfg = ValidationConfig(check_audio=False)
+    tmp = tempfile.mkdtemp(prefix="q59_manifest_")
+    try:
+        clips_path = f"{tmp}/clips"
+        generate_clips(spark, cfg).write.mode("overwrite").partitionBy(
+            "ingest_date"
+        ).parquet(clips_path)
+        clips = spark.read.parquet(clips_path)
+        manifest = CheckpointManifest(f"{tmp}/manifest")
+        todo1, _ = run_resumable(spark, clips, manifest, cfg=vcfg)
+        todo2, _ = run_resumable(spark, clips, manifest, cfg=vcfg)
+        # append rows into one existing partition -> fingerprint changes
+        extra = generate_clips(
+            spark, ClipsConfig(n_rows=10, n_partitions=1, seed=99,
+                               max_synth_ms=200, clip_id_prefix="extra")
+        )
+        extra.write.mode("append").partitionBy("ingest_date").parquet(clips_path)
+        clips2 = spark.read.parquet(clips_path)
+        todo3, _ = run_resumable(spark, clips2, manifest, cfg=vcfg)
+        rows = [(len(todo1), len(todo2), len(todo3), sorted(todo3)[0])]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "n_pending_first long, n_pending_second long, "
+        "n_pending_after_change long, changed_partition string"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1478,6 +1520,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q56_dedup_clusters": q56_dedup_clusters,
         "q57_ivf_topk": q57_ivf_topk,
         "q58_png_features": q58_png_features,
+        "q59_manifest_resume": q59_manifest_resume,
     }
 
 
@@ -2225,6 +2268,11 @@ _ORACLES: dict[str, str] = {
                round(mean_px, 6) AS mean_px, round(std_px, 6) AS std_px,
                round(ch0_mean, 6) AS ch0_mean
         FROM agg ORDER BY img_id
+    """,
+    "q59_manifest_resume": """
+        SELECT 3::BIGINT AS n_pending_first, 0::BIGINT AS n_pending_second,
+               1::BIGINT AS n_pending_after_change,
+               '2026-01-01' AS changed_partition
     """,
     "q30_bool_coercion": """
         WITH raw AS (
