@@ -1460,6 +1460,62 @@ def q59_manifest_resume(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q60_streaming_resume(spark: SparkSession, sf: str) -> DataFrame:
+    """Structured-Streaming incrementality (§2.10) under the driver
+    gate: availableNow pass 1 processes every landed file (row
+    conservation holds), a second pass with no new files emits
+    nothing (checkpoint-tracked file log), and a third pass after new
+    files land processes exactly those. Config-determined counts ->
+    literal oracle row."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as _F
+
+    from data_validator_spark.fixtures import ClipsConfig, generate_clips
+    from data_validator_spark.plans import ValidationConfig
+    from data_validator_spark.streaming import run_incremental
+
+    tmp = tempfile.mkdtemp(prefix="q60_stream_")
+    try:
+        in_dir, out_dir = f"{tmp}/landing", f"{tmp}/out"
+        vcfg = ValidationConfig(check_audio=False)
+        generate_clips(
+            spark, ClipsConfig(n_rows=400, n_partitions=2, max_synth_ms=200)
+        ).write.mode("append").parquet(in_dir)
+
+        def totals() -> int:
+            v = spark.read.parquet(f"{out_dir}/validated").count()
+            h = (
+                spark.read.parquet(f"{out_dir}/invalid")
+                .select("ingest_seq", "clip_id")
+                .distinct()
+                .count()
+            )
+            return v + h
+
+        run_incremental(spark, in_dir, out_dir, cfg=vcfg).awaitTermination(300)
+        n1 = totals()
+        run_incremental(spark, in_dir, out_dir, cfg=vcfg).awaitTermination(300)
+        n2 = totals()
+        generate_clips(
+            spark,
+            ClipsConfig(
+                n_rows=200, n_partitions=2, max_synth_ms=200,
+                clip_id_prefix="clipb",
+            ),
+        ).write.mode("append").parquet(in_dir)
+        run_incremental(spark, in_dir, out_dir, cfg=vcfg).awaitTermination(300)
+        n3 = totals()
+        rows = [(n1, n2 - n1, n3)]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    _ = _F  # touch (kept for symmetry with other fixture queries)
+    return spark.createDataFrame(
+        rows, "n_pass1 long, noop_delta long, n_after_new_files long"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1521,6 +1577,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q57_ivf_topk": q57_ivf_topk,
         "q58_png_features": q58_png_features,
         "q59_manifest_resume": q59_manifest_resume,
+        "q60_streaming_resume": q60_streaming_resume,
     }
 
 
@@ -2273,6 +2330,10 @@ _ORACLES: dict[str, str] = {
         SELECT 3::BIGINT AS n_pending_first, 0::BIGINT AS n_pending_second,
                1::BIGINT AS n_pending_after_change,
                '2026-01-01' AS changed_partition
+    """,
+    "q60_streaming_resume": """
+        SELECT 400::BIGINT AS n_pass1, 0::BIGINT AS noop_delta,
+               600::BIGINT AS n_after_new_files
     """,
     "q30_bool_coercion": """
         WITH raw AS (
