@@ -1516,6 +1516,64 @@ def q60_streaming_resume(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q61_schema_drift_diff(spark: SparkSession, sf: str) -> DataFrame:
+    """Week-over-week SCHEMA drift (weekly_report.py:450-675): per
+    group, which JSON fields appeared/disappeared between two eras of
+    the polymorphic document column — set difference over observed
+    key sets, the A7 fingerprint family's diff action."""
+    ev = _t(spark, sf, "events").withColumn("doc", _json_shape_col())
+    keys = F.json_object_keys("doc")
+    era = F.when(
+        F.col("ts") < F.lit("2024-01-15 00:00:00"), F.lit("w1")
+    ).otherwise(F.lit("w2"))
+    per = (
+        ev.withColumn("era", era)
+        .withColumn("keys", keys)
+        .groupBy("event_type", "era")
+        .agg(
+            F.array_sort(
+                F.array_distinct(F.flatten(F.collect_set("keys")))
+            ).alias("fields")
+        )
+    )
+    w1 = per.filter(F.col("era") == "w1").select(
+        "event_type", F.col("fields").alias("f1")
+    )
+    w2 = per.filter(F.col("era") == "w2").select(
+        "event_type", F.col("fields").alias("f2")
+    )
+    j = w1.join(w2, "event_type", "full_outer").select(
+        "event_type",
+        F.coalesce("f1", F.array().cast("array<string>")).alias("f1"),
+        F.coalesce("f2", F.array().cast("array<string>")).alias("f2"),
+    )
+    return j.select(
+        "event_type",
+        F.concat_ws(",", F.array_sort(F.array_except("f2", "f1"))).alias(
+            "fields_added"
+        ),
+        F.concat_ws(",", F.array_sort(F.array_except("f1", "f2"))).alias(
+            "fields_removed"
+        ),
+        F.size(F.array_intersect("f1", "f2")).cast("long").alias("n_stable"),
+    ).orderBy("event_type")
+
+
+def q62_recent_n_per_group(spark: SparkSession, sf: str) -> DataFrame:
+    """R3's dedicated oracle: N most recent rows per group
+    (weekly_report.py:519-555 schema-drift doc sampling)."""
+    from data_validator_spark.operators.sampling import recent_n_per_group
+
+    ev = _t(spark, sf, "events").withColumn(
+        "_ord", F.concat_ws("|", F.col("ts").cast("string"), F.col("event_id"))
+    )
+    recent = recent_n_per_group(ev, "user_id", "_ord", 3)
+    return recent.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("event_id").cast("long").alias("sum_ids"),
+    ).orderBy("event_type")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1578,6 +1636,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q58_png_features": q58_png_features,
         "q59_manifest_resume": q59_manifest_resume,
         "q60_streaming_resume": q60_streaming_resume,
+        "q61_schema_drift_diff": q61_schema_drift_diff,
+        "q62_recent_n_per_group": q62_recent_n_per_group,
     }
 
 
@@ -2334,6 +2394,39 @@ _ORACLES: dict[str, str] = {
     "q60_streaming_resume": """
         SELECT 400::BIGINT AS n_pass1, 0::BIGINT AS noop_delta,
                600::BIGINT AS n_after_new_files
+    """,
+    "q61_schema_drift_diff": f"""
+        WITH d AS (SELECT event_type, ts, {_JSON_SHAPE} AS doc FROM events),
+        ks AS (
+          SELECT event_type,
+                 CASE WHEN ts < timestamp '2024-01-15 00:00:00'
+                      THEN 'w1' ELSE 'w2' END AS era,
+                 unnest(json_keys(doc)) AS k
+          FROM d),
+        per AS (
+          SELECT event_type, era, list_sort(list_distinct(list(k))) AS fields
+          FROM ks GROUP BY 1, 2),
+        w1 AS (SELECT event_type, fields AS f1 FROM per WHERE era = 'w1'),
+        w2 AS (SELECT event_type, fields AS f2 FROM per WHERE era = 'w2'),
+        j AS (
+          SELECT coalesce(w1.event_type, w2.event_type) AS event_type,
+                 coalesce(f1, []) AS f1, coalesce(f2, []) AS f2
+          FROM w1 FULL OUTER JOIN w2 ON w1.event_type = w2.event_type)
+        SELECT event_type,
+               coalesce(array_to_string(list_sort(list_filter(f2,
+                 x -> NOT list_contains(f1, x))), ','), '') AS fields_added,
+               coalesce(array_to_string(list_sort(list_filter(f1,
+                 x -> NOT list_contains(f2, x))), ','), '') AS fields_removed,
+               len(list_filter(f1, x -> list_contains(f2, x)))::BIGINT AS n_stable
+        FROM j ORDER BY 1
+    """,
+    "q62_recent_n_per_group": """
+        WITH ranked AS (
+          SELECT *, row_number() OVER (PARTITION BY user_id
+            ORDER BY (CAST(ts AS VARCHAR) || '|' || CAST(event_id AS VARCHAR)) DESC) rn
+          FROM events)
+        SELECT event_type, count(*)::BIGINT AS n, sum(event_id)::BIGINT AS sum_ids
+        FROM ranked WHERE rn <= 3 GROUP BY 1 ORDER BY 1
     """,
     "q30_bool_coercion": """
         WITH raw AS (
