@@ -93,9 +93,18 @@ def materialize_clips(spark, rows: int, max_synth_ms: int, out_dir: str) -> dict
     return paths
 
 
-def time_clips_validation(spark, paths: dict, rows: int, cores: int, repeats: int = 1) -> dict:
+def time_clips_validation(spark, paths: dict, rows: int, cores: int, repeats: int = 2) -> dict:
     """Full pipeline: hard tier -> soft rules -> dedup -> referential /
     winner-selection -> audio decode+SNR -> verdicts + stats.
+
+    Timed with >=2 passes by default and BOTH `clips_sec_cold` (first
+    pass: JVM JIT + python-worker fork + page-cache warm-up) and
+    `clips_sec_warm` (best subsequent pass: the steady-state number a
+    long-running cluster job sees) are reported. The single-pass
+    protocol produced a phantom 2.5x regression in BENCH_r02.json:
+    cold first-pass wall time is bimodal in this sandbox (~11 s vs
+    ~37 s on identical code), while warm passes are stable — headline
+    clips_per_sec therefore uses the best pass.
 
     decode_partitions stays None: repartitioning before decode would
     shuffle the `bytes` payload (the largest column) — at target scale
@@ -110,7 +119,7 @@ def time_clips_validation(spark, paths: dict, rows: int, cores: int, repeats: in
 
     clips = spark.read.parquet(paths["clips"])
     tr = spark.read.parquet(paths["transcripts_ref"])
-    best = None
+    passes: list[float] = []
     for _ in range(max(1, repeats)):
         t0 = time.monotonic()
         res = run_validation(clips, tr, cfg=ValidationConfig(persist=True))
@@ -134,12 +143,17 @@ def time_clips_validation(spark, paths: dict, rows: int, cores: int, repeats: in
         elapsed = time.monotonic() - t0
         res.unpersist()
         log(f"  clips pass: {elapsed:.2f}s")
-        if best is None or elapsed < best:
-            best = elapsed
+        passes.append(elapsed)
+    best = min(passes)
+    warm = min(passes[1:]) if len(passes) > 1 else passes[0]
     return {
         "clips_rows": rows,
         "clips_sec": round(best, 3),
+        "clips_sec_cold": round(passes[0], 3),
+        "clips_sec_warm": round(warm, 3),
         "clips_per_sec": round(rows / best, 1),
+        "clips_per_sec_cold": round(rows / passes[0], 1),
+        "clips_per_sec_warm": round(rows / warm, 1),
         "n_valid_out": n_valid,
         "n_hard_invalid": n_invalid,
         "n_partitions": len(verdicts),
@@ -174,8 +188,9 @@ def main() -> None:
     ap.add_argument("--rows", type=int, default=int(os.environ.get("BENCH_CLIP_ROWS", "40000")))
     ap.add_argument("--max-synth-ms", type=int, default=600)
     ap.add_argument("--clips-only", action="store_true")
-    ap.add_argument("--repeats", type=int, default=1,
-                    help="timed passes in one session; best is reported (first pass absorbs JVM/worker warm-up)")
+    ap.add_argument("--repeats", type=int, default=2,
+                    help="timed passes in one session; cold (first) and warm "
+                         "(best subsequent) are both reported, headline uses best")
     ap.add_argument("--skip-clips", action="store_true")
     ap.add_argument("--clips-dir", default=None,
                     help="pre-materialized fixture dir (skip generation)")

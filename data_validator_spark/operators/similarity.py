@@ -104,7 +104,12 @@ def hyperplane_signature(
     """Sign pattern of dot products against n_planes fixed random
     hyperplanes, packed into a long bitmask. Array folds only
     (transform/zip_with/aggregate) so the expression stays inside
-    whole-stage codegen; the plane matrix is a folded constant."""
+    whole-stage codegen; the plane matrix is a folded constant.
+
+    Kept deliberately as the documented PARITY REFERENCE for the Arrow
+    matmul path (_band_buckets_udf, which is what the operators use):
+    tests assert both forms bucket identically, which pins the matmul
+    implementation to a pure-Column spec."""
     if n_planes > 62:
         raise ValueError("n_planes must be <= 62 to pack into a long")
     planes = _planes_literal(dim, n_planes, seed)
@@ -144,6 +149,11 @@ def _band_buckets_udf(dim: int, n_planes: int, n_bands: int):
     float-summation order."""
     from pyspark.sql.functions import pandas_udf
 
+    if n_planes > 62:
+        # same guard as hyperplane_signature (the Column-form parity
+        # reference): 1 << 63 overflows int64 and would silently wrap
+        # into wrong buckets instead of erroring.
+        raise ValueError("n_planes must be <= 62 to pack into a long")
     mats = [
         np.random.RandomState(b).standard_normal((n_planes, dim))
         for b in range(n_bands)
@@ -259,6 +269,7 @@ def ivf_topk(
     nprobe: int = 4,
     seed: int = 7,
     round_digits: int = 6,
+    max_train_rows: int = 1_000_000,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: a k-means coarse
     quantizer partitions the corpus into n_cells inverted lists; each
@@ -271,11 +282,16 @@ def ivf_topk(
     "IVF or LSH" — this engine ships both).
 
     Plan shape: KMeans training is the one iterative stage (seeded,
-    deterministic for a fixed input+partitioning); afterwards the
-    centroid matrix is a tiny broadcast constant — corpus cell
-    assignment is a map-only Arrow matmul (argmin distance), queries
-    (small, broadcast) explode to their nprobe probe cells, and the
-    cell join is a BroadcastHashJoin: the corpus is never shuffled.
+    deterministic for a fixed input+partitioning) and its input is
+    CAPPED at max_train_rows via a deterministic hash sample + hard
+    limit — at 10^12 rows an uncapped fit costs 20 iterations x
+    full-table passes before the first query is answered, while
+    centroid quality at n_cells <= a few hundred is statistically
+    indistinguishable on a ~1M-row sample. Afterwards the centroid
+    matrix is a tiny broadcast constant — corpus cell assignment is a
+    map-only Arrow matmul (argmin distance), queries (small,
+    broadcast) explode to their nprobe probe cells, and the cell join
+    is a BroadcastHashJoin: the corpus is never shuffled.
 
     -> (query_id, neighbor_id, cos_sim, rank)
     """
@@ -285,7 +301,18 @@ def ivf_topk(
     from pyspark.ml.functions import array_to_vector
     from pyspark.sql.functions import pandas_udf
 
-    train = corpus.select(
+    from data_validator_spark.operators.sampling import hash_sample
+
+    n_corpus = corpus.count()  # columnar count: cheap vs 20 fit passes
+    train_src = corpus
+    if n_corpus > max_train_rows:
+        # ~10% over-draw (hash_sample hits the fraction only in
+        # expectation), then a hard limit so the fit input is bounded
+        # regardless of corpus size. Deterministic: md5 buckets + limit
+        # over the sample — no rand().
+        frac = min(1.0, 1.1 * max_train_rows / n_corpus)
+        train_src = hash_sample(corpus, [id_col], frac).limit(max_train_rows)
+    train = train_src.select(
         array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
     )
     model = KMeans(k=n_cells, seed=seed, maxIter=20).fit(train)

@@ -241,6 +241,41 @@ def test_connected_components_chain_and_cliques(spark):
     # determinism
     cc2 = {r.id: r.component for r in connected_components(edges).collect()}
     assert cc2 == cc
+    # the label-propagation path answers identically on shallow graphs
+    cc3 = {
+        r.id: r.component
+        for r in connected_components(edges, algorithm="label").collect()
+    }
+    assert cc3 == cc
+
+
+def test_connected_components_deep_chain_logarithmic(spark):
+    """star contraction on a 2,000-node CHAIN (worst case for label
+    propagation: diameter 1999) must converge in O(log n) rounds —
+    max_iter = log2(n)+4 would raise ConvergenceError if rounds grew
+    linearly, and label propagation at max_iter=25 must raise instead
+    of silently returning split components (ADVICE r2, graph.py:57)."""
+    import math
+
+    import pytest
+
+    from data_validator_spark.operators.graph import (
+        ConvergenceError,
+        connected_components,
+    )
+
+    n = 2000
+    edges = spark.range(1, n).select(
+        (F.col("id") - 1).alias("id_a"), F.col("id").alias("id_b")
+    )
+    budget = int(math.log2(n)) + 4  # 14 rounds for n=2000
+    cc = connected_components(edges, max_iter=budget, algorithm="star")
+    comps = cc.select("component").distinct().collect()
+    assert [r.component for r in comps] == [0]
+    assert cc.count() == n
+    # label propagation needs ~n rounds here -> must raise, not lie
+    with pytest.raises(ConvergenceError):
+        connected_components(edges, max_iter=10, algorithm="label").collect()
 
 
 def test_ivf_topk_finds_planted_twins_and_subsets_bruteforce(spark):
