@@ -8,7 +8,9 @@ operators (MinHash/SimHash/LSH, binomial UDF, HLL profile, the clips
 audio pipeline) are oracle-checked through ASSERTION queries: each
 emits deterministic scalars DuckDB can predict — containment counts
 that are structurally zero (simhash pigeonhole radius), near-certain
-zero (minhash at r=2 over jaccard>=0.8: P[miss]~6e-15), planted-twin
+zero (minhash 16 bands of r=2 over jaccard>=0.8: P[miss] =
+(1-J^2)^16 ~ 8e-8 at the J=0.8 boundary, far tighter at the J~1.0 of
+planted duplicates), planted-twin
 ANN answers whose exact ground truth is SQL-computable, tolerance
 booleans (HLL ±5%, approx_percentile within 1% of IQR), contract
 booleans (pseudonymizer length/stability/salt), and golden-fixture
@@ -1039,8 +1041,8 @@ def q45_clips_flagship(spark: SparkSession, sf: str) -> DataFrame:
 
 def q46_multimodal_meta(spark: SparkSession, sf: str) -> DataFrame:
     """Multimodal plumbing assertion: magic-byte sniffing must observe
-    exactly the 4 container formats the fixture encodes (riff +
-    flac/mulaw/opus stand-ins), every null payload must sniff to NULL
+    exactly the 4 container formats the fixture encodes (riff/WAVE,
+    real FLAC, and the mulaw/opus containers), every null payload must sniff to NULL
     and match the golden inj_bytes_null count, and the mapInPandas
     feature stage must emit features for exactly the non-null rows.
     All scalars are config-determined -> literal oracle row."""
@@ -1061,7 +1063,13 @@ def q46_multimodal_meta(spark: SparkSession, sf: str) -> DataFrame:
         F.sum(F.col("payload_format").isNull().cast("long")).alias("_n_null"),
     )
     fagg = feats.agg(
-        F.sum(F.col("features").isNotNull().cast("long")).alias("_n_feat")
+        F.sum(F.col("features").isNotNull().cast("long")).alias("_n_feat"),
+        # every NULL feature must carry a NORMALIZED reason; in fake
+        # mode the only legal reason is payload_missing, one per null
+        F.sum(
+            (F.col("decode_error") == "payload_missing").cast("long")
+        ).alias("_n_missing"),
+        F.sum(F.col("decode_error").isNotNull().cast("long")).alias("_n_err"),
     )
     gagg = golden.agg(
         F.sum(F.col("inj_bytes_null").cast("long")).alias("_g_null")
@@ -1076,6 +1084,8 @@ def q46_multimodal_meta(spark: SparkSession, sf: str) -> DataFrame:
                 "feat_plus_null_delta"
             ),
             (F.col("_n_null") - F.col("_g_null")).alias("bytes_null_delta"),
+            (F.col("_n_err") - F.col("_n_missing")).alias("error_reason_delta"),
+            (F.col("_n_err") - F.col("_n_null")).alias("error_count_delta"),
         )
     )
 
@@ -1574,6 +1584,49 @@ def q62_recent_n_per_group(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("event_type")
 
 
+def q63_dedup_pipeline(spark: SparkSession, sf: str) -> DataFrame:
+    """END-TO-END dedup action (exact -> LSH candidates -> exact-
+    jaccard verify -> star-contraction clusters -> keeper list) as ONE
+    operator call, with 20 planted exact copies on top of the corpus's
+    organic near-dups. The final keeper set depends only on md5
+    fingerprints + true jaccard (LSH is candidate generation, exact
+    verification gates), so DuckDB replays the ENTIRE pipeline:
+    exact groups -> representative near-dup pairs -> recursive-CTE
+    closure -> min-id keepers. sum(dropped ids) pins exact membership."""
+    from data_validator_spark.operators.text_dedup import dedup_pipeline
+
+    base = (
+        _t(spark, sf, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", "text")
+    )
+    aug = base.unionByName(
+        base.filter(F.col("doc_id") < 20).select(
+            (F.col("doc_id") + 100000).alias("doc_id"), "text"
+        )
+    ).repartition(32)
+    res = dedup_pipeline(
+        aug, "doc_id", "text", n=3, n_hashes=64, bands=32,
+        threshold=0.8, est_margin=0.25,
+    )
+    k = res.keepers.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum((~F.col("is_keeper")).cast("long")).alias("n_dropped"),
+        F.sum(F.when(~F.col("is_keeper"), F.col("id"))).cast("long").alias(
+            "sum_dropped_ids"
+        ),
+    )
+    e = res.exact_pairs.agg(F.count(F.lit(1)).cast("long").alias("n_exact_pairs"))
+    v = res.verified_pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_verified_pairs"),
+        F.sum(F.round(F.col("jaccard") * 1e6).cast("long")).alias("sum_jac_micro"),
+    )
+    c = res.clusters.agg(
+        F.count_distinct("component").cast("long").alias("n_multi_components")
+    )
+    return k.crossJoin(e).crossJoin(v).crossJoin(c)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1638,6 +1691,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q60_streaming_resume": q60_streaming_resume,
         "q61_schema_drift_diff": q61_schema_drift_diff,
         "q62_recent_n_per_group": q62_recent_n_per_group,
+        "q63_dedup_pipeline": q63_dedup_pipeline,
     }
 
 
@@ -2181,7 +2235,8 @@ _ORACLES: dict[str, str] = {
     """,
     "q46_multimodal_meta": """
         SELECT 1000::BIGINT AS n_rows, 4::BIGINT AS n_formats,
-               0::BIGINT AS feat_plus_null_delta, 0::BIGINT AS bytes_null_delta
+               0::BIGINT AS feat_plus_null_delta, 0::BIGINT AS bytes_null_delta,
+               0::BIGINT AS error_reason_delta, 0::BIGINT AS error_count_delta
     """,
     "q47_pseudonymize": """
         SELECT c_custkey, length(c_name)::INT AS name_len,
@@ -2428,6 +2483,55 @@ _ORACLES: dict[str, str] = {
         SELECT event_type, count(*)::BIGINT AS n, sum(event_id)::BIGINT AS sum_ids
         FROM ranked WHERE rn <= 3 GROUP BY 1 ORDER BY 1
     """,
+    "q63_dedup_pipeline": """
+        WITH RECURSIVE
+        base AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+        aug AS (SELECT doc_id, text FROM base
+                UNION ALL SELECT doc_id + 100000, text FROM base WHERE doc_id < 20),
+        n AS (SELECT doc_id, text, md5({{_NT}}) AS fp FROM aug),
+        g AS (SELECT fp, min(doc_id) AS keep_id FROM n GROUP BY 1),
+        exact_pairs AS (
+          SELECT n.fp, g.keep_id, n.doc_id AS dup_id
+          FROM n JOIN g ON n.fp = g.fp AND n.doc_id != g.keep_id),
+        reps AS (SELECT n.doc_id, n.text
+                 FROM n JOIN g ON n.fp = g.fp AND n.doc_id = g.keep_id),
+        d AS (SELECT doc_id, {{_NT}} nt FROM reps),
+        toks AS (SELECT doc_id, string_split(nt, ' ') tk FROM d),
+        grams AS (
+          SELECT doc_id,
+                 list_distinct([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+                                for i in range(1, len(tk)-1)]) gs
+          FROM toks WHERE len(tk) >= 3),
+        ex AS (SELECT doc_id, len(gs) sz, unnest(gs) g FROM grams),
+        jac AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 round(count(*)::DOUBLE /
+                       (any_value(a.sz) + any_value(b.sz) - count(*)), 6) AS jaccard
+          FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+          HAVING round(count(*)::DOUBLE /
+                       (any_value(a.sz) + any_value(b.sz) - count(*)), 6) >= 0.8),
+        edges AS (SELECT keep_id AS id_a, dup_id AS id_b FROM exact_pairs
+                  UNION SELECT id_a, id_b FROM jac),
+        sym AS (SELECT id_a AS s, id_b AS t FROM edges
+                UNION SELECT id_b, id_a FROM edges),
+        reach(src, dst) AS (
+          SELECT s, s FROM sym
+          UNION
+          SELECT r.src, y.t FROM reach r JOIN sym y ON r.dst = y.s),
+        comp AS (SELECT src AS id, min(dst) AS component FROM reach GROUP BY 1),
+        keep AS (SELECT n.doc_id AS id, coalesce(c.component, n.doc_id) AS component
+                 FROM n LEFT JOIN comp c ON n.doc_id = c.id)
+        SELECT
+          (SELECT count(*) FROM keep)::BIGINT AS n_docs,
+          (SELECT count(*) FROM keep WHERE id != component)::BIGINT AS n_dropped,
+          (SELECT sum(id) FROM keep WHERE id != component)::BIGINT AS sum_dropped_ids,
+          (SELECT count(*) FROM exact_pairs)::BIGINT AS n_exact_pairs,
+          (SELECT count(*) FROM jac)::BIGINT AS n_verified_pairs,
+          (SELECT sum(CAST(round(jaccard * 1000000) AS BIGINT)) FROM jac)::BIGINT
+            AS sum_jac_micro,
+          (SELECT count(DISTINCT component) FROM comp)::BIGINT AS n_multi_components
+    """.replace("{{_NT}}", "{_NT}").replace("{_NT}", _NORM_TEXT),
     "q30_bool_coercion": """
         WITH raw AS (
           SELECT CASE WHEN event_id % 5 = 0 THEN 'TRUE'

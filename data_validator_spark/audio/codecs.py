@@ -5,15 +5,17 @@ Real codecs:
   - ``pcm16``: standard RIFF/WAVE 16-bit PCM container (fully real).
   - ``mulaw``: G.711 mu-law companding (real algorithm, ITU-T G.711)
     in a minimal ``MULW`` container.
+  - ``flac``: REAL FLAC bitstream (audio/flac.py — pure-python subset
+    codec: fixed/verbatim/constant subframes, rice residuals, CRC-8 +
+    CRC-16 + MD5 verified; mono/16-bit encode, wider decode).
 
-Stand-in codecs (the *plumbing* — schema, per-codec dispatch, Arrow
+Stand-in codec (the *plumbing* — schema, per-codec dispatch, Arrow
 batching, SNR math — is real; only the bitstream format is ours):
-  - ``flac``: lossless stand-in, zlib-compressed int16 PCM (``FLC0``).
   - ``opus``: lossy stand-in, 12-bit quantization (``OPU0``) giving a
-    deterministic ~72 dB SNR, comfortably above the 30 dB gate.
-
-A production deployment swaps `decode`'s stand-in branches for
-soundfile/libopus calls; everything else is unchanged.
+    deterministic ~72 dB SNR, comfortably above the 30 dB gate. Opus
+    remains a stand-in because there is no pure-python path to
+    CELT/SILK (a range-coded transform codec); a production deployment
+    swaps this one branch for libopus, everything else is unchanged.
 
 All decoders raise ``CodecError`` on malformed payloads — the engine
 maps that to the ``audio_decode_failed`` hard violation.
@@ -26,11 +28,12 @@ import zlib
 
 import numpy as np
 
+from data_validator_spark.audio import flac as _flac
+
 SUPPORTED_CODECS = ("pcm16", "flac", "mulaw", "opus")
 
 _WAV_FMT_PCM = 1
 _MAGIC_MULAW = b"MULW"
-_MAGIC_FLAC = b"FLC0"
 _MAGIC_OPUS = b"OPU0"
 
 
@@ -97,27 +100,21 @@ def _decode_mulaw(payload: bytes) -> tuple[np.ndarray, int]:
     return pcm.astype(np.float32), sr_hz
 
 
-# ---------------------------------------------------------------- flac stand-in
+# ---------------------------------------------------------------- flac (real)
 
 
 def _encode_flac(pcm: np.ndarray, sr_hz: int) -> bytes:
-    i16 = (np.clip(pcm, -1.0, 1.0) * 32767.0).astype("<i2")
-    comp = zlib.compress(i16.tobytes(), level=1)
-    return _MAGIC_FLAC + struct.pack("<IQ", sr_hz, len(i16)) + comp
+    try:
+        return _flac.encode_flac(pcm, sr_hz)
+    except _flac.FlacError as e:
+        raise CodecError(f"flac encode failed: {e}") from e
 
 
 def _decode_flac(payload: bytes) -> tuple[np.ndarray, int]:
-    if len(payload) < 16 or payload[:4] != _MAGIC_FLAC:
-        raise CodecError("not a FLC0 payload")
-    sr_hz, n = struct.unpack("<IQ", payload[4:16])
     try:
-        raw = zlib.decompress(payload[16:])
-    except zlib.error as e:
-        raise CodecError(f"flac inflate failed: {e}") from e
-    if len(raw) != n * 2:
-        raise CodecError("flac sample-count mismatch")
-    pcm = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32767.0
-    return pcm, sr_hz
+        return _flac.decode_flac(payload)
+    except _flac.FlacError as e:
+        raise CodecError(f"flac decode failed: {e}") from e
 
 
 # ---------------------------------------------------------------- opus stand-in

@@ -1,0 +1,580 @@
+"""Pure-python/numpy FLAC subset codec — REAL bitstream, no audio libs.
+
+Implements the FLAC format (public spec / RFC 9639) for the subset
+this engine's fixtures need, the same playbook as the pure-python PNG
+codec in operators/imaging.py:
+
+  encoder: mono, 16-bit, fixed-blocksize streams; CONSTANT and
+      FIXED(0..2) subframes chosen per frame by residual cost; rice
+      residuals (method 0, partition order 0) with per-partition
+      parameter search and the spec's escape (raw-width) fallback;
+      correct STREAMINFO (incl. the unencoded-audio MD5), frame-header
+      CRC-8 and whole-frame CRC-16.
+  decoder: mono frames with CONSTANT / VERBATIM / FIXED(0..4)
+      subframes, wasted bits, BOTH rice methods (4- and 5-bit
+      parameters) incl. escaped partitions, any partition order,
+      all block-size / sample-rate / sample-size header codings,
+      UTF-8-coded frame and sample numbers, CRC-8 + CRC-16
+      verification, STREAMINFO MD5 verification. LPC subframes are
+      outside the subset and raise CodecError (no pure-python LPC
+      encoder exists to pair it with here; decode coverage for
+      externally-encoded fixed/verbatim/constant streams is real).
+
+Everything is vectorized where it is hot: rice encode builds the bit
+array with numpy cumsum/scatter (no per-sample python loop), rice
+decode is a two-pass scheme — a cheap python scan over the positions
+of 1-bits finds the unary quotients, then one numpy gather decodes
+every low-bit field at once. Reference counterpart for WHY this codec
+exists: the per-row decoded-PCM invariant the validation engine
+checks (BASELINE.json input_hint; reference rt-bounds
+core_models.py:169-202).
+"""
+
+from __future__ import annotations
+
+import bisect
+import hashlib
+import struct
+
+import numpy as np
+
+
+class FlacError(ValueError):
+    """Malformed or unsupported-subset FLAC payload."""
+
+
+MAGIC = b"fLaC"
+
+# ----------------------------------------------------------------- CRCs
+
+_CRC8_POLY = 0x07  # x^8 + x^2 + x + 1
+_CRC16_POLY = 0x8005  # x^16 + x^15 + x^2 + 1
+
+
+def _make_crc8_table() -> tuple[int, ...]:
+    t = []
+    for i in range(256):
+        c = i
+        for _ in range(8):
+            c = ((c << 1) ^ _CRC8_POLY) & 0xFF if c & 0x80 else (c << 1) & 0xFF
+        t.append(c)
+    return tuple(t)
+
+
+def _make_crc16_table() -> tuple[int, ...]:
+    t = []
+    for i in range(256):
+        c = i << 8
+        for _ in range(8):
+            c = ((c << 1) ^ _CRC16_POLY) & 0xFFFF if c & 0x8000 else (c << 1) & 0xFFFF
+        t.append(c)
+    return tuple(t)
+
+
+# native tuples, NOT numpy arrays: the per-byte loop below is the
+# decode hot path and numpy scalar indexing costs ~5x a tuple index
+_CRC8_TABLE = _make_crc8_table()
+_CRC16_TABLE = _make_crc16_table()
+
+
+def crc8(data) -> int:
+    c = 0
+    t = _CRC8_TABLE
+    for b in bytes(data):
+        c = t[c ^ b]
+    return c
+
+
+def crc16(data) -> int:
+    c = 0
+    t = _CRC16_TABLE
+    for b in bytes(data):
+        c = t[(c >> 8) ^ b] ^ ((c << 8) & 0xFF00)
+    return c
+
+
+# ----------------------------------------------------------------- bit I/O
+
+
+class _BitWriter:
+    """MSB-first bit accumulator backed by numpy bit chunks: scalar
+    fields append tiny arrays, bulk stages (rice / verbatim) append
+    one pre-built array — no per-sample python loop anywhere."""
+
+    def __init__(self) -> None:
+        self.chunks: list[np.ndarray] = []
+        self.nbits = 0
+
+    def write(self, v: int, k: int) -> None:
+        if k == 0:
+            return
+        arr = ((int(v) >> np.arange(k - 1, -1, -1)) & 1).astype(np.uint8)
+        self.chunks.append(arr)
+        self.nbits += k
+
+    def write_bits(self, arr: np.ndarray) -> None:
+        self.chunks.append(arr.astype(np.uint8, copy=False))
+        self.nbits += len(arr)
+
+    def write_bytes(self, data: bytes) -> None:
+        if self.nbits % 8:
+            raise FlacError("write_bytes on unaligned writer")
+        self.write_bits(np.unpackbits(np.frombuffer(data, np.uint8)))
+
+    def align(self) -> None:
+        pad = (-self.nbits) % 8
+        if pad:
+            self.write(0, pad)
+
+    def tobytes(self) -> bytes:
+        self.align()
+        if not self.chunks:
+            return b""
+        return np.packbits(np.concatenate(self.chunks)).tobytes()
+
+
+class _BitReader:
+    """MSB-first reader over an unpacked bit array, with the 1-bit
+    position index that makes bulk rice decode cheap."""
+
+    def __init__(self, data: bytes) -> None:
+        self.raw = np.frombuffer(data, np.uint8)
+        self.bits = np.unpackbits(self.raw)
+        self.ones = np.flatnonzero(self.bits).tolist()
+        self.n = len(self.bits)
+        self.pos = 0
+
+    def read(self, k: int) -> int:
+        if k == 0:
+            return 0
+        if self.pos + k > self.n:
+            raise FlacError("truncated stream")
+        sl = self.bits[self.pos : self.pos + k]
+        self.pos += k
+        v = 0
+        for bit in sl.tolist():
+            v = (v << 1) | bit
+        return v
+
+    def read_unary(self) -> int:
+        i = bisect.bisect_left(self.ones, self.pos)
+        if i == len(self.ones):
+            raise FlacError("truncated unary code")
+        t = self.ones[i]
+        q = t - self.pos
+        self.pos = t + 1
+        return q
+
+    def read_signed_array(self, count: int, width: int) -> np.ndarray:
+        if width == 0:
+            return np.zeros(count, np.int64)
+        end = self.pos + count * width
+        if end > self.n:
+            raise FlacError("truncated sample block")
+        arr = self.bits[self.pos : end].reshape(count, width).astype(np.int64)
+        self.pos = end
+        vals = arr @ (np.int64(1) << np.arange(width - 1, -1, -1, dtype=np.int64))
+        half = np.int64(1) << (width - 1)
+        return np.where(vals >= half, vals - (half << 1), vals)
+
+    def read_rice_array(self, count: int, k: int) -> np.ndarray:
+        """count rice(k) codes -> signed residuals. Pass 1: python
+        scan over 1-bit positions finds each code's unary terminator
+        (O(count + total ones), small int ops only). Pass 2: one numpy
+        gather decodes all k-bit suffixes at once."""
+        if count == 0:
+            return np.zeros(0, np.int64)
+        ones = self.ones
+        n_ones = len(ones)
+        oi = bisect.bisect_left(ones, self.pos)
+        p = self.pos
+        qs = [0] * count
+        starts = [0] * count
+        for i in range(count):
+            while True:
+                if oi >= n_ones:
+                    raise FlacError("truncated rice stream")
+                t = ones[oi]
+                oi += 1
+                if t >= p:
+                    break
+            qs[i] = t - p
+            starts[i] = t + 1
+            p = t + 1 + k
+        if p > self.n:
+            raise FlacError("truncated rice suffix bits")
+        self.pos = p
+        q = np.asarray(qs, dtype=np.int64)
+        if k:
+            idx = np.asarray(starts, dtype=np.int64)[:, None] + np.arange(k)
+            lows = self.bits[idx].astype(np.int64) @ (
+                np.int64(1) << np.arange(k - 1, -1, -1, dtype=np.int64)
+            )
+            u = (q << k) | lows
+        else:
+            u = q
+        return (u >> 1) ^ -(u & 1)  # zigzag decode
+
+
+# ------------------------------------------------------- UTF-8-coded numbers
+
+
+def _utf8_encode(v: int) -> bytes:
+    """FLAC's extended UTF-8 number coding (frame/sample numbers,
+    up to 36 bits / 7 bytes)."""
+    if v < 0x80:
+        return bytes([v])
+    for n in range(2, 8):
+        if v < (1 << (5 * n + 1)):
+            out = bytearray(n)
+            for i in range(n - 1, 0, -1):
+                out[i] = 0x80 | (v & 0x3F)
+                v >>= 6
+            out[0] = ((0xFF00 >> n) & 0xFF) | v
+            return bytes(out)
+    raise FlacError("frame number too large for UTF-8 coding")
+
+
+def _utf8_decode(r: _BitReader) -> int:
+    b0 = r.read(8)
+    if b0 < 0x80:
+        return b0
+    n = 0
+    mask = 0x80
+    while b0 & mask:
+        n += 1
+        mask >>= 1
+    if n < 2 or n > 7:
+        raise FlacError("invalid UTF-8 number prefix")
+    v = b0 & (0x7F >> n)
+    for _ in range(n - 1):
+        b = r.read(8)
+        if (b & 0xC0) != 0x80:
+            raise FlacError("invalid UTF-8 continuation byte")
+        v = (v << 6) | (b & 0x3F)
+    return v
+
+
+# ----------------------------------------------------------------- encoder
+
+_SR_CODE = {
+    88200: 1, 176400: 2, 192000: 3, 8000: 4, 16000: 5, 22050: 6,
+    24000: 7, 32000: 8, 44100: 9, 48000: 10, 96000: 11,
+}
+_BS_CODE = {192: 1, 576: 2, 1152: 3, 2304: 4, 4608: 5,
+            256: 8, 512: 9, 1024: 10, 2048: 11, 4096: 12,
+            8192: 13, 16384: 14, 32768: 15}
+
+
+def _zigzag(res: np.ndarray) -> np.ndarray:
+    return (res << 1) ^ (res >> 63)
+
+
+def _rice_bit_array(u: np.ndarray, k: int) -> np.ndarray:
+    """All rice(k) codes of a partition as one uint8 bit array:
+    terminator positions and suffix bits placed by numpy scatter."""
+    q = u >> k
+    ends = np.cumsum(q + 1 + k)
+    bits = np.zeros(int(ends[-1]), np.uint8)
+    bits[ends - k - 1] = 1  # unary terminators
+    if k:
+        starts = ends - k
+        idx = starts[:, None] + np.arange(k)
+        bits[idx] = ((u[:, None] >> np.arange(k - 1, -1, -1)) & 1).astype(np.uint8)
+    return bits
+
+
+def _signed_bit_array(vals: np.ndarray, width: int) -> np.ndarray:
+    return (
+        (vals[:, None] >> np.arange(width - 1, -1, -1)) & 1
+    ).astype(np.uint8).reshape(-1)
+
+
+def _write_residual(bw: _BitWriter, res: np.ndarray) -> None:
+    """Rice method 0 (4-bit parameters), partition order 0, parameter
+    chosen by exact cost over k=0..18, with the spec escape (0b1111 +
+    5-bit raw width) when raw coding is cheaper."""
+    u = _zigzag(res)
+    cnt = len(u)
+    costs = [cnt * (k + 1) + int((u >> k).sum()) for k in range(19)]
+    k = int(np.argmin(costs))
+    amax = int(np.abs(res).max()) if cnt else 0
+    esc_width = amax.bit_length() + 1 if amax else 0
+    esc_cost = 5 + cnt * esc_width
+    bw.write(0b00, 2)  # residual method: rice, 4-bit params
+    bw.write(0, 4)  # partition order 0
+    if k <= 14 and costs[k] <= esc_cost:
+        bw.write(k, 4)
+        bw.write_bits(_rice_bit_array(u, k))
+    else:
+        bw.write(0b1111, 4)  # escape
+        bw.write(esc_width, 5)
+        if esc_width:
+            bw.write_bits(_signed_bit_array(res, esc_width))
+
+
+def _write_subframe(bw: _BitWriter, x: np.ndarray, bps: int) -> None:
+    mask = (1 << bps) - 1
+    if np.all(x == x[0]):
+        bw.write(0, 1)
+        bw.write(0b000000, 6)  # CONSTANT
+        bw.write(0, 1)  # no wasted bits
+        bw.write(int(x[0]) & mask, bps)
+        return
+    max_order = min(2, len(x) - 1)
+    best_order, best_cost = 0, None
+    for o in range(max_order + 1):
+        cost = int(np.abs(np.diff(x, n=o)).sum())
+        if best_cost is None or cost < best_cost:
+            best_order, best_cost = o, cost
+    o = best_order
+    bw.write(0, 1)
+    bw.write(0b001000 | o, 6)  # FIXED, order o
+    bw.write(0, 1)  # no wasted bits
+    for w in x[:o]:
+        bw.write(int(w) & mask, bps)
+    _write_residual(bw, np.diff(x, n=o).astype(np.int64))
+
+
+def encode_flac(pcm: np.ndarray, sr_hz: int, blocksize: int = 4096) -> bytes:
+    """float32 [-1,1] mono -> FLAC bytes (16-bit, fixed blocksize)."""
+    sr_hz = int(sr_hz)
+    if not (1 <= sr_hz < (1 << 20)):
+        raise FlacError(f"sample rate {sr_hz} out of FLAC range")
+    i16 = (np.clip(np.asarray(pcm, np.float64), -1.0, 1.0) * 32767.0).round()
+    x_all = i16.astype(np.int64)
+    n_total = len(x_all)
+    md5 = hashlib.md5(x_all.astype("<i2").tobytes()).digest()
+
+    out = bytearray(MAGIC)
+    # STREAMINFO: last-metadata flag set, type 0, length 34
+    si = bytearray()
+    si += struct.pack(">HH", min(blocksize, max(1, n_total)), blocksize)
+    si += b"\x00\x00\x00" * 2  # min/max framesize unknown
+    packed = (sr_hz << 44) | (0 << 41) | ((16 - 1) << 36) | n_total
+    si += packed.to_bytes(8, "big")
+    si += md5
+    out += bytes([0x80]) + struct.pack(">I", len(si))[1:] + si
+
+    sr_code = _SR_CODE.get(sr_hz)
+    if sr_code is None:
+        sr_code = 0b1101 if sr_hz < 65536 else 0b1110 if sr_hz < 655360 else 0
+    idx = 0
+    for start in range(0, n_total, blocksize):
+        block = x_all[start : start + blocksize]
+        bs = len(block)
+        bs_code = _BS_CODE.get(bs, 0b0111)
+        hdr = bytearray(b"\xff\xf8")
+        hdr.append((bs_code << 4) | sr_code)
+        hdr.append((0b0000 << 4) | (0b100 << 1))  # mono, 16-bit, reserved 0
+        hdr += _utf8_encode(idx)
+        if bs_code == 0b0111:
+            hdr += struct.pack(">H", bs - 1)
+        if sr_code == 0b1101:
+            hdr += struct.pack(">H", sr_hz)
+        elif sr_code == 0b1110:
+            hdr += struct.pack(">H", sr_hz // 10)
+        hdr.append(crc8(hdr))
+        bw = _BitWriter()
+        bw.write_bytes(bytes(hdr))
+        _write_subframe(bw, block, 16)
+        frame = bw.tobytes()
+        out += frame + struct.pack(">H", crc16(frame))
+        idx += 1
+    return bytes(out)
+
+
+# ----------------------------------------------------------------- decoder
+
+_SR_TABLE = {1: 88200, 2: 176400, 3: 192000, 4: 8000, 5: 16000, 6: 22050,
+             7: 24000, 8: 32000, 9: 44100, 10: 48000, 11: 96000}
+_BPS_TABLE = {1: 8, 2: 12, 4: 16, 5: 20, 6: 24}
+
+
+def _restore_fixed(warm: np.ndarray, res: np.ndarray, order: int) -> np.ndarray:
+    """Invert the order-o finite difference: o cumulative sums, each
+    seeded from the warmup's difference pyramid."""
+    if order == 0:
+        return res
+    pyramid = [warm.astype(np.int64)]
+    for _ in range(order - 1):
+        pyramid.append(np.diff(pyramid[-1]))
+    cur = res.astype(np.int64)
+    for lvl in range(order, 0, -1):
+        base = pyramid[lvl - 1][-1]
+        cur = base + np.cumsum(cur)
+    return np.concatenate([warm, cur])
+
+
+def _read_residual(r: _BitReader, bs: int, order: int) -> np.ndarray:
+    method = r.read(2)
+    if method > 1:
+        raise FlacError("reserved residual coding method")
+    plen = 4 + method
+    escape = (1 << plen) - 1
+    po = r.read(4)
+    nparts = 1 << po
+    if bs % nparts or (bs >> po) <= order and nparts > 1:
+        raise FlacError("invalid rice partition order")
+    parts = []
+    for p in range(nparts):
+        cnt = (bs >> po) - (order if p == 0 else 0)
+        if cnt < 0:
+            raise FlacError("invalid rice partition order")
+        k = r.read(plen)
+        if k == escape:
+            width = r.read(5)
+            parts.append(r.read_signed_array(cnt, width))
+        else:
+            parts.append(r.read_rice_array(cnt, k))
+    return parts[0] if nparts == 1 else np.concatenate(parts)
+
+
+def _sign_extend(v: int, width: int) -> int:
+    return v - (1 << width) if v >= (1 << (width - 1)) else v
+
+
+def _read_subframe(r: _BitReader, bs: int, bps: int) -> np.ndarray:
+    if r.read(1):
+        raise FlacError("subframe padding bit set")
+    t = r.read(6)
+    wasted = 0
+    if r.read(1):
+        wasted = r.read_unary() + 1
+    eff = bps - wasted
+    if eff <= 0:
+        raise FlacError("wasted bits exceed sample size")
+    if t == 0:  # CONSTANT
+        x = np.full(bs, _sign_extend(r.read(eff), eff), np.int64)
+    elif t == 1:  # VERBATIM
+        x = r.read_signed_array(bs, eff)
+    elif 8 <= t <= 12:  # FIXED order 0..4
+        order = t - 8
+        if order > bs:
+            raise FlacError("fixed order exceeds blocksize")
+        warm = r.read_signed_array(order, eff)
+        res = _read_residual(r, bs, order)
+        x = _restore_fixed(warm, res, order)
+    elif t >= 32:
+        raise FlacError("LPC subframes outside the supported FLAC subset")
+    else:
+        raise FlacError("reserved subframe type")
+    return x << wasted if wasted else x
+
+
+def decode_flac(payload: bytes) -> tuple[np.ndarray, int]:
+    """FLAC bytes -> (mono float32 pcm in [-1, 1], sr_hz). Verifies
+    frame sync, header CRC-8, frame CRC-16 and the STREAMINFO MD5."""
+    payload = bytes(payload)
+    if len(payload) < 42 or payload[:4] != MAGIC:
+        raise FlacError("not a FLAC payload")
+    pos = 4
+    streaminfo = None
+    while True:
+        if pos + 4 > len(payload):
+            raise FlacError("truncated metadata")
+        hdr = payload[pos]
+        blen = int.from_bytes(payload[pos + 1 : pos + 4], "big")
+        btype = hdr & 0x7F
+        body = payload[pos + 4 : pos + 4 + blen]
+        if len(body) != blen:
+            raise FlacError("truncated metadata block")
+        if btype == 0:
+            if blen != 34:
+                raise FlacError("bad STREAMINFO length")
+            sr = (body[10] << 12) | (body[11] << 4) | (body[12] >> 4)
+            n_ch = ((body[12] >> 1) & 0x7) + 1
+            bps = (((body[12] & 1) << 4) | (body[13] >> 4)) + 1
+            total = ((body[13] & 0x0F) << 32) | int.from_bytes(body[14:18], "big")
+            streaminfo = {"sr": sr, "ch": n_ch, "bps": bps,
+                          "total": total, "md5": body[18:34]}
+        pos += 4 + blen
+        if hdr & 0x80:
+            break
+    if streaminfo is None:
+        raise FlacError("missing STREAMINFO")
+    if streaminfo["ch"] != 1:
+        raise FlacError("only mono FLAC subset supported")
+    bps0 = streaminfo["bps"]
+    if streaminfo["sr"] <= 0:
+        raise FlacError("invalid sample rate in STREAMINFO")
+
+    r = _BitReader(payload[pos:])
+    blocks: list[np.ndarray] = []
+    decoded = 0
+    frame_idx = 0
+    while decoded < streaminfo["total"]:
+        if r.pos % 8:
+            raise FlacError("frame not byte-aligned")
+        frame_start = r.pos // 8
+        if r.read(14) != 0b11111111111110:
+            raise FlacError("bad frame sync")
+        if r.read(1):
+            raise FlacError("reserved header bit set")
+        blocking = r.read(1)
+        bs_code = r.read(4)
+        sr_code = r.read(4)
+        ch_code = r.read(4)
+        ss_code = r.read(3)
+        if r.read(1):
+            raise FlacError("reserved header bit set")
+        num = _utf8_decode(r)
+        if blocking == 0 and num != frame_idx:
+            raise FlacError("frame number out of sequence")
+        if blocking == 1 and num != decoded:
+            raise FlacError("sample number out of sequence")
+        if bs_code == 0:
+            raise FlacError("reserved blocksize code")
+        elif bs_code == 1:
+            bs = 192
+        elif 2 <= bs_code <= 5:
+            bs = 576 << (bs_code - 2)
+        elif bs_code == 6:
+            bs = r.read(8) + 1
+        elif bs_code == 7:
+            bs = r.read(16) + 1
+        else:
+            bs = 256 << (bs_code - 8)
+        if sr_code in _SR_TABLE:
+            sr = _SR_TABLE[sr_code]
+        elif sr_code == 0:
+            sr = streaminfo["sr"]
+        elif sr_code == 12:
+            sr = r.read(8) * 1000
+        elif sr_code == 13:
+            sr = r.read(16)
+        elif sr_code == 14:
+            sr = r.read(16) * 10
+        else:
+            raise FlacError("invalid sample-rate code")
+        if sr != streaminfo["sr"]:
+            raise FlacError("frame sample rate disagrees with STREAMINFO")
+        if ch_code != 0:
+            raise FlacError("only mono FLAC subset supported")
+        bps = bps0 if ss_code == 0 else _BPS_TABLE.get(ss_code)
+        if bps is None:
+            raise FlacError("unsupported sample-size code")
+        if r.pos % 8:
+            raise FlacError("frame header misaligned")
+        if r.read(8) != crc8(r.raw[frame_start : r.pos // 8 - 1].tobytes()):
+            raise FlacError("frame header CRC-8 mismatch")
+        x = _read_subframe(r, bs, bps)
+        pad = (-r.pos) % 8
+        if pad and r.read(pad) != 0:
+            raise FlacError("nonzero frame padding")
+        if r.read(16) != crc16(r.raw[frame_start : r.pos // 8 - 2].tobytes()):
+            raise FlacError("frame CRC-16 mismatch")
+        if decoded + bs > streaminfo["total"]:
+            raise FlacError("frames exceed STREAMINFO total samples")
+        blocks.append(x)
+        decoded += bs
+        frame_idx += 1
+    pcm_i = np.concatenate(blocks) if blocks else np.zeros(0, np.int64)
+    if streaminfo["md5"] != b"\x00" * 16 and bps0 in (8, 16, 24):
+        dtype = {8: "<i1", 16: "<i2", 24: None}[bps0]
+        if dtype is not None:
+            got = hashlib.md5(pcm_i.astype(dtype).tobytes()).digest()
+            if got != streaminfo["md5"]:
+                raise FlacError("decoded audio MD5 mismatch")
+    scale = float((1 << (bps0 - 1)) - 1)
+    return (pcm_i / scale).astype(np.float32), streaminfo["sr"]

@@ -91,19 +91,26 @@ def rename_snake(df: DataFrame) -> DataFrame:
     return df.toDF(*[camel_to_snake(c) for c in df.columns])
 
 
-def pseudonymize(c: Column, salt: str = "") -> Column:
-    """Length-preserving pseudonym: blake2b(value+salt) -> base32,
-    truncated/cycled to the input's length.
+def pseudonymize(c: Column, salt: str = "", reference_compat: bool = False) -> Column:
+    """Deterministic pseudonym: blake2b(value+salt) -> base32.
 
-    Same construction family as the reference's pseudonymizer
-    (utils.py:580-627: blake2b digest -> base32, deterministic per
-    value) but a deliberately STRICTER length-preserving variant, not
-    reference-compatible output: the reference uses digest_size=24,
-    uppercase base32 and max(16, len) truncation (so short inputs grow
-    to 16 chars); this uses digest_size=20, lowercase, exact length
-    preservation with cycling for long inputs, and '' -> ''.
-    Vectorized pandas UDF (hashlib releases the GIL per call; Arrow
-    batches amortize)."""
+    Two output modes (same construction family as the reference's
+    pseudonymizer, utils.py:580-627):
+
+      default (reference_compat=False): the deliberately STRICTER
+        length-preserving variant — digest_size=20, lowercase base32,
+        exact length preservation with cycling for long inputs, and
+        '' -> ''.
+      reference_compat=True: byte-for-byte the reference's output
+        shape for cross-system join compatibility — digest_size=24,
+        uppercase base32 ('=' stripped), truncated to max(16,
+        len(value)) so short inputs GROW to 16 chars and inputs longer
+        than the 39-char digest encoding are capped at 39; '' -> a
+        16-char pseudonym. (The reference memoizes per-process in a
+        dict; memoization is an executor-local detail, values agree.)
+
+    NULL -> NULL in both modes. Vectorized pandas UDF (hashlib
+    releases the GIL per call; Arrow batches amortize)."""
     import base64
     import hashlib
 
@@ -114,6 +121,12 @@ def pseudonymize(c: Column, salt: str = "") -> Column:
         def one(v):
             if v is None:
                 return None
+            if reference_compat:
+                d = hashlib.blake2b(
+                    (v + salt).encode("utf-8"), digest_size=24
+                ).digest()
+                enc = base64.b32encode(d).decode("ascii").rstrip("=")
+                return enc[: max(16, len(v))]
             d = hashlib.blake2b((v + salt).encode("utf-8"), digest_size=20).digest()
             enc = base64.b32encode(d).decode("ascii").rstrip("=").lower()
             n = len(v)

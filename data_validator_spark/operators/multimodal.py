@@ -31,7 +31,7 @@ _MAGIC_HEX = {
     "FFD8FFE0": "jpeg",
     "FFD8FFE1": "jpeg",
     "52494646": "riff",  # wav/avi container
-    "464C4330": "flac_standin",
+    "664C6143": "flac",  # real FLAC bitstream (audio/flac.py)
     "4D554C57": "mulaw_standin",
     "4F505530": "opus_standin",
     "1A45DFA3": "mkv",
@@ -84,6 +84,17 @@ def _fake_rgb(payload: bytes) -> np.ndarray:
     return rng.random(_IMG_FEATURE_DIM).astype(np.float64)
 
 
+_MAGIC_BYTES = {bytes.fromhex(h): f for h, f in _MAGIC_HEX.items()}
+
+
+def _sniff_py(payload: bytes) -> str:
+    """Python-side twin of sniff_format (same magic table)."""
+    for magic, fmt in _MAGIC_BYTES.items():
+        if payload[:4] == magic:
+            return fmt
+    return "unknown"
+
+
 def decode_image_features(
     df: DataFrame,
     payload_col: str = "bytes",
@@ -91,15 +102,23 @@ def decode_image_features(
     fake: bool = False,
     batch_partitions: int | None = None,
 ) -> DataFrame:
-    """mapInPandas image-feature extraction: (id, features array<double>).
+    """mapInPandas image-feature extraction:
+    (id, features array<double>, decode_error string).
 
     Real path (fake=False): PNG payloads decode for real (pure-python
-    codec, operators/imaging.py) into shape/mean/std features;
-    non-PNG or undecodable payloads yield NULL features. fake=True
-    swaps in the deterministic crc32 stand-in for every payload (used
-    when the fixture's payloads are audio, not images). The Arrow
-    batching, minimal projection, and repartition-before-decode are
-    the production shape either way.
+    codec, operators/imaging.py) into shape/mean/std features with
+    decode_error NULL. A NULL feature vector always comes with a
+    NORMALIZED reason (the reference's invalid_key/invalid_value error
+    pattern, entity_controller.py:148-191) instead of failing silently:
+
+      image_format_unsupported(<fmt>)  non-PNG magic (jpeg/riff/mkv/..)
+      image_decode_failed(<reason>)    PNG magic but malformed payload
+      payload_missing                  NULL payload
+
+    fake=True swaps in the deterministic crc32 stand-in for every
+    non-NULL payload (used when the fixture's payloads are audio, not
+    images). The Arrow batching, minimal projection, and
+    repartition-before-decode are the production shape either way.
     """
     proj = df.select(F.col(id_col).alias("id"), F.col(payload_col).alias("payload"))
     if batch_partitions:
@@ -108,19 +127,30 @@ def decode_image_features(
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from data_validator_spark.operators import imaging
 
-        def one(p):
+        def one(p) -> tuple[list | None, str | None]:
             if p is None:
-                return None
+                return None, "payload_missing"
             if fake:
-                return _fake_rgb(p).tolist()
+                return _fake_rgb(p).tolist(), None
+            fmt = _sniff_py(bytes(p[:4]))
+            if fmt != "png":
+                return None, f"image_format_unsupported({fmt})"
             try:
-                return imaging.image_features(imaging.decode_png(p)).tolist()
-            except imaging.ImageError:
-                return None
+                return imaging.image_features(imaging.decode_png(p)).tolist(), None
+            except imaging.ImageError as e:
+                return None, f"image_decode_failed({e})"
 
         for pdf in batches:
+            feats, errs = [], []
+            for p in pdf["payload"]:
+                f_, e_ = one(p)
+                feats.append(f_)
+                errs.append(e_)
             yield pd.DataFrame(
-                {"id": pdf["id"], "features": [one(p) for p in pdf["payload"]]}
+                {"id": pdf["id"], "features": feats, "decode_error": errs}
             )
 
-    return proj.mapInPandas(extract, schema="id string, features array<double>")
+    return proj.mapInPandas(
+        extract,
+        schema="id string, features array<double>, decode_error string",
+    )

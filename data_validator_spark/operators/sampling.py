@@ -29,9 +29,38 @@ def hash_sample(df: DataFrame, key_cols: Sequence[str], fraction: float) -> Data
 def exact_random_sample(
     df: DataFrame, n: int, seed: int, order_within: str | None = None
 ) -> DataFrame:
-    """Exact-size uniform sample (R1: random.sample to a limit):
-    orderBy(rand(seed)).limit(n), seeded for determinism."""
-    return df.orderBy(F.rand(seed), *( [F.col(order_within)] if order_within else [] )).limit(n)
+    """Exact-size uniform sample (R1: random.sample to a limit),
+    seeded for determinism, WITHOUT a global sort.
+
+    Plan shape: rows get _r = rand(seed); a map-side threshold filter
+    keeps only rows with _r below ~ (n/total)*(1 + 5/sqrt(n)) — an
+    over-draw whose shortfall probability is ~Phi(-5) ~ 3e-7 — and the
+    exact top-n over that ~n-row remnant runs as TakeOrderedAndProject
+    (per-partition top-n, driver merge), never an Exchange+Sort of the
+    full table. On the astronomically-rare shortfall (checked: the
+    remnant is counted, it is tiny) the full orderBy path is the
+    fallback, so the result is ALWAYS exactly min(n, total) rows.
+
+    The earlier form — orderBy(rand).limit(n) directly — falls back to
+    a global sort when n exceeds spark.sql.execution.topKSortFallback-
+    Threshold; the threshold filter keeps the sorted set O(n)
+    regardless of table size (two scans of the input: count + filter).
+    """
+    total = df.count()
+    if total <= n:
+        return df
+    order_cols = [F.col(order_within)] if order_within else []
+    r = df.withColumn("_r", F.rand(seed))
+    frac = n / total
+    cutoff = min(1.0, frac * (1.0 + 5.0 / max(1.0, n) ** 0.5) + 1e-9)
+    cand = r.filter(F.col("_r") <= cutoff)
+    if cand.count() >= n:
+        r = cand
+    return (
+        r.orderBy(F.col("_r"), *order_cols)
+        .limit(n)
+        .drop("_r")
+    )
 
 
 def stratified_quota_sample(

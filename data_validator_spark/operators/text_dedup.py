@@ -14,6 +14,8 @@ whose width is controlled by (n_hashes, bands) rather than O(n^2).
 
 from __future__ import annotations
 
+from dataclasses import dataclass, field
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -312,6 +314,130 @@ def simhash64(grams: Column) -> Column:
         ),
         F.lit(0).cast("long"),
         lambda acc, m: acc.bitwiseOR(m),
+    )
+
+
+# ------------------------------------------------------------------ pipeline
+
+
+@dataclass
+class DedupResult:
+    """Outputs of dedup_pipeline. `keepers` is the actionable table:
+    every input id with its duplicate-component and a keep/drop flag
+    (singletons keep themselves)."""
+
+    exact_pairs: DataFrame      # (fingerprint, keep_id, dup_id)
+    candidate_pairs: DataFrame  # (id_a, id_b, est_jaccard) among reps
+    verified_pairs: DataFrame   # (id_a, id_b, jaccard) exact >= threshold
+    clusters: DataFrame         # (component, member_id, is_keeper), multi-member
+    keepers: DataFrame          # (id, component, is_keeper) for ALL ids
+    _persisted: list = field(default_factory=list)
+
+    def unpersist(self) -> None:
+        for df in self._persisted:
+            df.unpersist()
+
+
+def dedup_pipeline(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    n_hashes: int = 64,
+    bands: int = 32,
+    threshold: float = 0.8,
+    bucket_cap: int = 4096,
+    est_margin: float = 0.15,
+    algorithm: str = "star",
+) -> DedupResult:
+    """End-to-end dedup action: exact -> minhash-LSH candidates ->
+    EXACT-jaccard verify -> connected-component clusters -> keeper
+    list, in one composition (previously this lived only in
+    tools/dedup_bench.py).
+
+    Tier order is the scale decision:
+      1. exact fingerprint pass FIRST; only one representative per
+         byte-identical group (plus all uniques) enters the expensive
+         tiers — boilerplate-heavy corpora shrink 2-10x before any
+         shingling happens;
+      2. one persisted shingle pass over the representatives feeds
+         BOTH the minhash banding and the verification joins;
+      3. LSH candidates pre-filtered at est_jaccard >= threshold -
+         est_margin (signature noise is CORRELATED per doc — one
+         unlucky signature lowers every estimate of that doc — so the
+         margin covers the per-doc tail), then verified with EXACT
+         jaccard on the gram arrays: the final keeper set depends only
+         on true jaccard, never on hash luck (the banding miss
+         probability at the default r=2 x 32 bands is (1-J^2)^32 ~
+         6e-15 at J=0.8);
+      4. edges = exact pairs + verified near-dup pairs -> O(log n)
+         star-contraction components -> min-id keeper per component.
+
+    Returns DedupResult; call .unpersist() when done with the outputs.
+    """
+    docs = (
+        df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text"))
+        .filter(F.col("_text").isNotNull())
+    )
+    # tier 1: exact duplicates; representatives move on
+    fp = docs.select("_id", fingerprint(F.col("_text")).alias("fp"))
+    w = Window.partitionBy("fp").orderBy(F.col("_id").asc())
+    ranked = fp.withColumn("keep_id", F.first("_id").over(w)).withColumn(
+        "_rn", F.row_number().over(w)
+    )
+    exact_pairs = ranked.filter(F.col("_rn") > 1).select(
+        F.col("fp").alias("fingerprint"), "keep_id", F.col("_id").alias("dup_id")
+    )
+    reps = docs.join(
+        ranked.filter(F.col("_rn") == 1).select("_id"), "_id", "left_semi"
+    )
+    # tier 2: one shingle pass shared by banding + verification
+    sh = shingles(reps, "_id", "_text", n).persist()
+    cand = minhash_lsh_candidates(
+        reps, "_id", "_text", n, n_hashes, bands, bucket_cap,
+        persist_signatures=True, shingled=sh,
+    ).filter(F.col("est_jaccard") >= threshold - est_margin)
+    # tier 3: exact verification on the (small) candidate set
+    ga = sh.select(F.col("_id").alias("id_a"), F.col("_grams").alias("_ga"))
+    gb = sh.select(F.col("_id").alias("id_b"), F.col("_grams").alias("_gb"))
+    verified = (
+        cand.join(ga, "id_a")
+        .join(gb, "id_b")
+        .withColumn("inter", F.size(F.array_intersect("_ga", "_gb")))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter")
+                / (F.size("_ga") + F.size("_gb") - F.col("inter")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    # tier 4: transitive closure over both edge families
+    from data_validator_spark.operators.graph import dedup_clusters
+
+    edges = exact_pairs.select(
+        F.col("keep_id").alias("id_a"), F.col("dup_id").alias("id_b")
+    ).unionByName(verified.select("id_a", "id_b"))
+    clusters = dedup_clusters(edges, algorithm=algorithm)
+    keepers = (
+        docs.select("_id")
+        .join(clusters, docs["_id"] == clusters["member_id"], "left")
+        .select(
+            F.col("_id").alias("id"),
+            F.coalesce("component", F.col("_id")).alias("component"),
+            F.coalesce("is_keeper", F.lit(True)).alias("is_keeper"),
+        )
+    )
+    return DedupResult(
+        exact_pairs=exact_pairs,
+        candidate_pairs=cand,
+        verified_pairs=verified,
+        clusters=clusters,
+        keepers=keepers,
+        _persisted=[sh],
     )
 
 

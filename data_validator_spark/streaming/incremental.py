@@ -109,6 +109,31 @@ def windowed_verdicts(
     )
 
 
+class QueryGroup:
+    """StreamingQuery-shaped handle over several coordinated queries
+    (awaitTermination / stop / isActive fan out to all members) — what
+    run_incremental returns when the stateful dup-flag branch runs
+    alongside the foreachBatch validation branch."""
+
+    def __init__(self, queries: list[StreamingQuery]):
+        self.queries = queries
+
+    def awaitTermination(self, timeout: float | None = None) -> bool:
+        ok = True
+        for q in self.queries:
+            r = q.awaitTermination(timeout)
+            ok = ok and (r is None or bool(r))
+        return ok
+
+    @property
+    def isActive(self) -> bool:
+        return any(q.isActive for q in self.queries)
+
+    def stop(self) -> None:
+        for q in self.queries:
+            q.stop()
+
+
 def run_incremental(
     spark: SparkSession,
     input_path: str,
@@ -116,6 +141,7 @@ def run_incremental(
     transcripts_ref: DataFrame | None = None,
     cfg: ValidationConfig = ValidationConfig(),
     on_batch: Callable[[DataFrame, int], None] | None = None,
+    dedup_flags: bool = False,
 ) -> StreamingQuery:
     """One incremental validation pass: process every not-yet-seen file
     under `input_path`, run the FULL pipeline (incl. audio decode +
@@ -136,6 +162,19 @@ def run_incremental(
       verdicts/batch_id=N/    per-partition verdicts
       _checkpoint/            streaming checkpoint (source file log) —
                               resume point for the next invocation
+
+    dedup_flags=True additionally runs the CROSS-BATCH uniqueness
+    branch (stateful.streaming_dedup_flags) as a sibling query over
+    the same landing directory with its own checkpoint + state store:
+    a clip_id whose first occurrence was in any EARLIER batch (or an
+    earlier availableNow invocation — state lives in the checkpoint)
+    is flagged the moment its duplicate arrives, closing the
+    per-micro-batch scoping of the foreachBatch window ops. Output
+    under `dup_flags/batch_id=N/` as (clip_id, ingest_seq, dup_rank,
+    dup_label); join it to `validated/` on (clip_id, ingest_seq) —
+    an ids-only merge, the payload never enters the state operator.
+    The return value is then a QueryGroup (same awaitTermination /
+    stop surface).
     """
     stream = clips_stream(spark, input_path)
 
@@ -153,9 +192,27 @@ def run_incremental(
         if on_batch is not None:
             on_batch(batch_df, batch_id)
 
-    return (
+    main_q = (
         stream.writeStream.foreachBatch(_process)
         .option("checkpointLocation", f"{output_dir}/_checkpoint")
         .trigger(availableNow=True)
         .start()
     )
+    if not dedup_flags:
+        return main_q
+
+    from data_validator_spark.streaming.stateful import streaming_dedup_flags
+
+    def _write_flags(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(
+            f"{output_dir}/dup_flags/batch_id={batch_id}"
+        )
+
+    flags_q = (
+        streaming_dedup_flags(clips_stream(spark, input_path))
+        .writeStream.foreachBatch(_write_flags)
+        .option("checkpointLocation", f"{output_dir}/_flags_checkpoint")
+        .trigger(availableNow=True)
+        .start()
+    )
+    return QueryGroup([main_q, flags_q])

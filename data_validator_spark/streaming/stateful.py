@@ -57,28 +57,37 @@ def streaming_dedup_flags(
             n_seen, first_seq = state.get
         else:
             n_seen, first_seq = 0, None
-        for pdf in pdfs:
-            pdf = pdf.sort_values(order_col)
-            seqs = pdf[order_col].tolist()
-            ranks, labels = [], []
-            for s in seqs:
-                if first_seq is None:
-                    first_seq = int(s)
-                if n_seen == 0:
-                    ranks.append(0)
-                    labels.append(None)
-                else:
-                    ranks.append(n_seen)
-                    labels.append(f"duplicate_clip_id({n_seen})")
-                n_seen += 1
-            yield pd.DataFrame(
-                {
-                    "clip_id": clip_id,
-                    "ingest_seq": seqs,
-                    "dup_rank": pd.array(ranks, dtype="int32"),
-                    "dup_label": labels,
-                }
-            )
+        # applyInPandasWithState may deliver one group's micro-batch
+        # rows across MULTIPLE chunks; ranking per chunk would follow
+        # chunk-arrival order, not order_col. Accumulate and sort ONCE
+        # (a group's rows within one micro-batch are few — state and
+        # groups are tiny; the 10^12-row table has ~1 row per clip_id).
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if not chunks:
+            state.update((n_seen, first_seq))
+            return
+        pdf = pd.concat(chunks) if len(chunks) > 1 else chunks[0]
+        pdf = pdf.sort_values(order_col)
+        seqs = pdf[order_col].tolist()
+        ranks, labels = [], []
+        for s in seqs:
+            if first_seq is None:
+                first_seq = int(s)
+            if n_seen == 0:
+                ranks.append(0)
+                labels.append(None)
+            else:
+                ranks.append(n_seen)
+                labels.append(f"duplicate_clip_id({n_seen})")
+            n_seen += 1
+        yield pd.DataFrame(
+            {
+                "clip_id": clip_id,
+                "ingest_seq": seqs,
+                "dup_rank": pd.array(ranks, dtype="int32"),
+                "dup_label": labels,
+            }
+        )
         state.update((n_seen, first_seq))
 
     proj = stream.select(

@@ -76,3 +76,35 @@ def test_flag_duplicates_label(spark, clips, golden):
     assert n_flagged == n_expected
     sample = flagged.filter(F.col("_dup_label").isNotNull()).first()
     assert sample._dup_label == f"duplicate_clip_id({sample.clip_id})"
+
+
+def test_dedup_pipeline_end_to_end(spark):
+    """exact dups + near dups + a transitive chain through mixed tiers
+    resolve to one keeper per true component; singletons keep
+    themselves."""
+    from data_validator_spark.operators.text_dedup import dedup_pipeline
+
+    base = "the quick brown fox jumps over the lazy dog again and again ok"
+    near = base.replace("lazy", "sleepy")      # near-dup of base
+    near2 = near.replace("quick", "rapid")     # near-dup of near (2-hop)
+    rows = [
+        (1, base),
+        (2, base),        # exact dup of 1
+        (3, near),        # near-dup of 1
+        (4, near2),       # near-dup of 3 (chain: 1-3-4)
+        (5, "completely unrelated words about spark dataframes and shuffles"),
+        (6, None),        # dropped (null text)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    res = dedup_pipeline(df, "doc_id", "text", n=3, threshold=0.5)
+    keep = {r.id: (r.component, r.is_keeper) for r in res.keepers.collect()}
+    assert keep[1] == (1, True)
+    assert keep[2] == (1, False)   # exact tier
+    assert keep[3] == (1, False)   # near-dup tier
+    assert keep[4] == (1, False)   # transitive through 3
+    assert keep[5] == (5, True)    # singleton
+    assert 6 not in keep
+    assert {r.dup_id for r in res.exact_pairs.collect()} == {2}
+    v = {(r.id_a, r.id_b) for r in res.verified_pairs.collect()}
+    assert (1, 3) in v and (3, 4) in v
+    res.unpersist()

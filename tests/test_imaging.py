@@ -116,8 +116,33 @@ def test_decode_image_features_real_png_path(spark):
     df = spark.createDataFrame(pngs, "clip_id string, bytes binary")
     from data_validator_spark.operators.multimodal import decode_image_features
 
-    out = {r.id: r.features for r in decode_image_features(df, fake=False).collect()}
+    rows = decode_image_features(df, fake=False).collect()
+    out = {r.id: r.features for r in rows}
+    errs = {r.id: r.decode_error for r in rows}
     for i in range(5):
         exp = imaging.image_features(_gradient(6 + i, 9, 3))
         assert out[str(i)] == pytest.approx(list(exp))
+        assert errs[str(i)] is None
     assert out["bad"] is None and out["null"] is None
+    # NULL features always come with a normalized reason, never silently
+    assert errs["bad"] == "image_format_unsupported(unknown)"
+    assert errs["null"] == "payload_missing"
+
+
+def test_decode_image_features_jpeg_magic_is_explicit_unsupported(spark):
+    """A jpeg-magic payload must yield a normalized
+    image_format_unsupported(jpeg) outcome row (the reference's
+    invalid_key/invalid_value error pattern), and a PNG-magic payload
+    with a corrupt body must yield image_decode_failed(...)."""
+    from data_validator_spark.operators.multimodal import decode_image_features
+
+    jpeg = bytearray(b"\xff\xd8\xff\xe0" + b"\x00" * 32)
+    corrupt_png = bytearray(b"\x89PNG\r\n\x1a\n" + b"\x00" * 16)
+    df = spark.createDataFrame(
+        [("j", jpeg), ("p", corrupt_png)], "clip_id string, bytes binary"
+    )
+    rows = {r.id: r for r in decode_image_features(df, fake=False).collect()}
+    assert rows["j"].features is None
+    assert rows["j"].decode_error == "image_format_unsupported(jpeg)"
+    assert rows["p"].features is None
+    assert rows["p"].decode_error.startswith("image_decode_failed(")

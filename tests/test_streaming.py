@@ -135,6 +135,47 @@ def test_stateful_dedup_flags_across_restarts(spark, tmp_path):
     assert ("a", 0) not in got2  # only the new files were processed
 
 
+def test_run_incremental_composes_cross_batch_dedup(spark, tmp_path):
+    """dedup_flags=True wires stateful.streaming_dedup_flags into
+    run_incremental: a duplicate clip_id landing in batch 2 (second
+    availableNow invocation, same checkpoints) is flagged IN BATCH 2's
+    dup_flags output — the composition the two module docstrings
+    previously only pointed at."""
+    in_dir = str(tmp_path / "landing")
+    out_dir = str(tmp_path / "out")
+    cfg = ClipsConfig(n_rows=120, n_partitions=1, max_synth_ms=150)
+    vcfg = ValidationConfig(check_audio=False)
+
+    generate_clips(spark, cfg).write.mode("append").parquet(in_dir)
+    q = run_incremental(spark, in_dir, out_dir, cfg=vcfg, dedup_flags=True)
+    assert q.awaitTermination(600)
+    flags1 = spark.read.parquet(f"{out_dir}/dup_flags")
+    n_b1 = flags1.count()
+    assert n_b1 > 0
+
+    # batch 2: re-ingest 5 existing clips under fresh ingest_seq values
+    dups = (
+        spark.read.parquet(in_dir)
+        .orderBy("ingest_seq")
+        .limit(5)
+        .withColumn("ingest_seq", F.col("ingest_seq") + 100000)
+    )
+    dup_ids = {r.clip_id for r in dups.select("clip_id").collect()}
+    dups.write.mode("append").parquet(in_dir)
+    q = run_incremental(spark, in_dir, out_dir, cfg=vcfg, dedup_flags=True)
+    assert q.awaitTermination(600)
+
+    b2 = spark.read.parquet(f"{out_dir}/dup_flags").filter(
+        F.col("ingest_seq") >= 100000
+    )
+    got = {r.clip_id: (r.dup_rank, r.dup_label) for r in b2.collect()}
+    assert set(got) == dup_ids
+    assert all(rank >= 1 and lbl.startswith("duplicate_clip_id") for rank, lbl in got.values())
+    # the validation branch still produced its usual outputs
+    validated = spark.read.parquet(f"{out_dir}/validated")
+    assert validated.count() > 0
+
+
 def test_windowed_verdicts_with_watermark(spark, stream_dirs, tmp_path):
     in_dir, _ = stream_dirs
     stream = clips_stream(spark, in_dir).withColumn(

@@ -153,6 +153,30 @@ def test_hash_sample_deterministic_fraction(spark):
     assert s1.exceptAll(sampling.hash_sample(df, ["k"], 0.10)).count() == 0
 
 
+def test_exact_random_sample_no_global_sort(spark):
+    from data_validator_spark.operators import sampling
+
+    df = spark.range(0, 50_000).withColumn("k", F.col("id") % 7)
+    out = sampling.exact_random_sample(df, 200, seed=11)
+    rows = out.collect()
+    assert len(rows) == 200
+    assert out.columns == df.columns  # no helper column leaks
+    # deterministic under the same seed; different under another
+    again = set(r.id for r in sampling.exact_random_sample(df, 200, seed=11).collect())
+    assert set(r.id for r in rows) == again
+    other = set(r.id for r in sampling.exact_random_sample(df, 200, seed=12).collect())
+    assert again != other
+    # roughly uniform across the key space (no partition-prefix bias)
+    mean_id = sum(r.id for r in rows) / len(rows)
+    assert 15_000 < mean_id < 35_000
+    # plan: per-partition top-n merge, never a global range Exchange+Sort
+    plan = sampling.exact_random_sample(df, 200, seed=11)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "rangepartitioning" not in plan
+    # n >= total degenerates to the full table
+    assert sampling.exact_random_sample(df.limit(50), 200, seed=1).count() == 50
+
+
 def test_multimodal_sniff_and_stub(spark, clips):
     from data_validator_spark.operators import multimodal
 
@@ -190,3 +214,39 @@ def test_pseudonymize_length_preserving_deterministic(spark):
     # salt changes the mapping
     out2 = df.select(pseudonymize(F.col("v"), salt="other").alias("p")).collect()
     assert out2[0].p != out[0].p
+
+
+def test_pseudonymize_reference_compat_vectors(spark):
+    """reference_compat=True must reproduce the reference's output
+    shape exactly (utils.py:580-627: blake2b digest_size=24 ->
+    uppercase base32, '=' stripped, truncated to max(16, len)).
+    Vectors below were derived by evaluating that recipe on paper —
+    blake2b("<value>s3cret", 24) -> b32 -> slice — NOT by importing
+    the reference."""
+    import pandas as pd
+    import pyspark.sql.functions as F
+
+    from data_validator_spark.functions.scalars import pseudonymize
+
+    expected = {
+        # short inputs GROW to 16 chars
+        "user123": "SCUNX7GY6HDNC3SK",
+        "x": "GLVZW42BV4CJ5TXG",
+        "": "5OS5UB5SRVBZIKCW",
+        # longer than the 39-char digest encoding -> capped at 39
+        "a-very-long-identifier-string-0123456789":
+            "43ZXA5NGRPPVV2FVMUYK644CBYYAV5YC47AICRY",
+    }
+    df = spark.createDataFrame(
+        pd.DataFrame({"v": list(expected) + [None]})
+    )
+    out = {
+        r.v: r.p
+        for r in df.select(
+            "v",
+            pseudonymize(F.col("v"), salt="s3cret", reference_compat=True).alias("p"),
+        ).collect()
+    }
+    for raw, want in expected.items():
+        assert out[raw] == want, raw
+    assert out[None] is None
