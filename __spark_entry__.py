@@ -1627,6 +1627,72 @@ def q63_dedup_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     return k.crossJoin(e).crossJoin(v).crossJoin(c)
 
 
+def q64_codec_contract(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-codec encode->decode contract booleans over 50 deterministic
+    clips each (varying sr + length): sample rate and length survive
+    the roundtrip, every codec clears the 30 dB SNR gate, the
+    high-fidelity codecs (pcm16 real WAV, flac REAL bitstream —
+    audio/flac.py) clear 80 dB while the lossy tiers (mulaw 8-bit
+    companding, opus stand-in 12-bit) sit below it, and flac is
+    EXACTLY lossless at the int16 level (decode reproduces the encoded
+    samples bit-for-bit — CRC-8/16 + MD5 verified inside the decoder).
+    All group verdicts are config-determined -> literal oracle rows."""
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        from data_validator_spark.audio import codecs, synth
+
+        codec_names = ["pcm16", "flac", "mulaw", "opus"]
+        srs = [8000, 16000, 22050, 44100, 48000]
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                codec = codec_names[i % 4]
+                sr = srs[i % 5]
+                n = 400 + (i * 37) % 4000
+                pcm = np.clip(synth.reference_pcm(f"q64-{i:06d}", sr, n), -1, 1)
+                dec, sr2 = codecs.decode(codec, codecs.encode(codec, pcm, sr))
+                q = np.round(np.clip(pcm.astype(np.float64), -1, 1) * 32767.0)
+                dq = np.round(dec.astype(np.float64) * 32767.0)
+                rows.append(
+                    (
+                        codec,
+                        bool(sr2 == sr),
+                        bool(len(dec) == n),
+                        bool(np.array_equal(q, dq)),
+                        float(codecs.snr_db(pcm, dec)),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["codec", "sr_ok", "len_ok", "lossless", "snr"]
+            )
+
+    out = spark.range(0, 200, numPartitions=8).mapInPandas(
+        gen,
+        "codec string, sr_ok boolean, len_ok boolean, lossless boolean, snr double",
+    )
+    return (
+        out.groupBy("codec")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            (F.sum((~F.col("sr_ok")).cast("long")) == 0).alias("all_sr_ok"),
+            (F.sum((~F.col("len_ok")).cast("long")) == 0).alias("all_len_ok"),
+            (F.min("snr") >= 30.0).alias("all_snr30"),
+            (F.min("snr") >= 80.0).alias("all_snr80"),
+            (
+                F.sum(
+                    ((F.col("codec") == "flac") & ~F.col("lossless")).cast("long")
+                )
+                == 0
+            ).alias("flac_lossless_ok"),
+        )
+        .orderBy("codec")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1692,6 +1758,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q61_schema_drift_diff": q61_schema_drift_diff,
         "q62_recent_n_per_group": q62_recent_n_per_group,
         "q63_dedup_pipeline": q63_dedup_pipeline,
+        "q64_codec_contract": q64_codec_contract,
     }
 
 
@@ -2532,6 +2599,16 @@ _ORACLES: dict[str, str] = {
             AS sum_jac_micro,
           (SELECT count(DISTINCT component) FROM comp)::BIGINT AS n_multi_components
     """.replace("{{_NT}}", "{_NT}").replace("{_NT}", _NORM_TEXT),
+    "q64_codec_contract": """
+        SELECT * FROM (VALUES
+          ('flac',  50::BIGINT, true, true, true, true,  true),
+          ('mulaw', 50::BIGINT, true, true, true, false, true),
+          ('opus',  50::BIGINT, true, true, true, false, true),
+          ('pcm16', 50::BIGINT, true, true, true, true,  true)
+        ) AS t(codec, n, all_sr_ok, all_len_ok, all_snr30, all_snr80,
+               flac_lossless_ok)
+        ORDER BY codec
+    """,
     "q30_bool_coercion": """
         WITH raw AS (
           SELECT CASE WHEN event_id % 5 = 0 THEN 'TRUE'

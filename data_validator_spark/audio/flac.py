@@ -77,6 +77,23 @@ _CRC8_TABLE = _make_crc8_table()
 _CRC16_TABLE = _make_crc16_table()
 
 
+def _make_crc16_table2() -> tuple[int, ...]:
+    """Slice-by-2 table: T2[v] = (v * x^16) mod P for all 16-bit v, so
+    an MSB-first CRC processes two bytes per lookup: c' = T2[c ^ word]
+    (state XORs into the top 16 bits of the stream; linearity over
+    GF(2) makes the single-lookup form exact)."""
+    t1 = _CRC16_TABLE
+    out = []
+    for v in range(65536):
+        c = t1[v >> 8]
+        c = t1[(c >> 8) ^ (v & 0xFF)] ^ ((c << 8) & 0xFF00)
+        out.append(c)
+    return tuple(out)
+
+
+_CRC16_TABLE2 = _make_crc16_table2()
+
+
 def crc8(data) -> int:
     c = 0
     t = _CRC8_TABLE
@@ -86,10 +103,14 @@ def crc8(data) -> int:
 
 
 def crc16(data) -> int:
+    b = bytes(data)
     c = 0
-    t = _CRC16_TABLE
-    for b in bytes(data):
-        c = t[(c >> 8) ^ b] ^ ((c << 8) & 0xFF00)
+    t2 = _CRC16_TABLE2
+    n2 = len(b) & ~1
+    for i in range(0, n2, 2):
+        c = t2[c ^ ((b[i] << 8) | b[i + 1])]
+    if len(b) & 1:
+        c = _CRC16_TABLE[(c >> 8) ^ b[-1]] ^ ((c << 8) & 0xFF00)
     return c
 
 
@@ -185,28 +206,49 @@ class _BitReader:
         if count == 0:
             return np.zeros(0, np.int64)
         ones = self.ones
-        n_ones = len(ones)
         oi = bisect.bisect_left(ones, self.pos)
         p = self.pos
-        qs = [0] * count
-        starts = [0] * count
-        for i in range(count):
-            while True:
-                if oi >= n_ones:
-                    raise FlacError("truncated rice stream")
-                t = ones[oi]
-                oi += 1
-                if t >= p:
-                    break
-            qs[i] = t - p
-            starts[i] = t + 1
-            p = t + 1 + k
+        terms = [0] * count
+        try:
+            if k >= 4:
+                # dense suffixes: ~k/2 ones sit inside each k-bit
+                # suffix — one C-level bisect (lo hint keeps it local)
+                # jumps them all instead of stepping one by one
+                bl = bisect.bisect_left
+                for i in range(count):
+                    oi = bl(ones, p, oi)
+                    t = ones[oi]
+                    terms[i] = t
+                    oi += 1
+                    p = t + 1 + k
+            else:
+                n_ones = len(ones)
+                for i in range(count):
+                    while True:
+                        if oi >= n_ones:
+                            raise IndexError
+                        t = ones[oi]
+                        oi += 1
+                        if t >= p:
+                            break
+                    terms[i] = t
+                    p = t + 1 + k
+        except IndexError:
+            raise FlacError("truncated rice stream") from None
         if p > self.n:
             raise FlacError("truncated rice suffix bits")
+        p0 = self.pos
         self.pos = p
-        q = np.asarray(qs, dtype=np.int64)
+        t_arr = np.asarray(terms, dtype=np.int64)
+        # unary start_i chains from the previous terminator:
+        # start_0 = p0, start_i = t_{i-1} + 1 + k; quotient = t - start
+        starts = np.empty(count, np.int64)
+        starts[0] = p0
+        if count > 1:
+            starts[1:] = t_arr[:-1] + 1 + k
+        q = t_arr - starts
         if k:
-            idx = np.asarray(starts, dtype=np.int64)[:, None] + np.arange(k)
+            idx = (t_arr + 1)[:, None] + np.arange(k)
             lows = self.bits[idx].astype(np.int64) @ (
                 np.int64(1) << np.arange(k - 1, -1, -1, dtype=np.int64)
             )

@@ -65,11 +65,7 @@ def main() -> None:
     ap.add_argument("--cores", type=int, default=32)
     args = ap.parse_args()
 
-    from data_validator_spark.operators.graph import dedup_clusters
-    from data_validator_spark.operators.text_dedup import (
-        minhash_lsh_candidates,
-        shingles,
-    )
+    from data_validator_spark.operators.text_dedup import dedup_pipeline
     from data_validator_spark.session import build_session
 
     spark = build_session(
@@ -82,38 +78,31 @@ def main() -> None:
     docs = synth_docs(spark, args.rows).persist()
     docs.count()
 
-    t0 = time.monotonic()
-    sh = shingles(docs, "doc_id", "text", n=3).persist()
-    n_docs = sh.count()
-    t_shingle = time.monotonic() - t0
-
-    t0 = time.monotonic()
-    cand = minhash_lsh_candidates(
-        docs, "doc_id", "text", n_hashes=32, bands=16,
-        bucket_cap=args.cap, shingled=sh,
-    ).persist()
-    n_cand = cand.count()
-    t_cand = time.monotonic() - t0
-
     from pyspark.sql import functions as F
 
-    # true near-dup pairs sit at jaccard ~0.85 and random pairs near 0,
-    # so 0.65 cleanly separates them. NOTE: est_jaccard noise is
-    # CORRELATED per doc (one unlucky 32-hash signature lowers every
-    # pair estimate of that doc by the same amount — observed: one doc
-    # in 4000 capped at 22/32 = 0.6875), so the margin must cover the
-    # per-doc tail, not just the per-pair sd; production pipelines
-    # verify borderline candidates with exact jaccard instead
-    # (ngram_jaccard_pairs does).
-    verified = cand.filter(F.col("est_jaccard") >= 0.65)
+    # drive the SHIPPED composition (text_dedup.dedup_pipeline): exact
+    # tier -> one persisted shingle pass -> minhash-LSH candidates ->
+    # EXACT-jaccard verification -> star-contraction clusters -> keeper
+    # list. est_margin generous because signature noise is CORRELATED
+    # per doc (one unlucky 32-hash signature lowers every estimate of
+    # that doc); the exact verify makes the final call either way.
     t0 = time.monotonic()
-    clusters = dedup_clusters(verified, "id_a", "id_b").persist()
-    n_members = clusters.count()
-    n_comp = clusters.filter(F.col("is_keeper")).count()
-    biggest = (
-        clusters.groupBy("component").count().agg(F.max("count")).collect()[0][0]
+    res = dedup_pipeline(
+        docs, "doc_id", "text", n=3, n_hashes=32, bands=16,
+        threshold=0.8, bucket_cap=args.cap, est_margin=0.3,
     )
-    t_cc = time.monotonic() - t0
+    keep = res.keepers.persist()
+    n_docs = keep.count()
+    n_keep = keep.filter(F.col("is_keeper")).count()
+    t_pipeline = time.monotonic() - t0
+
+    t0 = time.monotonic()
+    n_cand = res.candidate_pairs.count()
+    n_verified = res.verified_pairs.count()
+    t_pairs = time.monotonic() - t0
+    comp_sizes = (
+        keep.groupBy("component").count().agg(F.max("count")).collect()[0][0]
+    )
 
     exp_mega = args.rows // 50
     print(
@@ -121,22 +110,24 @@ def main() -> None:
             {
                 "rows": args.rows,
                 "bucket_cap": args.cap,
-                "n_docs_shingled": n_docs,
-                "sec_shingle": round(t_shingle, 2),
+                "n_docs": n_docs,
+                "n_keepers": n_keep,
+                "n_dropped": n_docs - n_keep,
                 "n_candidate_pairs": n_cand,
-                "sec_candidates": round(t_cand, 2),
-                "n_clustered_members": n_members,
-                "n_components": n_comp,
-                "biggest_component": biggest,
+                "n_verified_pairs": n_verified,
+                "biggest_component": comp_sizes,
                 "expected_mega_size": exp_mega,
-                "mega_recovered": bool(biggest == exp_mega),
-                "sec_clusters": round(t_cc, 2),
-                "docs_per_sec_end_to_end": round(
-                    args.rows / (t_shingle + t_cand + t_cc), 1
-                ),
+                # the straggler gate: the 4,000-member Zipf mega-cluster
+                # (every member in the same LSH buckets) must come back
+                # intact THROUGH the chunk-split join, not as fragments
+                "mega_recovered": bool(comp_sizes == exp_mega),
+                "sec_pipeline": round(t_pipeline, 2),
+                "sec_pair_recount": round(t_pairs, 2),
+                "docs_per_sec_end_to_end": round(args.rows / t_pipeline, 1),
             }
         )
     )
+    res.unpersist()
     spark.stop()
 
 
