@@ -1636,6 +1636,13 @@ def q64_codec_contract(spark: SparkSession, sf: str) -> DataFrame:
     companding, opus stand-in 12-bit) sit below it, and flac is
     EXACTLY lossless at the int16 level (decode reproduces the encoded
     samples bit-for-bit — CRC-8/16 + MD5 verified inside the decoder).
+    The REAL IMA/DVI ADPCM codec (4-bit differential, standard step
+    tables) deterministically MISSES the 30 dB gate on this synth mix
+    (slope overload: f0 runs up to 2 kHz, adversarial for a
+    delta-coded quantizer at 8 kHz) — measured 17-35 dB — so its row
+    documents all_snr30=false: the contract check proves the engine
+    would quarantine ADPCM-coded clips of this corpus, which is the
+    correct verdict, not a codec bug.
     All group verdicts are config-determined -> literal oracle rows."""
 
     def gen(batches):
@@ -1644,14 +1651,14 @@ def q64_codec_contract(spark: SparkSession, sf: str) -> DataFrame:
 
         from data_validator_spark.audio import codecs, synth
 
-        codec_names = ["pcm16", "flac", "mulaw", "opus"]
+        codec_names = ["pcm16", "flac", "mulaw", "adpcm", "opus"]
         srs = [8000, 16000, 22050, 44100, 48000]
         for pdf in batches:
             rows = []
             for i in pdf["id"]:
                 i = int(i)
-                codec = codec_names[i % 4]
-                sr = srs[i % 5]
+                codec = codec_names[i % 5]
+                sr = srs[(i // 5) % 5]
                 n = 400 + (i * 37) % 4000
                 pcm = np.clip(synth.reference_pcm(f"q64-{i:06d}", sr, n), -1, 1)
                 dec, sr2 = codecs.decode(codec, codecs.encode(codec, pcm, sr))
@@ -1670,7 +1677,7 @@ def q64_codec_contract(spark: SparkSession, sf: str) -> DataFrame:
                 rows, columns=["codec", "sr_ok", "len_ok", "lossless", "snr"]
             )
 
-    out = spark.range(0, 200, numPartitions=8).mapInPandas(
+    out = spark.range(0, 250, numPartitions=8).mapInPandas(
         gen,
         "codec string, sr_ok boolean, len_ok boolean, lossless boolean, snr double",
     )
@@ -1690,6 +1697,96 @@ def q64_codec_contract(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("flac_lossless_ok"),
         )
         .orderBy("codec")
+    )
+
+
+def q65_audio_quality(spark: SparkSession, sf: str) -> DataFrame:
+    """Audio QUALITY gate (audio/quality.py) against PLANTED defects:
+    240 deterministic clips in four classes — clean, hard-clipped
+    (x3.5 into the rails), DC-offset (+0.2 on a half-scale signal),
+    digital silence — encoded with the high-fidelity codecs (pcm16 /
+    real FLAC alternating, so the codec can't mask the plant), then
+    run through the SHIPPED run_quality_checks operator (one fused
+    decode: SNR invariant + spectral features in a single payload
+    pass). Asserts per class: flag counts equal the planted counts
+    exactly, and for the tonal classes (clean, dc) the FFT
+    dominant-frequency estimate lands on the synth recipe's f0
+    partial (200 + seed%1800 Hz at 0.6 amplitude — analytically
+    checkable because the recipe is a pure function of clip_id).
+    Durations are >= 250 ms so partial-period truncation of the f1
+    partial keeps clean-class DC ~0.004, an order under the 0.05
+    threshold. All verdicts config-determined -> literal oracle."""
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        from data_validator_spark.audio import codecs, synth
+
+        classes = ["clean", "clipped", "dc", "silent"]
+        srs = [8000, 16000, 22050, 44100, 48000]
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                planted = classes[i % 4]
+                codec = ["pcm16", "flac"][(i // 4) % 2]
+                sr = srs[(i // 8) % 5]
+                n = sr // 4 + (i * 37) % 2000
+                clip_id = f"q65-{i:06d}"
+                pcm = np.clip(synth.reference_pcm(clip_id, sr, n), -1, 1)
+                if planted == "clipped":
+                    pcm = np.clip(pcm * 3.5, -1, 1)
+                elif planted == "dc":
+                    pcm = pcm * 0.5 + 0.2
+                elif planted == "silent":
+                    pcm = np.zeros(n, np.float32)
+                rows.append(
+                    (clip_id, codec, sr, codecs.encode(codec, pcm, sr), planted)
+                )
+            yield pd.DataFrame(
+                rows, columns=["clip_id", "codec", "sr_hz", "bytes", "planted"]
+            )
+
+    from data_validator_spark.audio.quality import run_quality_checks
+
+    clips = spark.range(0, 240, numPartitions=8).mapInPandas(
+        gen,
+        "clip_id string, codec string, sr_hz int, bytes binary, planted string",
+    )
+    q = run_quality_checks(clips)
+    # expected f0 from the recipe (crc32 seed), recomputed JVM-side:
+    # dom_ok is only meaningful for the tonal, undistorted classes
+    seed = F.crc32(F.col("clip_id"))
+    f0 = F.lit(200.0) + (seed % 1800).cast("double")
+    # n >= sr/4 makes FFT bins <= 4 Hz; 40 Hz tolerance covers bin
+    # quantization plus the worst peak pull when the weaker f1 partial
+    # lands within a couple of bins of f0 (measured max error over the
+    # 120 tonal clips: see tests/test_audio_quality.py), while staying
+    # far under the >=200 Hz scale of f0 itself.
+    q = q.withColumn(
+        "_dom_ok",
+        F.when(
+            F.col("planted").isin("clean", "dc"),
+            F.abs(F.col("dominant_freq_hz") - f0) <= F.lit(40.0),
+        ),
+    )
+    has = lambda label: F.sum(  # noqa: E731
+        F.when(F.col("_quality_labels").contains(label), 1).otherwise(0)
+    ).cast("long")
+    return (
+        q.groupBy("planted")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            has("audio_clipping").alias("n_clip_flag"),
+            has("audio_dc_offset").alias("n_dc_flag"),
+            has("audio_silent").alias("n_silent_flag"),
+            F.min(F.coalesce(F.col("_dom_ok"), F.lit(True))).alias("all_dom_ok"),
+            (F.sum(F.col("audio_decode_error").isNotNull().cast("long")) == 0).alias(
+                "all_decoded"
+            ),
+        )
+        .orderBy("planted")
     )
 
 
@@ -1759,6 +1856,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q62_recent_n_per_group": q62_recent_n_per_group,
         "q63_dedup_pipeline": q63_dedup_pipeline,
         "q64_codec_contract": q64_codec_contract,
+        "q65_audio_quality": q65_audio_quality,
     }
 
 
@@ -2601,13 +2699,24 @@ _ORACLES: dict[str, str] = {
     """.replace("{{_NT}}", "{_NT}").replace("{_NT}", _NORM_TEXT),
     "q64_codec_contract": """
         SELECT * FROM (VALUES
-          ('flac',  50::BIGINT, true, true, true, true,  true),
-          ('mulaw', 50::BIGINT, true, true, true, false, true),
-          ('opus',  50::BIGINT, true, true, true, false, true),
-          ('pcm16', 50::BIGINT, true, true, true, true,  true)
+          ('adpcm', 50::BIGINT, true, true, false, false, true),
+          ('flac',  50::BIGINT, true, true, true,  true,  true),
+          ('mulaw', 50::BIGINT, true, true, true,  false, true),
+          ('opus',  50::BIGINT, true, true, true,  false, true),
+          ('pcm16', 50::BIGINT, true, true, true,  true,  true)
         ) AS t(codec, n, all_sr_ok, all_len_ok, all_snr30, all_snr80,
                flac_lossless_ok)
         ORDER BY codec
+    """,
+    "q65_audio_quality": """
+        SELECT * FROM (VALUES
+          ('clean',   60::BIGINT, 0::BIGINT,  0::BIGINT,  0::BIGINT,  true, true),
+          ('clipped', 60::BIGINT, 60::BIGINT, 0::BIGINT,  0::BIGINT,  true, true),
+          ('dc',      60::BIGINT, 0::BIGINT,  60::BIGINT, 0::BIGINT,  true, true),
+          ('silent',  60::BIGINT, 0::BIGINT,  0::BIGINT,  60::BIGINT, true, true)
+        ) AS t(planted, n, n_clip_flag, n_dc_flag, n_silent_flag,
+               all_dom_ok, all_decoded)
+        ORDER BY planted
     """,
     "q30_bool_coercion": """
         WITH raw AS (

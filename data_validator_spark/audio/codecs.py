@@ -9,6 +9,15 @@ Real codecs:
     codec: fixed/verbatim/constant subframes, rice residuals, CRC-8 +
     CRC-16 + MD5 verified; mono/16-bit encode, wider decode).
 
+  - ``adpcm``: IMA/DVI ADPCM (real algorithm: 4-bit differential
+    coding with the standard 89-entry step table and index
+    adaptation, as specified in the IMA Digital Audio Compatibility
+    Pack and RIFF WAVE format 0x0011) in a minimal ``ADP0``
+    container. ~4:1 compression; inherently sequential (each sample's
+    quantizer state depends on the previous), so the codec loops in
+    Python per clip — fine at validation batch sizes, and the
+    algorithm itself is the real thing.
+
 Stand-in codec (the *plumbing* — schema, per-codec dispatch, Arrow
 batching, SNR math — is real; only the bitstream format is ours):
   - ``opus``: lossy stand-in, 12-bit quantization (``OPU0``) giving a
@@ -30,11 +39,12 @@ import numpy as np
 
 from data_validator_spark.audio import flac as _flac
 
-SUPPORTED_CODECS = ("pcm16", "flac", "mulaw", "opus")
+SUPPORTED_CODECS = ("pcm16", "flac", "mulaw", "adpcm", "opus")
 
 _WAV_FMT_PCM = 1
 _MAGIC_MULAW = b"MULW"
 _MAGIC_OPUS = b"OPU0"
+_MAGIC_ADPCM = b"ADP0"
 
 
 class CodecError(ValueError):
@@ -117,6 +127,140 @@ def _decode_flac(payload: bytes) -> tuple[np.ndarray, int]:
         raise CodecError(f"flac decode failed: {e}") from e
 
 
+# ---------------------------------------------------------------- IMA ADPCM
+
+# Standard IMA/DVI step-size table (89 entries) and index-adjustment
+# table — these exact constants are normative for the format (RIFF
+# WAVE 0x0011 / Apple 'ima4'); any implementation interoperates only
+# by using them verbatim.
+_IMA_STEPS = (
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34,
+    37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143,
+    157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494,
+    544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552,
+    1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428,
+    4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487,
+    12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623, 27086,
+    29794, 32767,
+)
+_IMA_INDEX_ADJ = (-1, -1, -1, -1, 2, 4, 6, 8)
+
+
+def _encode_adpcm(pcm: np.ndarray, sr_hz: int) -> bytes:
+    samples = np.round(np.clip(pcm, -1.0, 1.0) * 32767.0).astype(np.int64)
+    n = len(samples)
+    # header carries the initial predictor (the first sample, sent
+    # verbatim like a WAV ADPCM block header) + initial step index
+    if n == 0:
+        return _MAGIC_ADPCM + struct.pack("<IQhB", sr_hz, 0, 0, 0)
+    pred = int(samples[0])
+    index = 0
+    nibbles = bytearray((n - 1 + 1) // 2)
+    steps, adj = _IMA_STEPS, _IMA_INDEX_ADJ
+    sample_list = samples.tolist()
+    nib_hi = False
+    pos = 0
+    for s in sample_list[1:]:
+        step = steps[index]
+        diff = s - pred
+        code = 0
+        if diff < 0:
+            code = 8
+            diff = -diff
+        vpdiff = step >> 3
+        if diff >= step:
+            code |= 4
+            diff -= step
+            vpdiff += step
+        step >>= 1
+        if diff >= step:
+            code |= 2
+            diff -= step
+            vpdiff += step
+        step >>= 1
+        if diff >= step:
+            code |= 1
+            vpdiff += step
+        if code & 8:
+            pred -= vpdiff
+        else:
+            pred += vpdiff
+        if pred > 32767:
+            pred = 32767
+        elif pred < -32768:
+            pred = -32768
+        index += adj[code & 7]
+        if index < 0:
+            index = 0
+        elif index > 88:
+            index = 88
+        if nib_hi:
+            nibbles[pos] |= code << 4
+            pos += 1
+            nib_hi = False
+        else:
+            nibbles[pos] = code
+            nib_hi = True
+    return (
+        _MAGIC_ADPCM
+        + struct.pack("<IQhB", sr_hz, n, int(samples[0]), 0)
+        + bytes(nibbles)
+    )
+
+
+def _decode_adpcm(payload: bytes) -> tuple[np.ndarray, int]:
+    if len(payload) < 19 or payload[:4] != _MAGIC_ADPCM:
+        raise CodecError("not an ADP0 payload")
+    sr_hz, n, pred0, index0 = struct.unpack("<IQhB", payload[4:19])
+    if n == 0:
+        return np.zeros(0, np.float32), sr_hz
+    body = payload[19:]
+    need = (n - 1 + 1) // 2
+    if len(body) != need:
+        raise CodecError("truncated ADP0 data")
+    if index0 > 88:
+        raise CodecError("invalid ADP0 step index")
+    # unpack both nibbles of every byte up front (vectorized), then run
+    # the sequential predictor loop over the flat code list
+    b = np.frombuffer(body, dtype=np.uint8)
+    codes = np.empty(len(b) * 2, dtype=np.uint8)
+    codes[0::2] = b & 0x0F
+    codes[1::2] = b >> 4
+    code_list = codes[: n - 1].tolist()
+    out = [0] * n
+    pred = int(pred0)
+    out[0] = pred
+    index = int(index0)
+    steps, adj = _IMA_STEPS, _IMA_INDEX_ADJ
+    i = 1
+    for code in code_list:
+        step = steps[index]
+        vpdiff = step >> 3
+        if code & 4:
+            vpdiff += step
+        if code & 2:
+            vpdiff += step >> 1
+        if code & 1:
+            vpdiff += step >> 2
+        if code & 8:
+            pred -= vpdiff
+        else:
+            pred += vpdiff
+        if pred > 32767:
+            pred = 32767
+        elif pred < -32768:
+            pred = -32768
+        out[i] = pred
+        i += 1
+        index += adj[code & 7]
+        if index < 0:
+            index = 0
+        elif index > 88:
+            index = 88
+    pcm = np.asarray(out, dtype=np.float32) / 32767.0
+    return pcm, sr_hz
+
+
 # ---------------------------------------------------------------- opus stand-in
 
 _OPUS_BITS = 12
@@ -147,12 +291,14 @@ _ENCODERS = {
     "pcm16": _encode_wav_pcm16,
     "mulaw": _encode_mulaw,
     "flac": _encode_flac,
+    "adpcm": _encode_adpcm,
     "opus": _encode_opus,
 }
 _DECODERS = {
     "pcm16": _decode_wav_pcm16,
     "mulaw": _decode_mulaw,
     "flac": _decode_flac,
+    "adpcm": _decode_adpcm,
     "opus": _decode_opus,
 }
 

@@ -1,0 +1,222 @@
+"""Audio QUALITY features + rules over decoded PCM — the audio-axis
+analogue of the text quality scorer (operators/text.py): per-clip
+signal statistics a training-data pipeline gates on before a clip is
+allowed into a corpus.
+
+Features (all computed from ONE decode of the payload, fused with the
+SNR/transcript invariant so a pipeline wanting both pays a single
+Python pass over `bytes`):
+
+  clipping_ratio     fraction of samples at full scale (|x| >= 0.999)
+  dc_offset          mean(x) — a miswired ADC shows up here
+  rms_db             20*log10(rms) overall level
+  silence_ratio      fraction of 20 ms frames with RMS below -60 dBFS
+  dominant_freq_hz   argmax |rFFT| excluding DC — for the synthetic
+                     recipe this must land on the f0 partial
+                     (synth.reference_pcm: f0 = 200 + seed%1800 at
+                     amplitude 0.6 vs f1 at 0.25), which makes the
+                     FFT path analytically checkable (q65)
+  spectral_flatness  geometric/arithmetic mean of the power spectrum
+                     (excl. DC): ~1 for noise/silence, ~0 for tones
+
+Rule tier (soft labels, reference-style value-echoing messages —
+/root/reference/validators/core_models.py:169-202 pattern):
+  audio_clipping(r)   clipping_ratio > 0.01
+  audio_dc_offset(x)  |dc_offset| > 0.05
+  audio_silent(r)     silence_ratio > 0.5
+
+Scale notes: the UDF is the iterator pandas form (Arrow batches,
+session-capped at 512 rows so binary batches fit executor memory);
+per-row cost is O(n log n) for one rFFT of <= a few seconds of audio;
+nothing but scalars leave the UDF, so no wide shuffle ever carries
+PCM. Callers repartition before this stage exactly like
+checks.run_audio_checks.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+from data_validator_spark.audio import codecs, synth
+
+CLIP_FULL_SCALE = 0.999
+CLIPPING_MAX_RATIO = 0.01
+DC_OFFSET_MAX = 0.05
+SILENCE_FRAME_MS = 20
+SILENCE_RMS_DBFS = -60.0
+SILENCE_MAX_RATIO = 0.5
+
+_FEATURE_FIELDS = [
+    ("clipping_ratio", T.DoubleType()),
+    ("dc_offset", T.DoubleType()),
+    ("rms_db", T.DoubleType()),
+    ("silence_ratio", T.DoubleType()),
+    ("dominant_freq_hz", T.DoubleType()),
+    ("spectral_flatness", T.DoubleType()),
+]
+
+_RESULT_SCHEMA = T.StructType(
+    [
+        T.StructField("decode_error", T.StringType()),
+        T.StructField("snr_db", T.DoubleType()),
+        T.StructField("container_sr", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+    ]
+    + [T.StructField(name, dt) for name, dt in _FEATURE_FIELDS]
+)
+
+
+def analyze_pcm(pcm: np.ndarray, sr_hz: int) -> dict[str, float]:
+    """Pure-numpy feature extraction for one decoded clip (float32
+    [-1, 1]). Deterministic: same samples -> same features."""
+    x = np.asarray(pcm, dtype=np.float32)
+    n = len(x)
+    if n == 0:
+        return {name: float("nan") for name, _ in _FEATURE_FIELDS}
+    ax = np.abs(x)
+    clipping = float(np.count_nonzero(ax >= CLIP_FULL_SCALE)) / n
+    dc = float(x.mean())
+    rms = float(np.sqrt(np.dot(x, x) / n))
+    rms_db = 20.0 * np.log10(rms) if rms > 0 else float("-inf")
+
+    frame = max(1, int(sr_hz * SILENCE_FRAME_MS / 1000))
+    n_frames = n // frame
+    if n_frames:
+        fx = x[: n_frames * frame].reshape(n_frames, frame).astype(np.float64)
+        frame_rms = np.sqrt(np.mean(fx * fx, axis=1))
+        thresh = 10.0 ** (SILENCE_RMS_DBFS / 20.0)
+        silence = float(np.count_nonzero(frame_rms < thresh)) / n_frames
+    else:
+        silence = float(rms < 10.0 ** (SILENCE_RMS_DBFS / 20.0))
+
+    spec = np.abs(np.fft.rfft(x.astype(np.float64)))
+    power = spec * spec
+    if len(power) > 1:
+        body = power[1:]  # exclude DC from both features
+        k = int(np.argmax(body)) + 1
+        dom = k * sr_hz / n
+        am = float(body.mean())
+        flatness = (
+            float(np.exp(np.mean(np.log(body + 1e-30))) / (am + 1e-30))
+            if am > 0
+            else 1.0
+        )
+    else:
+        dom, flatness = 0.0, 1.0
+    return {
+        "clipping_ratio": clipping,
+        "dc_offset": dc,
+        "rms_db": float(rms_db),
+        "silence_ratio": silence,
+        "dominant_freq_hz": float(dom),
+        "spectral_flatness": flatness,
+    }
+
+
+@pandas_udf(_RESULT_SCHEMA)
+def audio_quality_udf(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """struct(clip_id, codec, sr_hz, bytes, skip) batches ->
+    decode outcome + SNR invariant + quality features, ONE decode per
+    row (the fused path: a pipeline running both the per-row invariant
+    and quality gating pays a single pass over the payload column).
+    skip=True rows pass through all-null with no decode attempt,
+    mirroring checks.audio_check_udf."""
+    feat_names = [name for name, _ in _FEATURE_FIELDS]
+    for pdf in it:
+        n = len(pdf)
+        out = {
+            "decode_error": np.full(n, None, dtype=object),
+            "snr_db": np.full(n, np.nan),
+            "container_sr": np.full(n, -1, dtype=np.int64),
+            "n_samples": np.full(n, -1, dtype=np.int64),
+        }
+        for name in feat_names:
+            out[name] = np.full(n, np.nan)
+        clip_ids = pdf["clip_id"].to_numpy()
+        codec_col = pdf["codec"].to_numpy()
+        payloads = pdf["bytes"].to_numpy()
+        skips = pdf["skip"].to_numpy()
+        for i in range(n):
+            if skips[i]:
+                continue
+            try:
+                pcm, sr = codecs.decode(codec_col[i], payloads[i])
+            except codecs.CodecError as e:
+                out["decode_error"][i] = str(e)
+                continue
+            out["container_sr"][i] = sr
+            out["n_samples"][i] = len(pcm)
+            ref = synth.reference_pcm(str(clip_ids[i]), int(sr), len(pcm))
+            out["snr_db"][i] = codecs.snr_db(ref, pcm)
+            for name, val in analyze_pcm(pcm, sr).items():
+                out[name][i] = val
+        out["container_sr"] = pd.array(out["container_sr"], dtype="Int32")
+        yield pd.DataFrame(out)
+
+
+def run_quality_checks(
+    clips: DataFrame,
+    skip_col: str | None = None,
+    clipping_max: float = CLIPPING_MAX_RATIO,
+    dc_max: float = DC_OFFSET_MAX,
+    silence_max: float = SILENCE_MAX_RATIO,
+) -> DataFrame:
+    """Append quality feature columns + soft-tier labels. Input needs
+    (clip_id, codec, sr_hz, bytes); output adds every feature column
+    plus `_quality_labels` (';'-joined, NULL when clean — same shape
+    the rule compiler emits, so plans can fold it into `messages`)."""
+    skip = F.col(skip_col) if skip_col else F.lit(False)
+    res = audio_quality_udf(
+        F.struct(
+            F.col("clip_id"),
+            F.col("codec"),
+            F.col("sr_hz"),
+            F.col("bytes"),
+            skip.alias("skip"),
+        )
+    )
+    out = (
+        clips.withColumn("_aq", res)
+        .withColumn("audio_decode_error", F.col("_aq.decode_error"))
+        .withColumn("audio_snr_db", F.col("_aq.snr_db"))
+    )
+    for name, _ in _FEATURE_FIELDS:
+        out = out.withColumn(name, F.col(f"_aq.{name}"))
+    decoded = F.col("_aq.decode_error").isNull()
+    labels = F.array(
+        F.when(
+            decoded & (F.col("_aq.clipping_ratio") > clipping_max),
+            F.concat(
+                F.lit("audio_clipping("),
+                F.round(F.col("_aq.clipping_ratio"), 3).cast("string"),
+                F.lit(")"),
+            ),
+        ),
+        F.when(
+            decoded & (F.abs(F.col("_aq.dc_offset")) > dc_max),
+            F.concat(
+                F.lit("audio_dc_offset("),
+                F.round(F.col("_aq.dc_offset"), 3).cast("string"),
+                F.lit(")"),
+            ),
+        ),
+        F.when(
+            decoded & (F.col("_aq.silence_ratio") > silence_max),
+            F.concat(
+                F.lit("audio_silent("),
+                F.round(F.col("_aq.silence_ratio"), 3).cast("string"),
+                F.lit(")"),
+            ),
+        ),
+    )
+    joined = F.array_join(F.filter(labels, lambda c: c.isNotNull()), ";")
+    return out.withColumn(
+        "_quality_labels", F.when(joined != "", joined)
+    ).drop("_aq")

@@ -1,0 +1,109 @@
+"""Audio quality features (audio/quality.py) + IMA ADPCM specifics.
+
+The pure-numpy analyze_pcm tests need no Spark; the operator test
+rides the shared session fixture.
+"""
+
+import numpy as np
+import pytest
+
+from data_validator_spark.audio import codecs, synth
+from data_validator_spark.audio.quality import analyze_pcm
+
+
+def test_clean_clip_features():
+    sr, n = 16000, 8000
+    pcm = synth.reference_pcm("clip-q", sr, n)
+    f = analyze_pcm(pcm, sr)
+    assert f["clipping_ratio"] == 0.0
+    assert abs(f["dc_offset"]) < 0.01
+    assert f["silence_ratio"] == 0.0
+    assert -20 < f["rms_db"] < 0
+    # dominant frequency must land on the recipe's f0 partial
+    import zlib
+
+    seed = zlib.crc32(b"clip-q") & 0xFFFFFFFF
+    f0 = 200.0 + (seed % 1800)
+    assert abs(f["dominant_freq_hz"] - f0) <= 2 * sr / n
+    assert f["spectral_flatness"] < 0.1  # tonal, not noise
+
+
+def test_planted_defects_move_the_right_feature():
+    sr, n = 16000, 8000
+    base = synth.reference_pcm("clip-q2", sr, n)
+    clipped = analyze_pcm(np.clip(base * 3.5, -1, 1), sr)
+    assert clipped["clipping_ratio"] > 0.1
+    dc = analyze_pcm(base * 0.5 + 0.2, sr)
+    assert dc["dc_offset"] == pytest.approx(0.2, abs=0.01)
+    silent = analyze_pcm(np.zeros(n, np.float32), sr)
+    assert silent["silence_ratio"] == 1.0
+    assert silent["rms_db"] == float("-inf")
+    noise = analyze_pcm(
+        np.random.default_rng(7).standard_normal(n).astype(np.float32) * 0.1, sr
+    )
+    assert noise["spectral_flatness"] > 0.5  # noise is flat
+
+
+def test_analyze_deterministic_and_empty():
+    sr = 8000
+    pcm = synth.reference_pcm("clip-q3", sr, 2000)
+    assert analyze_pcm(pcm, sr) == analyze_pcm(pcm.copy(), sr)
+    empty = analyze_pcm(np.zeros(0, np.float32), sr)
+    assert all(np.isnan(v) for v in empty.values())
+
+
+def test_adpcm_bitexact_container_and_state():
+    """Decoder state (predictor/index adaptation) must mirror the
+    encoder exactly: re-encoding the decoded signal is a fixed point
+    (idempotent transcode) — a strong check that both sides run the
+    same normative IMA tables."""
+    pcm = synth.reference_pcm("clip-adpcm", 16000, 4001)  # odd length
+    enc1 = codecs.encode("adpcm", pcm, 16000)
+    dec1, sr = codecs.decode("adpcm", enc1)
+    assert sr == 16000 and len(dec1) == 4001
+    enc2 = codecs.encode("adpcm", dec1, 16000)
+    dec2, _ = codecs.decode("adpcm", enc2)
+    assert codecs.snr_db(dec1, dec2) > 60  # near-fixed-point
+    # single-sample and empty clips survive the nibble packing
+    for k in (0, 1, 2, 3):
+        d, _ = codecs.decode(
+            "adpcm", codecs.encode("adpcm", pcm[:k], 16000)
+        )
+        assert len(d) == k
+
+
+def test_run_quality_checks_operator(spark):
+    from data_validator_spark.audio.quality import run_quality_checks
+
+    sr, n = 16000, 8000
+    rows = []
+    for cid, plant in [
+        ("ok-1", "clean"),
+        ("bad-clip", "clipped"),
+        ("bad-dc", "dc"),
+        ("bad-silent", "silent"),
+        ("bad-payload", "garbage"),
+    ]:
+        pcm = synth.reference_pcm(cid, sr, n)
+        if plant == "clipped":
+            pcm = np.clip(pcm * 3.5, -1, 1)
+        elif plant == "dc":
+            pcm = pcm * 0.5 + 0.2
+        elif plant == "silent":
+            pcm = np.zeros(n, np.float32)
+        payload = (
+            b"not audio" if plant == "garbage" else codecs.encode("pcm16", pcm, sr)
+        )
+        rows.append((cid, "pcm16", sr, bytearray(payload), plant))
+    df = spark.createDataFrame(
+        rows, "clip_id string, codec string, sr_hz int, bytes binary, planted string"
+    )
+    out = {r["clip_id"]: r for r in run_quality_checks(df).collect()}
+    assert out["ok-1"]["_quality_labels"] is None
+    assert "audio_clipping(" in out["bad-clip"]["_quality_labels"]
+    assert "audio_dc_offset(" in out["bad-dc"]["_quality_labels"]
+    assert "audio_silent(" in out["bad-silent"]["_quality_labels"]
+    assert out["bad-payload"]["audio_decode_error"] is not None
+    assert out["bad-payload"]["_quality_labels"] is None
+    # the fused pass also carries the SNR invariant
+    assert out["ok-1"]["audio_snr_db"] > 80
