@@ -1790,6 +1790,69 @@ def q65_audio_quality(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q66_jpeg_features(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL baseline-JPEG decode through the full mapInPandas
+    plumbing (the JPEG twin of q58): 32 deterministic linear-gradient
+    images (no 8-bit wrap, so every block is smooth) are encoded
+    in-executor by the pure-python JPEG codec (operators/jpeg.py,
+    Annex K tables at quality 90), decoded back by the same module
+    via decode_image_features, and reduced to pixel statistics.
+    Shapes must survive exactly; mean/std/channel statistics must land
+    within 1.0 of the ANALYTIC values computed from the gradient
+    formula px = x*7 + ch*31 + y%2 (measured worst reconstruction
+    error 0.28 — JPEG is lossy, so the oracle pins tolerance booleans
+    rather than raw floats). DuckDB recomputes h/w from the id alone."""
+    from data_validator_spark.operators.multimodal import decode_image_features
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        from data_validator_spark.operators import jpeg
+
+        for pdf in batches:
+            out_id, out_jpg = [], []
+            for i in pdf["id"]:
+                i = int(i)
+                h, w = 8 + i % 5, 9 + i % 3
+                y, x = np.mgrid[0:h, 0:w]
+                px = np.stack(
+                    [x * 7 + ch * 31 + y % 2 for ch in range(3)], axis=2
+                ).astype(np.uint8)
+                out_id.append(str(i))
+                out_jpg.append(bytearray(jpeg.encode_jpeg(px, quality=90)))
+            yield pd.DataFrame({"clip_id": out_id, "bytes": out_jpg})
+
+    imgs = spark.range(0, 32, numPartitions=4).mapInPandas(
+        gen, "clip_id string, bytes binary"
+    )
+    feats = decode_image_features(imgs, fake=False)
+    i = F.col("id").cast("long")
+    h = (F.lit(8) + i % 5).cast("double")
+    w = (F.lit(9) + i % 3).cast("double")
+    # analytic moments of px = 7x + 31ch + (y%2), dims independent:
+    p_odd = F.floor(h / 2) / h
+    mean_a = F.lit(7.0) * (w - 1) / 2 + F.lit(31.0) + p_odd
+    var_a = (
+        F.lit(49.0) * (w * w - 1) / 12
+        + F.lit(961.0 * 2.0 / 3.0)
+        + p_odd * (1 - p_odd)
+    )
+    ch0_a = F.lit(7.0) * (w - 1) / 2 + p_odd
+    return feats.select(
+        i.alias("img_id"),
+        F.element_at("features", 1).cast("long").alias("h"),
+        F.element_at("features", 2).cast("long").alias("w"),
+        F.element_at("features", 3).cast("long").alias("c"),
+        (F.abs(F.element_at("features", 4) - mean_a) <= 1.0).alias("mean_ok"),
+        (F.abs(F.element_at("features", 5) - F.sqrt(var_a)) <= 1.0).alias(
+            "std_ok"
+        ),
+        (F.abs(F.element_at("features", 6) - ch0_a) <= 1.0).alias("ch0_ok"),
+        F.col("decode_error").isNull().alias("decoded"),
+    ).orderBy("img_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1857,6 +1920,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q63_dedup_pipeline": q63_dedup_pipeline,
         "q64_codec_contract": q64_codec_contract,
         "q65_audio_quality": q65_audio_quality,
+        "q66_jpeg_features": q66_jpeg_features,
     }
 
 
@@ -2717,6 +2781,16 @@ _ORACLES: dict[str, str] = {
         ) AS t(planted, n, n_clip_flag, n_dc_flag, n_silent_flag,
                all_dom_ok, all_decoded)
         ORDER BY planted
+    """,
+    "q66_jpeg_features": """
+        SELECT i::BIGINT AS img_id,
+               (8 + i % 5)::BIGINT AS h,
+               (9 + i % 3)::BIGINT AS w,
+               3::BIGINT AS c,
+               true AS mean_ok, true AS std_ok, true AS ch0_ok,
+               true AS decoded
+        FROM range(32) t(i)
+        ORDER BY img_id
     """,
     "q30_bool_coercion": """
         WITH raw AS (

@@ -1,0 +1,544 @@
+"""REAL baseline JPEG codec, pure numpy + stdlib — the JPEG analogue
+of the PNG codec in operators/imaging.py, closing the "non-PNG images
+have no real decode path" gap without any imaging library.
+
+Scope (a strict, well-formed subset of ITU-T T.81 baseline):
+  encode: 8-bit baseline sequential DCT, YCbCr 4:4:4 (no chroma
+          subsampling — legal baseline, simpler reassembly), JFIF
+          APP0, the Annex K example quantization tables scaled by the
+          libjpeg quality formula, the Annex K "typical" Huffman
+          tables, interleaved single scan, no restart markers.
+  decode: any single-scan baseline JFIF stream the encoder can emit,
+          plus grayscale (1-component) scans; explicit JpegError on
+          progressive SOF2, arithmetic coding, subsampled chroma,
+          restart markers, or truncated/corrupt entropy data.
+
+Everything numeric is vectorized numpy (2-D DCT as two matmuls with
+the orthonormal DCT-II matrix, per-channel block reshapes); only the
+Huffman bit walk is a Python loop, over a numpy-unpacked bit array.
+
+The tables (Annex K quant + Huffman specs) are normative public
+constants of the JPEG standard — any interoperable implementation
+embeds them verbatim.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+
+class JpegError(ValueError):
+    """Raised when a payload cannot be decoded as baseline JPEG."""
+
+
+# ------------------------------------------------------------ constants
+
+# Annex K.1 example quantization tables (row-major 8x8)
+_QUANT_LUMA = np.array(
+    [
+        16, 11, 10, 16, 24, 40, 51, 61,
+        12, 12, 14, 19, 26, 58, 60, 55,
+        14, 13, 16, 24, 40, 57, 69, 56,
+        14, 17, 22, 29, 51, 87, 80, 62,
+        18, 22, 37, 56, 68, 109, 103, 77,
+        24, 35, 55, 64, 81, 104, 113, 92,
+        49, 64, 78, 87, 103, 121, 120, 101,
+        72, 92, 95, 98, 112, 100, 103, 99,
+    ],
+    dtype=np.int32,
+).reshape(8, 8)
+
+_QUANT_CHROMA = np.array(
+    [
+        17, 18, 24, 47, 99, 99, 99, 99,
+        18, 21, 26, 66, 99, 99, 99, 99,
+        24, 26, 56, 99, 99, 99, 99, 99,
+        47, 66, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+    ],
+    dtype=np.int32,
+).reshape(8, 8)
+
+# Annex K.3 typical Huffman specs: (BITS counts per code length 1..16,
+# HUFFVAL symbol list)
+_DC_LUMA_SPEC = (
+    (0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0),
+    tuple(range(12)),
+)
+_DC_CHROMA_SPEC = (
+    (0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0),
+    tuple(range(12)),
+)
+_AC_LUMA_SPEC = (
+    (0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D),
+    (
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+        0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+        0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+        0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+        0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+        0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+        0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+        0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+        0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+        0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+        0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+        0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+        0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+        0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+        0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+        0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+        0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+        0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+        0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ),
+)
+_AC_CHROMA_SPEC = (
+    (0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77),
+    (
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+        0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+        0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+        0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+        0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+        0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+        0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+        0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+        0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+        0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+        0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+        0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+        0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+        0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+        0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+        0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ),
+)
+
+
+def _zigzag_order() -> np.ndarray:
+    """The standard zigzag scan as flat indices into a row-major 8x8
+    block: diagonals d = i+j in order; odd diagonals walk i ascending,
+    even diagonals i descending."""
+    cells = [(i, j) for i in range(8) for j in range(8)]
+    cells.sort(key=lambda t: (t[0] + t[1], t[0] if (t[0] + t[1]) % 2 else -t[0]))
+    return np.array([i * 8 + j for i, j in cells], dtype=np.int64)
+
+
+_ZIGZAG = _zigzag_order()
+_UNZIGZAG = np.argsort(_ZIGZAG)
+
+# orthonormal DCT-II matrix: forward = C @ B @ C.T, inverse = C.T @ B @ C
+_DCT_M = np.zeros((8, 8))
+for _k in range(8):
+    for _n in range(8):
+        _DCT_M[_k, _n] = np.cos(np.pi * (2 * _n + 1) * _k / 16.0) * (
+            np.sqrt(1.0 / 8) if _k == 0 else np.sqrt(2.0 / 8)
+        )
+
+
+def _build_codes(spec) -> dict[int, tuple[int, int]]:
+    """Canonical Huffman: symbol -> (code, length)."""
+    bits, vals = spec
+    out = {}
+    code = 0
+    vi = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[vi]] = (code, length)
+            vi += 1
+            code += 1
+        code <<= 1
+    return out
+
+
+def _build_decode_map(spec) -> dict[tuple[int, int], int]:
+    """Canonical Huffman: (length, code) -> symbol."""
+    return {(ln, code): sym for sym, (code, ln) in _build_codes(spec).items()}
+
+
+_ENC_DC = (_build_codes(_DC_LUMA_SPEC), _build_codes(_DC_CHROMA_SPEC))
+_ENC_AC = (_build_codes(_AC_LUMA_SPEC), _build_codes(_AC_CHROMA_SPEC))
+
+
+def _scaled_quant(base: np.ndarray, quality: int) -> np.ndarray:
+    """libjpeg quality scaling (public formula): 1..100 -> table."""
+    q = min(100, max(1, int(quality)))
+    scale = 5000 // q if q < 50 else 200 - 2 * q
+    t = (base * scale + 50) // 100
+    return np.clip(t, 1, 255).astype(np.int32)
+
+
+# ------------------------------------------------------------ bit I/O
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, length: int) -> None:
+        self.acc = (self.acc << length) | (value & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            b = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:  # byte stuffing
+                self.out.append(0x00)
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # pad with 1s per T.81
+        return bytes(self.out)
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """JPEG magnitude coding: value -> (category, extra bits)."""
+    if v == 0:
+        return 0, 0
+    s = int(abs(v)).bit_length()
+    return s, (v if v > 0 else v + (1 << s) - 1)
+
+
+# ------------------------------------------------------------ encoder
+
+
+def _to_ycbcr(rgb: np.ndarray) -> np.ndarray:
+    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    return np.stack([y, cb, cr], axis=-1)
+
+
+def _block_dct_quant(plane: np.ndarray, quant: np.ndarray) -> np.ndarray:
+    """plane (H,W) padded to 8 multiples -> (n_blocks, 64) quantized
+    coefficients in zigzag order. Fully vectorized: one tensordot pair
+    for every block's 2-D DCT."""
+    h, w = plane.shape
+    bh, bw = h // 8, w // 8
+    blocks = plane.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+    blocks = blocks - 128.0
+    coef = np.einsum("kn,bnm,lm->bkl", _DCT_M, blocks, _DCT_M, optimize=True)
+    q = np.round(coef / quant).astype(np.int64)
+    return q.reshape(-1, 64)[:, _ZIGZAG]
+
+
+def encode_jpeg(pixels: np.ndarray, quality: int = 85) -> bytes:
+    """uint8 array (H,W,3) RGB or (H,W) grayscale -> baseline JFIF
+    bytes (YCbCr 4:4:4 for color, single-component for grayscale)."""
+    px = np.asarray(pixels)
+    if px.dtype != np.uint8:
+        raise JpegError("pixels must be uint8")
+    gray = px.ndim == 2
+    if not gray and (px.ndim != 3 or px.shape[2] != 3):
+        raise JpegError("pixels must be (H,W,3) RGB or (H,W) grayscale")
+    h, w = px.shape[:2]
+    if h == 0 or w == 0 or h > 65535 or w > 65535:
+        raise JpegError("bad image dimensions")
+
+    qt_l = _scaled_quant(_QUANT_LUMA, quality)
+    qt_c = _scaled_quant(_QUANT_CHROMA, quality)
+
+    ph, pw = (h + 7) // 8 * 8, (w + 7) // 8 * 8
+
+    def pad(plane):
+        return np.pad(plane, ((0, ph - h), (0, pw - w)), mode="edge")
+
+    if gray:
+        planes = [(pad(px.astype(np.float64)), qt_l, 0)]
+    else:
+        ycc = _to_ycbcr(px.astype(np.float64))
+        planes = [
+            (pad(ycc[..., 0]), qt_l, 0),
+            (pad(ycc[..., 1]), qt_c, 1),
+            (pad(ycc[..., 2]), qt_c, 1),
+        ]
+    comp_coefs = [_block_dct_quant(p, qt) for p, qt, _ in planes]
+
+    # ---- entropy-coded segment: interleaved MCUs (4:4:4 -> one block
+    # per component per MCU)
+    bw_ = _BitWriter()
+    prev_dc = [0] * len(planes)
+    n_mcu = comp_coefs[0].shape[0]
+    for m in range(n_mcu):
+        for ci, coefs in enumerate(comp_coefs):
+            tbl = planes[ci][2]
+            dc_codes, ac_codes = _ENC_DC[tbl], _ENC_AC[tbl]
+            zz = coefs[m]
+            diff = int(zz[0]) - prev_dc[ci]
+            prev_dc[ci] = int(zz[0])
+            s, bits = _magnitude(diff)
+            code, ln = dc_codes[s]
+            bw_.write(code, ln)
+            if s:
+                bw_.write(bits, s)
+            run = 0
+            nz = np.nonzero(zz[1:])[0]
+            last = nz[-1] + 1 if len(nz) else 0
+            for k in range(1, last + 1):
+                v = int(zz[k])
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, ln = ac_codes[0xF0]  # ZRL
+                    bw_.write(code, ln)
+                    run -= 16
+                s, bits = _magnitude(v)
+                code, ln = ac_codes[(run << 4) | s]
+                bw_.write(code, ln)
+                bw_.write(bits, s)
+                run = 0
+            if last < 63:
+                code, ln = ac_codes[0x00]  # EOB
+                bw_.write(code, ln)
+    scan = bw_.flush()
+
+    # ---- container
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+
+    def dqt(tid, table):
+        body = bytes([tid]) + bytes(int(x) for x in table.reshape(-1)[_ZIGZAG])
+        return b"\xff\xdb" + struct.pack(">H", 2 + len(body)) + body
+
+    out += dqt(0, qt_l)
+    if not gray:
+        out += dqt(1, qt_c)
+
+    ncomp = 1 if gray else 3
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for ci in range(ncomp):
+        sof += bytes([ci + 1, 0x11, 0 if ci == 0 else 1])
+    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+
+    def dht(cls, tid, spec):
+        bits, vals = spec
+        body = bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals)
+        return b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+
+    out += dht(0, 0, _DC_LUMA_SPEC) + dht(1, 0, _AC_LUMA_SPEC)
+    if not gray:
+        out += dht(0, 1, _DC_CHROMA_SPEC) + dht(1, 1, _AC_CHROMA_SPEC)
+
+    sos = bytes([ncomp])
+    for ci in range(ncomp):
+        tid = 0 if ci == 0 else 1
+        sos += bytes([ci + 1, (tid << 4) | tid])
+    sos += bytes([0, 63, 0])
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+    out += scan
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# ------------------------------------------------------------ decoder
+
+
+def _parse_segments(payload: bytes):
+    """Yield (marker, body) for every segment up to SOS; return
+    (segments, sos_body, entropy_bytes)."""
+    if len(payload) < 4 or payload[:2] != b"\xff\xd8":
+        raise JpegError("not a JPEG payload (no SOI)")
+    segs = []
+    i = 2
+    n = len(payload)
+    while True:
+        if i + 4 > n:
+            raise JpegError("truncated segment stream")
+        if payload[i] != 0xFF:
+            raise JpegError("marker sync lost")
+        marker = payload[i + 1]
+        if marker == 0xD8 or 0xD0 <= marker <= 0xD7:
+            i += 2
+            continue
+        (ln,) = struct.unpack(">H", payload[i + 2 : i + 4])
+        body = payload[i + 4 : i + 2 + ln]
+        if len(body) != ln - 2:
+            raise JpegError("truncated segment body")
+        i += 2 + ln
+        if marker == 0xDA:
+            # entropy data runs to EOI; strip stuffed zero bytes later
+            j = i
+            while j + 1 < n and not (
+                payload[j] == 0xFF and payload[j + 1] == 0xD9
+            ):
+                if payload[j] == 0xFF and payload[j + 1] not in (0x00,):
+                    if 0xD0 <= payload[j + 1] <= 0xD7:
+                        raise JpegError("restart markers unsupported")
+                    raise JpegError("unexpected marker in entropy data")
+                j += 1
+            if j + 1 >= n:
+                raise JpegError("missing EOI")
+            return segs, body, payload[i:j]
+        segs.append((marker, body))
+
+
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """Baseline JFIF bytes -> uint8 (H,W,3) RGB (or (H,W) grayscale).
+
+    Strict subset decoder: raises JpegError on progressive (SOF2),
+    arithmetic coding, chroma subsampling, restart markers, or any
+    malformed/truncated structure."""
+    payload = bytes(payload)
+    segs, sos, entropy = _parse_segments(payload)
+
+    quant: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    sof = None
+    for marker, body in segs:
+        if marker == 0xDB:
+            k = 0
+            while k < len(body):
+                pq, tid = body[k] >> 4, body[k] & 0x0F
+                if pq != 0:
+                    raise JpegError("16-bit quant tables unsupported")
+                if k + 65 > len(body):
+                    raise JpegError("truncated DQT")
+                t = np.frombuffer(body[k + 1 : k + 65], dtype=np.uint8)
+                quant[tid] = t.astype(np.int32)[_UNZIGZAG].reshape(8, 8)
+                k += 65
+        elif marker == 0xC4:
+            k = 0
+            while k < len(body):
+                cls, tid = body[k] >> 4, body[k] & 0x0F
+                bits = tuple(body[k + 1 : k + 17])
+                nv = sum(bits)
+                vals = tuple(body[k + 17 : k + 17 + nv])
+                if len(vals) != nv:
+                    raise JpegError("truncated DHT")
+                huff[(cls, tid)] = _build_decode_map((bits, vals))
+                k += 17 + nv
+        elif marker == 0xC0:
+            sof = body
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            raise JpegError("only baseline sequential DCT (SOF0) supported")
+    if sof is None:
+        raise JpegError("missing SOF0")
+    prec, h, w, ncomp = struct.unpack(">BHHB", sof[:6])
+    if prec != 8:
+        raise JpegError("only 8-bit precision supported")
+    if ncomp not in (1, 3):
+        raise JpegError("only 1- or 3-component images supported")
+    comps = []
+    for ci in range(ncomp):
+        cid, sampling, qid = sof[6 + ci * 3 : 9 + ci * 3]
+        if sampling != 0x11:
+            raise JpegError("chroma subsampling unsupported")
+        if qid not in quant:
+            raise JpegError("missing quant table")
+        comps.append((cid, qid))
+    ns = sos[0]
+    if ns != ncomp:
+        raise JpegError("scan/frame component mismatch")
+    scan_tbl = {}
+    for ci in range(ns):
+        cid, tids = sos[1 + ci * 2 : 3 + ci * 2]
+        scan_tbl[cid] = (tids >> 4, tids & 0x0F)
+
+    # de-stuff and unpack bits
+    raw = entropy.replace(b"\xff\x00", b"\xff")
+    bits = np.unpackbits(np.frombuffer(raw, dtype=np.uint8))
+    nbits = len(bits)
+    bit_list = bits.tolist()
+
+    pos = 0
+
+    def read_code(table):
+        nonlocal pos
+        code = 0
+        for ln in range(1, 17):
+            if pos >= nbits:
+                raise JpegError("truncated entropy stream")
+            code = (code << 1) | bit_list[pos]
+            pos += 1
+            sym = table.get((ln, code))
+            if sym is not None:
+                return sym
+        raise JpegError("invalid huffman code")
+
+    def read_bits(count):
+        nonlocal pos
+        if count == 0:
+            return 0
+        if pos + count > nbits:
+            raise JpegError("truncated entropy stream")
+        v = 0
+        for _ in range(count):
+            v = (v << 1) | bit_list[pos]
+            pos += 1
+        return v
+
+    def extend(v, s):
+        return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+    ph, pw = (h + 7) // 8 * 8, (w + 7) // 8 * 8
+    bh, bw_ = ph // 8, pw // 8
+    n_mcu = bh * bw_
+    comp_coefs = [np.zeros((n_mcu, 64), dtype=np.int64) for _ in comps]
+    prev_dc = [0] * ncomp
+    for m in range(n_mcu):
+        for ci, (cid, qid) in enumerate(comps):
+            dc_tid, ac_tid = scan_tbl[cid]
+            dc_map = huff.get((0, dc_tid))
+            ac_map = huff.get((1, ac_tid))
+            if dc_map is None or ac_map is None:
+                raise JpegError("missing huffman table")
+            zz = comp_coefs[ci][m]
+            s = read_code(dc_map)
+            diff = extend(read_bits(s), s) if s else 0
+            prev_dc[ci] += diff
+            zz[0] = prev_dc[ci]
+            k = 1
+            while k <= 63:
+                rs = read_code(ac_map)
+                if rs == 0x00:  # EOB
+                    break
+                if rs == 0xF0:  # ZRL
+                    k += 16
+                    continue
+                run, s = rs >> 4, rs & 0x0F
+                k += run
+                if k > 63:
+                    raise JpegError("AC coefficient overflow")
+                zz[k] = extend(read_bits(s), s)
+                k += 1
+
+    planes = []
+    for ci, (cid, qid) in enumerate(comps):
+        blocks = comp_coefs[ci][:, _UNZIGZAG].reshape(-1, 8, 8).astype(np.float64)
+        blocks *= quant[qid]
+        spat = np.einsum("kn,bkl,lm->bnm", _DCT_M, blocks, _DCT_M, optimize=True)
+        spat += 128.0
+        plane = (
+            spat.reshape(bh, bw_, 8, 8).transpose(0, 2, 1, 3).reshape(ph, pw)
+        )
+        planes.append(plane[:h, :w])
+
+    if ncomp == 1:
+        return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+    y, cb, cr = planes
+    cb = cb - 128.0
+    cr = cr - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    rgb = np.stack([r, g, b], axis=-1)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)

@@ -5,15 +5,18 @@ level (magic sniffing, sizes, frame-sample planning) is JVM Column
 expressions, and the decode/feature stages are mapInPandas pipelines
 whose Spark-side shape (schema, batching, partitioning) is real.
 
-Image decode is REAL for PNG: operators/imaging.py implements the
-PNG container (zlib scanlines, all five filters) in pure
-numpy+stdlib, so `decode_image_features` turns PNG bytes into pixel
-statistics with no imaging library. Other formats (jpeg/video) have
-no pure-python decode path in this sandbox (install attempts recorded
-in BASELINE.md) and yield NULL features; `fake=True` substitutes a
-deterministic hash-derived vector for ANY payload so the distributed
-plumbing is exercisable on non-PNG fixtures. A production deployment
-adds PIL/libav branches next to the PNG one — nothing else changes.
+Image decode is REAL for PNG and JPEG: operators/imaging.py
+implements the PNG container (zlib scanlines, all five filters) and
+operators/jpeg.py a baseline-sequential JPEG codec (Annex K tables,
+4:4:4, numpy DCT), both pure numpy+stdlib, so `decode_image_features`
+turns PNG/JPEG bytes into pixel statistics with no imaging library.
+Video formats have no pure-python decode path in this sandbox
+(install attempts recorded in BASELINE.md) and yield NULL features
+with a NORMALIZED `image_format_unsupported(fmt)` reason; `fake=True`
+substitutes a deterministic hash-derived vector for ANY payload so
+the distributed plumbing is exercisable on non-image fixtures. A
+production deployment adds a libav branch next to the PNG/JPEG ones —
+nothing else changes.
 """
 
 from __future__ import annotations
@@ -28,8 +31,10 @@ from pyspark.sql import functions as F
 
 _MAGIC_HEX = {
     "89504E47": "png",  # real decode path: operators/imaging.py
-    "FFD8FFE0": "jpeg",
-    "FFD8FFE1": "jpeg",
+    "FFD8FFE0": "jpeg",  # real decode path: operators/jpeg.py
+    "FFD8FFE1": "jpeg",  # (JFIF / EXIF / bare-DQT / Adobe headers)
+    "FFD8FFDB": "jpeg",
+    "FFD8FFEE": "jpeg",
     "52494646": "riff",  # wav/avi container
     "664C6143": "flac",  # real FLAC bitstream (audio/flac.py)
     "4D554C57": "mulaw_standin",
@@ -105,14 +110,15 @@ def decode_image_features(
     """mapInPandas image-feature extraction:
     (id, features array<double>, decode_error string).
 
-    Real path (fake=False): PNG payloads decode for real (pure-python
-    codec, operators/imaging.py) into shape/mean/std features with
-    decode_error NULL. A NULL feature vector always comes with a
-    NORMALIZED reason (the reference's invalid_key/invalid_value error
-    pattern, entity_controller.py:148-191) instead of failing silently:
+    Real path (fake=False): PNG and JPEG payloads decode for real
+    (pure-python codecs, operators/imaging.py + operators/jpeg.py)
+    into shape/mean/std features with decode_error NULL. A NULL
+    feature vector always comes with a NORMALIZED reason (the
+    reference's invalid_key/invalid_value error pattern,
+    entity_controller.py:148-191) instead of failing silently:
 
-      image_format_unsupported(<fmt>)  non-PNG magic (jpeg/riff/mkv/..)
-      image_decode_failed(<reason>)    PNG magic but malformed payload
+      image_format_unsupported(<fmt>)  non-image magic (riff/mkv/..)
+      image_decode_failed(<reason>)    image magic, malformed payload
       payload_missing                  NULL payload
 
     fake=True swaps in the deterministic crc32 stand-in for every
@@ -125,7 +131,7 @@ def decode_image_features(
         proj = proj.repartition(batch_partitions, "id")
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from data_validator_spark.operators import imaging
+        from data_validator_spark.operators import imaging, jpeg
 
         def one(p) -> tuple[list | None, str | None]:
             if p is None:
@@ -133,12 +139,23 @@ def decode_image_features(
             if fake:
                 return _fake_rgb(p).tolist(), None
             fmt = _sniff_py(bytes(p[:4]))
-            if fmt != "png":
-                return None, f"image_format_unsupported({fmt})"
-            try:
-                return imaging.image_features(imaging.decode_png(p)).tolist(), None
-            except imaging.ImageError as e:
-                return None, f"image_decode_failed({e})"
+            if fmt == "png":
+                try:
+                    return (
+                        imaging.image_features(imaging.decode_png(p)).tolist(),
+                        None,
+                    )
+                except imaging.ImageError as e:
+                    return None, f"image_decode_failed({e})"
+            if fmt == "jpeg":
+                try:
+                    return (
+                        imaging.image_features(jpeg.decode_jpeg(p)).tolist(),
+                        None,
+                    )
+                except jpeg.JpegError as e:
+                    return None, f"image_decode_failed({e})"
+            return None, f"image_format_unsupported({fmt})"
 
         for pdf in batches:
             feats, errs = [], []
