@@ -1853,6 +1853,137 @@ def q66_jpeg_features(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("img_id")
 
 
+def q67_duration_consistency(spark: SparkSession, sf: str) -> DataFrame:
+    """Metadata-vs-payload duration cross-check
+    (checks.duration_consistency_label over the real decode UDF's
+    outputs): 120 deterministic clips in three planted classes —
+    consistent (dur_ms = n/sr exactly), drifted (+500 ms), and
+    within-tolerance jitter (+20 ms < 50 ms tol) — run through
+    run_audio_checks + the label. Flag counts per class are
+    config-determined -> literal oracle rows."""
+    from data_validator_spark.audio.checks import duration_consistency_label
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        from data_validator_spark.audio import codecs, synth
+
+        classes = ["consistent", "drifted", "jitter"]
+        srs = [8000, 16000, 48000]
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                planted = classes[i % 3]
+                sr = srs[(i // 3) % 3]
+                n = sr // 2 + (i * 31) % 1000
+                true_ms = n / sr * 1000.0
+                dur = {
+                    "consistent": true_ms,
+                    "drifted": true_ms + 500.0,
+                    "jitter": true_ms + 20.0,
+                }[planted]
+                clip_id = f"q67-{i:06d}"
+                pcm = np.clip(synth.reference_pcm(clip_id, sr, n), -1, 1)
+                rows.append(
+                    (
+                        clip_id,
+                        "pcm16",
+                        sr,
+                        int(round(dur)),
+                        codecs.encode("pcm16", pcm, sr),
+                        planted,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["clip_id", "codec", "sr_hz", "dur_ms", "bytes", "planted"],
+            )
+
+    clips = spark.range(0, 120, numPartitions=8).mapInPandas(
+        gen,
+        "clip_id string, codec string, sr_hz int, dur_ms int, "
+        "bytes binary, planted string",
+    )
+    # the label composes over the decode UDF's struct outputs
+    # (n_samples + container_sr), so project the struct directly
+    from data_validator_spark.audio.checks import audio_check_udf
+
+    res = audio_check_udf(
+        F.struct(
+            F.col("clip_id"),
+            F.col("codec"),
+            F.col("sr_hz"),
+            F.col("bytes"),
+            F.lit(False).alias("skip"),
+        )
+    )
+    lab = clips.withColumn("_a", res).withColumn(
+        "_dur_label",
+        duration_consistency_label(
+            F.col("dur_ms"),
+            F.col("_a.n_samples"),
+            F.col("_a.container_sr"),
+            tol_ms=50.0,
+        ),
+    )
+    return (
+        lab.groupBy("planted")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.col("_dur_label").isNotNull().cast("long"))
+            .cast("long")
+            .alias("n_flagged"),
+            (F.sum(F.col("_a.decode_error").isNotNull().cast("long")) == 0).alias(
+                "all_decoded"
+            ),
+        )
+        .orderBy("planted")
+    )
+
+
+def q68_transcript_near_match(spark: SparkSession, sf: str) -> DataFrame:
+    """Graded transcript matching via JVM levenshtein
+    (scalars.near_match_label): documents vs three derived variants —
+    identical, one char dropped (distance exactly 1), and the
+    reversed text (far) — classified into exact / near_match(d) /
+    mismatch(d) labels. CROSS-ENGINE oracle: DuckDB computes the same
+    levenshtein distances on the same derived pairs, so the two
+    engines' edit-distance implementations are checked against each
+    other, not against a literal."""
+    from data_validator_spark.functions.scalars import near_match_label
+
+    d = _t(spark, sf, "documents").select("doc_id", "text").filter(
+        F.length("text") >= 8
+    )
+    dropped = F.concat(F.substring("text", 1, 5), F.expr("substring(text, 7)"))
+    revd = F.reverse(F.col("text"))
+    lab = d.select(
+        "doc_id",
+        near_match_label(F.col("text"), F.col("text"), 3).alias("self_label"),
+        near_match_label(F.col("text"), dropped, 3).alias("dropped_label"),
+        near_match_label(F.col("text"), revd, 3).alias("far_label"),
+        F.levenshtein(F.col("text"), revd).cast("long").alias("far_dist"),
+    )
+    return lab.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum((F.col("self_label") == "exact").cast("long"))
+        .cast("long")
+        .alias("n_exact"),
+        F.sum((F.col("dropped_label") == "near_match(1)").cast("long"))
+        .cast("long")
+        .alias("n_near1"),
+        F.sum(F.col("far_label").startswith("mismatch(").cast("long"))
+        .cast("long")
+        .alias("n_far_mismatch"),
+        F.sum(F.col("far_label").startswith("near_match").cast("long"))
+        .cast("long")
+        .alias("n_far_near"),
+        F.sum("far_dist").cast("long").alias("sum_far_dist"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1921,6 +2052,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q64_codec_contract": q64_codec_contract,
         "q65_audio_quality": q65_audio_quality,
         "q66_jpeg_features": q66_jpeg_features,
+        "q67_duration_consistency": q67_duration_consistency,
+        "q68_transcript_near_match": q68_transcript_near_match,
     }
 
 
@@ -2791,6 +2924,33 @@ _ORACLES: dict[str, str] = {
                true AS decoded
         FROM range(32) t(i)
         ORDER BY img_id
+    """,
+    "q67_duration_consistency": """
+        SELECT * FROM (VALUES
+          ('consistent', 40::BIGINT, 0::BIGINT,  true),
+          ('drifted',    40::BIGINT, 40::BIGINT, true),
+          ('jitter',     40::BIGINT, 0::BIGINT,  true)
+        ) AS t(planted, n, n_flagged, all_decoded)
+        ORDER BY planted
+    """,
+    "q68_transcript_near_match": """
+        WITH d AS (
+          SELECT doc_id, text FROM documents WHERE length(text) >= 8
+        ), lab AS (
+          SELECT
+            levenshtein(text, text) AS d_self,
+            levenshtein(text, substring(text, 1, 5) || substring(text, 7))
+              AS d_drop,
+            levenshtein(text, reverse(text)) AS d_far
+          FROM d
+        )
+        SELECT count(*)::BIGINT AS n,
+               sum((d_self = 0)::INT)::BIGINT AS n_exact,
+               sum((d_drop = 1)::INT)::BIGINT AS n_near1,
+               sum((d_far > 3)::INT)::BIGINT AS n_far_mismatch,
+               sum((d_far BETWEEN 1 AND 3)::INT)::BIGINT AS n_far_near,
+               sum(d_far)::BIGINT AS sum_far_dist
+        FROM lab
     """,
     "q30_bool_coercion": """
         WITH raw AS (

@@ -155,3 +155,33 @@ def run_audio_checks(
         )
         .drop("_audio")
     )
+
+
+def duration_consistency_label(
+    dur_ms: Column,
+    n_samples: Column,
+    container_sr: Column,
+    tol_ms: float = 50.0,
+) -> Column:
+    """Metadata-vs-payload duration cross-check (pure Column expr over
+    the decode UDF's outputs): the decoded payload implies a duration
+    n_samples / container_sr * 1000; when the `dur_ms` metadata column
+    disagrees by more than tol_ms, emit the value-echoing label
+    `dur_ms_mismatch(<decoded_ms>)` (warning tier — metadata drift,
+    not payload corruption). NULL when the row was not decoded
+    (n_samples < 0 sentinel / null inputs), so diverted rows never
+    produce phantom flags."""
+    decoded_ms = n_samples.cast("double") / container_sr.cast("double") * 1000.0
+    return F.when(
+        dur_ms.isNotNull()
+        & n_samples.isNotNull()
+        & (n_samples >= 0)
+        & container_sr.isNotNull()
+        & (container_sr > 0)
+        & (F.abs(decoded_ms - dur_ms.cast("double")) > tol_ms),
+        F.concat(
+            F.lit("dur_ms_mismatch("),
+            F.round(decoded_ms, 1).cast("string"),
+            F.lit(")"),
+        ),
+    )

@@ -139,3 +139,26 @@ def pseudonymize(c: Column, salt: str = "", reference_compat: bool = False) -> C
         return s.map(one)
 
     return _p(c.cast("string"))
+
+
+def near_match_label(
+    a: Column, b: Column, max_dist: int = 3, name: str = "near_match"
+) -> Column:
+    """Edit-distance near-match classifier (pure Column expr,
+    JVM-side `levenshtein`): NULL when either side is NULL, 'exact'
+    when equal, '<name>(d)' when 0 < levenshtein <= max_dist (the
+    reference's value-echoing label shape, core_models.py:169-202),
+    'mismatch(d)' beyond. Generalizes the flagship's strict
+    transcript-equality invariant to a graded verdict a curation
+    pipeline can threshold on — e.g. tolerate d<=2 transcription
+    slips while still quarantining real mismatches."""
+    d = F.levenshtein(a, b)
+    return (
+        F.when(a.isNull() | b.isNull(), F.lit(None).cast("string"))
+        .when(d == 0, F.lit("exact"))
+        .when(
+            d <= max_dist,
+            F.concat(F.lit(name + "("), d.cast("string"), F.lit(")")),
+        )
+        .otherwise(F.concat(F.lit("mismatch("), d.cast("string"), F.lit(")")))
+    )

@@ -107,3 +107,59 @@ def test_run_quality_checks_operator(spark):
     assert out["bad-payload"]["_quality_labels"] is None
     # the fused pass also carries the SNR invariant
     assert out["ok-1"]["audio_snr_db"] > 80
+
+
+def test_duration_consistency_label(spark):
+    from pyspark.sql import functions as F
+
+    from data_validator_spark.audio.checks import duration_consistency_label
+
+    rows = [
+        # (dur_ms, n_samples, container_sr) -> flag?
+        ("ok", 1000, 16000, 16000),        # exact
+        ("jitter", 1030, 16000, 16000),    # +30ms < 50 tol
+        ("drift", 1500, 16000, 16000),     # +500ms
+        ("null_dur", None, 16000, 16000),
+        ("not_decoded", 1000, -1, -1),     # UDF sentinel for skip/error
+    ]
+    df = spark.createDataFrame(
+        rows, "id string, dur_ms int, n_samples long, container_sr int"
+    )
+    out = {
+        r["id"]: r["lab"]
+        for r in df.select(
+            "id",
+            duration_consistency_label(
+                F.col("dur_ms"), F.col("n_samples"), F.col("container_sr")
+            ).alias("lab"),
+        ).collect()
+    }
+    assert out["ok"] is None and out["jitter"] is None
+    assert out["drift"] == "dur_ms_mismatch(1000.0)"
+    assert out["null_dur"] is None and out["not_decoded"] is None
+
+
+def test_near_match_label(spark):
+    from pyspark.sql import functions as F
+
+    from data_validator_spark.functions.scalars import near_match_label
+
+    rows = [
+        ("a", "kitten", "kitten"),
+        ("b", "kitten", "sitten"),
+        ("c", "kitten", "sitting"),
+        ("d", "kitten", "abcdefgh"),
+        ("e", "kitten", None),
+    ]
+    df = spark.createDataFrame(rows, "id string, x string, y string")
+    out = {
+        r["id"]: r["lab"]
+        for r in df.select(
+            "id", near_match_label(F.col("x"), F.col("y"), 3).alias("lab")
+        ).collect()
+    }
+    assert out["a"] == "exact"
+    assert out["b"] == "near_match(1)"
+    assert out["c"] == "near_match(3)"
+    assert out["d"].startswith("mismatch(")
+    assert out["e"] is None

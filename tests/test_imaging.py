@@ -129,20 +129,27 @@ def test_decode_image_features_real_png_path(spark):
     assert errs["null"] == "payload_missing"
 
 
-def test_decode_image_features_jpeg_magic_is_explicit_unsupported(spark):
-    """A jpeg-magic payload must yield a normalized
-    image_format_unsupported(jpeg) outcome row (the reference's
-    invalid_key/invalid_value error pattern), and a PNG-magic payload
-    with a corrupt body must yield image_decode_failed(...)."""
+def test_decode_image_features_normalized_error_outcomes(spark):
+    """Corrupt payloads with image magic must yield normalized
+    image_decode_failed(...) outcome rows (the reference's
+    invalid_key/invalid_value error pattern) — jpeg is a REAL decode
+    branch since round 3 (operators/jpeg.py), so a jpeg-magic payload
+    with a garbage body is a decode FAILURE, not an unsupported
+    format; truly unsupported containers (mkv) keep the
+    image_format_unsupported(<fmt>) reason."""
     from data_validator_spark.operators.multimodal import decode_image_features
 
-    jpeg = bytearray(b"\xff\xd8\xff\xe0" + b"\x00" * 32)
+    corrupt_jpeg = bytearray(b"\xff\xd8\xff\xe0" + b"\x00" * 32)
     corrupt_png = bytearray(b"\x89PNG\r\n\x1a\n" + b"\x00" * 16)
+    mkv = bytearray(b"\x1a\x45\xdf\xa3" + b"\x00" * 8)
     df = spark.createDataFrame(
-        [("j", jpeg), ("p", corrupt_png)], "clip_id string, bytes binary"
+        [("j", corrupt_jpeg), ("p", corrupt_png), ("v", mkv)],
+        "clip_id string, bytes binary",
     )
     rows = {r.id: r for r in decode_image_features(df, fake=False).collect()}
     assert rows["j"].features is None
-    assert rows["j"].decode_error == "image_format_unsupported(jpeg)"
+    assert rows["j"].decode_error.startswith("image_decode_failed(")
     assert rows["p"].features is None
     assert rows["p"].decode_error.startswith("image_decode_failed(")
+    assert rows["v"].features is None
+    assert rows["v"].decode_error == "image_format_unsupported(mkv)"
