@@ -10,15 +10,16 @@ codec in operators/imaging.py:
       parameter search and the spec's escape (raw-width) fallback;
       correct STREAMINFO (incl. the unencoded-audio MD5), frame-header
       CRC-8 and whole-frame CRC-16.
-  decoder: mono frames with CONSTANT / VERBATIM / FIXED(0..4)
-      subframes, wasted bits, BOTH rice methods (4- and 5-bit
-      parameters) incl. escaped partitions, any partition order,
-      all block-size / sample-rate / sample-size header codings,
-      UTF-8-coded frame and sample numbers, CRC-8 + CRC-16
-      verification, STREAMINFO MD5 verification. LPC subframes are
-      outside the subset and raise CodecError (no pure-python LPC
-      encoder exists to pair it with here; decode coverage for
-      externally-encoded fixed/verbatim/constant streams is real).
+  decoder: mono frames with CONSTANT / VERBATIM / FIXED(0..4) and
+      LPC(1..32) subframes, wasted bits, BOTH rice methods (4- and
+      5-bit parameters) incl. escaped partitions, any partition
+      order, all block-size / sample-rate / sample-size header
+      codings, UTF-8-coded frame and sample numbers, CRC-8 + CRC-16
+      verification, STREAMINFO MD5 verification. LPC restoration is
+      an inherently sequential IIR recurrence, so that one path is a
+      python int loop (_restore_lpc) — the compatibility path for
+      externally produced files (our encoder emits FIXED subframes,
+      restored by vectorized cumsum).
 
 Everything is vectorized where it is hot: rice encode builds the bit
 array with numpy cumsum/scatter (no per-sample python loop), rice
@@ -448,6 +449,32 @@ def _restore_fixed(warm: np.ndarray, res: np.ndarray, order: int) -> np.ndarray:
     return np.concatenate([warm, cur])
 
 
+def _restore_lpc(
+    warm: np.ndarray, coefs: np.ndarray, shift: int, res: np.ndarray
+) -> np.ndarray:
+    """Invert LPC prediction: x[i] = res[i] +
+    (sum_j coefs[j] * x[i-1-j]) >> shift  (coefs[0] applies to the
+    most recent sample, per RFC 9639 §9.2.2; >> is arithmetic, which
+    Python's int >> already is).
+
+    Inherently sequential (an IIR recurrence), so this is a Python
+    loop over ints — the decode-compatibility path for externally
+    produced FLAC files; our encoder emits FIXED subframes whose
+    restoration is vectorized cumsum (_restore_fixed). Magnitudes
+    stay well inside python int exactness (order<=32, 15-bit coefs,
+    33-bit samples)."""
+    order = len(coefs)
+    hist = [int(v) for v in warm]
+    cl = [int(c) for c in coefs]
+    out = hist.copy()
+    for rv in res.tolist():
+        acc = 0
+        for j in range(order):
+            acc += cl[j] * out[-1 - j]
+        out.append(int(rv) + (acc >> shift))
+    return np.asarray(out, dtype=np.int64)
+
+
 def _read_residual(r: _BitReader, bs: int, order: int) -> np.ndarray:
     method = r.read(2)
     if method > 1:
@@ -497,8 +524,23 @@ def _read_subframe(r: _BitReader, bs: int, bps: int) -> np.ndarray:
         warm = r.read_signed_array(order, eff)
         res = _read_residual(r, bs, order)
         x = _restore_fixed(warm, res, order)
-    elif t >= 32:
-        raise FlacError("LPC subframes outside the supported FLAC subset")
+    elif t >= 32:  # LPC, order 1..32
+        order = t - 31
+        if order > bs:
+            raise FlacError("lpc order exceeds blocksize")
+        warm = r.read_signed_array(order, eff)
+        prec = r.read(4)
+        if prec == 15:
+            raise FlacError("invalid LPC coefficient precision")
+        prec += 1
+        shift = _sign_extend(r.read(5), 5)
+        if shift < 0:
+            # negative shifts are spec-reserved-in-practice; no real
+            # encoder emits them (libFLAC clamps at 0)
+            raise FlacError("negative LPC shift")
+        coefs = r.read_signed_array(order, prec)
+        res = _read_residual(r, bs, order)
+        x = _restore_lpc(warm, coefs, shift, res)
     else:
         raise FlacError("reserved subframe type")
     return x << wasted if wasted else x

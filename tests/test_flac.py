@@ -207,15 +207,75 @@ def test_decode_constant_subframe_stream():
     assert np.array_equal(_i16(dec), np.full(n, 1234))
 
 
-def test_lpc_subframe_rejected_explicitly():
+def _lpc_frame(x, coefs, shift, prec, idx=0):
+    """Hand-build an LPC subframe: warmup, then residuals computed
+    with the RFC 9639 §9.2.2 prediction so decode must reproduce x
+    exactly."""
+    order = len(coefs)
+    res = []
+    for i in range(order, len(x)):
+        acc = sum(coefs[j] * int(x[i - 1 - j]) for j in range(order))
+        res.append(int(x[i]) - (acc >> shift))
+    bw = _BitWriter()
+    bw.write_bytes(_frame_header(idx, len(x)))
+    bw.write(0, 1)
+    bw.write(32 + order - 1, 6)  # LPC subframe type
+    bw.write(0, 1)  # no wasted bits
+    bw.write_bits(_signed_bit_array(np.asarray(x[:order], np.int64), 16))
+    bw.write(prec - 1, 4)
+    bw.write(shift, 5)
+    bw.write_bits(_signed_bit_array(np.asarray(coefs, np.int64), prec))
+    flac._write_residual(bw, np.asarray(res, np.int64))
+    return _finish_frame(bw)
+
+
+def test_decode_lpc_subframe_exact():
+    """Order-2 LPC with quantized near-sinusoid predictor coefficients
+    (the shape libFLAC actually emits): decode must be bit-exact."""
+    n = 200
+    t = np.arange(n)
+    x = (12000 * np.sin(2 * np.pi * 440 * t / 16000)).astype(np.int64)
+    # 2*cos(w) ~ 1.9704 at q13: c0 = 16142, c1 = -8192 — the largest
+    # magnitudes that fit FLAC's max 15-bit signed coef range
+    frame = _lpc_frame(x, [16142, -8192], 13, 15)
+    dec, sr = decode_flac(_stream(16000, [frame], n))
+    assert sr == 16000
+    assert np.array_equal(_i16(dec), x)
+
+
+def test_decode_lpc_order1_and_high_order():
+    rng = np.random.default_rng(11)
+    x = np.cumsum(rng.integers(-50, 51, size=120)).astype(np.int64) + 1000
+    f1 = _lpc_frame(x, [1 << 12], 12, 14)  # order 1, identity predictor
+    dec, _ = decode_flac(_stream(8000, [f1], 120))
+    assert np.array_equal(_i16(dec), x)
+    coefs = [3000, -1500, 700, 200, -90, 40, -17, 8]  # order 8
+    f8 = _lpc_frame(x, coefs, 12, 13)
+    dec8, _ = decode_flac(_stream(8000, [f8], 120))
+    assert np.array_equal(_i16(dec8), x)
+
+
+def test_lpc_invalid_precision_and_shift_raise():
     n = 16
+    x = np.zeros(n, np.int64)
     bw = _BitWriter()
     bw.write_bytes(_frame_header(0, n))
     bw.write(0, 1)
-    bw.write(0b100000, 6)  # LPC order 1
+    bw.write(32, 6)  # LPC order 1
+    bw.write(0, 1)
+    bw.write(0, 16)  # warmup
+    bw.write(15, 4)  # precision escape value -> invalid
+    with pytest.raises(FlacError, match="precision"):
+        decode_flac(_stream(8000, [_finish_frame(bw)], n))
+    bw = _BitWriter()
+    bw.write_bytes(_frame_header(0, n))
+    bw.write(0, 1)
+    bw.write(32, 6)
     bw.write(0, 1)
     bw.write(0, 16)
-    with pytest.raises(FlacError, match="LPC"):
+    bw.write(14, 4)  # precision 15
+    bw.write(0b10000, 5)  # shift -16 (sign-extended) -> rejected
+    with pytest.raises(FlacError, match="shift"):
         decode_flac(_stream(8000, [_finish_frame(bw)], n))
 
 

@@ -29,6 +29,8 @@ def run(cmd: list[str]) -> tuple[int, str]:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--skip-bench", action="store_true")
+    ap.add_argument("--sf01", action="store_true",
+                    help="also run the oracle suite at sf0.1")
     args = ap.parse_args()
 
     summary: dict = {}
@@ -37,7 +39,8 @@ def main() -> None:
     last = [l for l in out.splitlines() if "passed" in l or "failed" in l]
     summary["pytest"] = {"rc": rc, "tail": last[-1].strip() if last else ""}
 
-    for sf in ("sf0.001", "sf0.01"):
+    sfs = ("sf0.001", "sf0.01", "sf0.1") if args.sf01 else ("sf0.001", "sf0.01")
+    for sf in sfs:
         rc, out = run(
             [sys.executable, "tools/check_oracles.py", f"/root/testdata/{sf}"]
         )
@@ -55,6 +58,8 @@ def main() -> None:
             summary["bench"] = {
                 "rc": rc,
                 "clips_per_sec": b.get("clips_per_sec"),
+                "clips_per_sec_cold": b.get("clips_per_sec_cold"),
+                "clips_per_sec_warm": b.get("clips_per_sec_warm"),
             }
 
     ok = all(v.get("rc") == 0 for v in summary.values())
