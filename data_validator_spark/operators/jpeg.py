@@ -237,78 +237,109 @@ def _block_dct_quant(plane: np.ndarray, quant: np.ndarray) -> np.ndarray:
     blocks = blocks - 128.0
     coef = np.einsum("kn,bnm,lm->bkl", _DCT_M, blocks, _DCT_M, optimize=True)
     q = np.round(coef / quant).astype(np.int64)
-    return q.reshape(-1, 64)[:, _ZIGZAG]
+    return q.reshape(bh, bw, 64)[:, :, _ZIGZAG]
 
 
-def encode_jpeg(pixels: np.ndarray, quality: int = 85) -> bytes:
+def _emit_block(bw_, zz, dc_codes, ac_codes, prev_dc, ci) -> None:
+    diff = int(zz[0]) - prev_dc[ci]
+    prev_dc[ci] = int(zz[0])
+    s, bits = _magnitude(diff)
+    code, ln = dc_codes[s]
+    bw_.write(code, ln)
+    if s:
+        bw_.write(bits, s)
+    run = 0
+    nz = np.nonzero(zz[1:])[0]
+    last = nz[-1] + 1 if len(nz) else 0
+    for k in range(1, last + 1):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_codes[0xF0]  # ZRL
+            bw_.write(code, ln)
+            run -= 16
+        s, bits = _magnitude(v)
+        code, ln = ac_codes[(run << 4) | s]
+        bw_.write(code, ln)
+        bw_.write(bits, s)
+        run = 0
+    if last < 63:
+        code, ln = ac_codes[0x00]  # EOB
+        bw_.write(code, ln)
+
+
+def encode_jpeg(
+    pixels: np.ndarray, quality: int = 85, subsampling: str = "444"
+) -> bytes:
     """uint8 array (H,W,3) RGB or (H,W) grayscale -> baseline JFIF
-    bytes (YCbCr 4:4:4 for color, single-component for grayscale)."""
+    bytes. subsampling: "444" (chroma at full resolution) or "420"
+    (chroma 2x2 box-downsampled — what real-world encoders emit;
+    ~2x smaller files on color content). Ignored for grayscale."""
     px = np.asarray(pixels)
     if px.dtype != np.uint8:
         raise JpegError("pixels must be uint8")
     gray = px.ndim == 2
     if not gray and (px.ndim != 3 or px.shape[2] != 3):
         raise JpegError("pixels must be (H,W,3) RGB or (H,W) grayscale")
+    if subsampling not in ("444", "420"):
+        raise JpegError("subsampling must be '444' or '420'")
     h, w = px.shape[:2]
     if h == 0 or w == 0 or h > 65535 or w > 65535:
         raise JpegError("bad image dimensions")
 
     qt_l = _scaled_quant(_QUANT_LUMA, quality)
     qt_c = _scaled_quant(_QUANT_CHROMA, quality)
+    sub = 2 if (not gray and subsampling == "420") else 1
+    mcu_px = 8 * sub  # MCU covers mcu_px x mcu_px luma pixels
 
-    ph, pw = (h + 7) // 8 * 8, (w + 7) // 8 * 8
+    ph, pw = -(-h // mcu_px) * mcu_px, -(-w // mcu_px) * mcu_px
 
-    def pad(plane):
-        return np.pad(plane, ((0, ph - h), (0, pw - w)), mode="edge")
+    def pad(plane, th, tw):
+        return np.pad(
+            plane, ((0, th - plane.shape[0]), (0, tw - plane.shape[1])),
+            mode="edge",
+        )
 
+    # (plane, quant, huff-table id, sampling (hi, vi))
     if gray:
-        planes = [(pad(px.astype(np.float64)), qt_l, 0)]
+        planes = [(pad(px.astype(np.float64), ph, pw), qt_l, 0, (1, 1))]
     else:
         ycc = _to_ycbcr(px.astype(np.float64))
-        planes = [
-            (pad(ycc[..., 0]), qt_l, 0),
-            (pad(ycc[..., 1]), qt_c, 1),
-            (pad(ycc[..., 2]), qt_c, 1),
-        ]
-    comp_coefs = [_block_dct_quant(p, qt) for p, qt, _ in planes]
+        y = pad(ycc[..., 0], ph, pw)
+        if sub == 2:
+            cb = pad(ycc[..., 1], ph, pw).reshape(ph // 2, 2, pw // 2, 2)
+            cr = pad(ycc[..., 2], ph, pw).reshape(ph // 2, 2, pw // 2, 2)
+            cb, cr = cb.mean(axis=(1, 3)), cr.mean(axis=(1, 3))
+            planes = [
+                (y, qt_l, 0, (2, 2)),
+                (cb, qt_c, 1, (1, 1)),
+                (cr, qt_c, 1, (1, 1)),
+            ]
+        else:
+            planes = [
+                (y, qt_l, 0, (1, 1)),
+                (pad(ycc[..., 1], ph, pw), qt_c, 1, (1, 1)),
+                (pad(ycc[..., 2], ph, pw), qt_c, 1, (1, 1)),
+            ]
+    comp_coefs = [_block_dct_quant(p, qt) for p, qt, _, _ in planes]
 
-    # ---- entropy-coded segment: interleaved MCUs (4:4:4 -> one block
-    # per component per MCU)
+    # ---- entropy-coded segment: interleaved MCUs; each MCU carries
+    # hi*vi blocks per component in raster order (T.81 A.2.3)
     bw_ = _BitWriter()
     prev_dc = [0] * len(planes)
-    n_mcu = comp_coefs[0].shape[0]
-    for m in range(n_mcu):
-        for ci, coefs in enumerate(comp_coefs):
-            tbl = planes[ci][2]
-            dc_codes, ac_codes = _ENC_DC[tbl], _ENC_AC[tbl]
-            zz = coefs[m]
-            diff = int(zz[0]) - prev_dc[ci]
-            prev_dc[ci] = int(zz[0])
-            s, bits = _magnitude(diff)
-            code, ln = dc_codes[s]
-            bw_.write(code, ln)
-            if s:
-                bw_.write(bits, s)
-            run = 0
-            nz = np.nonzero(zz[1:])[0]
-            last = nz[-1] + 1 if len(nz) else 0
-            for k in range(1, last + 1):
-                v = int(zz[k])
-                if v == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    code, ln = ac_codes[0xF0]  # ZRL
-                    bw_.write(code, ln)
-                    run -= 16
-                s, bits = _magnitude(v)
-                code, ln = ac_codes[(run << 4) | s]
-                bw_.write(code, ln)
-                bw_.write(bits, s)
-                run = 0
-            if last < 63:
-                code, ln = ac_codes[0x00]  # EOB
-                bw_.write(code, ln)
+    mcus_y, mcus_x = ph // mcu_px, pw // mcu_px
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for ci, coefs in enumerate(comp_coefs):
+                tbl = planes[ci][2]
+                hi, vi = planes[ci][3]
+                dc_codes, ac_codes = _ENC_DC[tbl], _ENC_AC[tbl]
+                for vy in range(vi):
+                    for vx in range(hi):
+                        zz = coefs[my * vi + vy, mx * hi + vx]
+                        _emit_block(bw_, zz, dc_codes, ac_codes, prev_dc, ci)
     scan = bw_.flush()
 
     # ---- container
@@ -326,7 +357,8 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 85) -> bytes:
     ncomp = 1 if gray else 3
     sof = struct.pack(">BHHB", 8, h, w, ncomp)
     for ci in range(ncomp):
-        sof += bytes([ci + 1, 0x11, 0 if ci == 0 else 1])
+        hi, vi = planes[ci][3]
+        sof += bytes([ci + 1, (hi << 4) | vi, 0 if ci == 0 else 1])
     out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
 
     def dht(cls, tid, spec):
@@ -440,11 +472,16 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     comps = []
     for ci in range(ncomp):
         cid, sampling, qid = sof[6 + ci * 3 : 9 + ci * 3]
-        if sampling != 0x11:
-            raise JpegError("chroma subsampling unsupported")
+        hi, vi = sampling >> 4, sampling & 0x0F
+        if hi not in (1, 2) or vi not in (1, 2):
+            raise JpegError("sampling factors beyond 2 unsupported")
         if qid not in quant:
             raise JpegError("missing quant table")
-        comps.append((cid, qid))
+        comps.append((cid, qid, hi, vi))
+    hmax = max(c[2] for c in comps)
+    vmax = max(c[3] for c in comps)
+    if any(hmax % c[2] or vmax % c[3] for c in comps):
+        raise JpegError("non-dividing sampling factors unsupported")
     ns = sos[0]
     if ns != ncomp:
         raise JpegError("scan/frame component mismatch")
@@ -489,47 +526,71 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     def extend(v, s):
         return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
 
-    ph, pw = (h + 7) // 8 * 8, (w + 7) // 8 * 8
-    bh, bw_ = ph // 8, pw // 8
-    n_mcu = bh * bw_
-    comp_coefs = [np.zeros((n_mcu, 64), dtype=np.int64) for _ in comps]
+    # interleaved MCU geometry (T.81 A.2.3): an MCU covers
+    # (8*hmax) x (8*vmax) image pixels and carries hi*vi blocks per
+    # component; every component's block grid pads to full MCUs
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    grids = []  # (blocks_h, blocks_w) per component
+    comp_coefs = []
+    for cid, qid, hi, vi in comps:
+        gh, gw = mcus_y * vi, mcus_x * hi
+        grids.append((gh, gw))
+        comp_coefs.append(np.zeros((gh, gw, 64), dtype=np.int64))
     prev_dc = [0] * ncomp
-    for m in range(n_mcu):
-        for ci, (cid, qid) in enumerate(comps):
-            dc_tid, ac_tid = scan_tbl[cid]
-            dc_map = huff.get((0, dc_tid))
-            ac_map = huff.get((1, ac_tid))
-            if dc_map is None or ac_map is None:
-                raise JpegError("missing huffman table")
-            zz = comp_coefs[ci][m]
-            s = read_code(dc_map)
-            diff = extend(read_bits(s), s) if s else 0
-            prev_dc[ci] += diff
-            zz[0] = prev_dc[ci]
-            k = 1
-            while k <= 63:
-                rs = read_code(ac_map)
-                if rs == 0x00:  # EOB
-                    break
-                if rs == 0xF0:  # ZRL
-                    k += 16
-                    continue
-                run, s = rs >> 4, rs & 0x0F
-                k += run
-                if k > 63:
-                    raise JpegError("AC coefficient overflow")
-                zz[k] = extend(read_bits(s), s)
-                k += 1
+
+    def read_block(zz, ci, dc_map, ac_map):
+        s = read_code(dc_map)
+        diff = extend(read_bits(s), s) if s else 0
+        prev_dc[ci] += diff
+        zz[0] = prev_dc[ci]
+        k = 1
+        while k <= 63:
+            rs = read_code(ac_map)
+            if rs == 0x00:  # EOB
+                break
+            if rs == 0xF0:  # ZRL
+                k += 16
+                continue
+            run, s = rs >> 4, rs & 0x0F
+            k += run
+            if k > 63:
+                raise JpegError("AC coefficient overflow")
+            zz[k] = extend(read_bits(s), s)
+            k += 1
+
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for ci, (cid, qid, hi, vi) in enumerate(comps):
+                dc_tid, ac_tid = scan_tbl[cid]
+                dc_map = huff.get((0, dc_tid))
+                ac_map = huff.get((1, ac_tid))
+                if dc_map is None or ac_map is None:
+                    raise JpegError("missing huffman table")
+                for vy in range(vi):
+                    for vx in range(hi):
+                        read_block(
+                            comp_coefs[ci][my * vi + vy, mx * hi + vx],
+                            ci, dc_map, ac_map,
+                        )
 
     planes = []
-    for ci, (cid, qid) in enumerate(comps):
-        blocks = comp_coefs[ci][:, _UNZIGZAG].reshape(-1, 8, 8).astype(np.float64)
+    for ci, (cid, qid, hi, vi) in enumerate(comps):
+        gh, gw = grids[ci]
+        blocks = (
+            comp_coefs[ci].reshape(-1, 64)[:, _UNZIGZAG]
+            .reshape(-1, 8, 8)
+            .astype(np.float64)
+        )
         blocks *= quant[qid]
         spat = np.einsum("kn,bkl,lm->bnm", _DCT_M, blocks, _DCT_M, optimize=True)
         spat += 128.0
-        plane = (
-            spat.reshape(bh, bw_, 8, 8).transpose(0, 2, 1, 3).reshape(ph, pw)
+        plane = spat.reshape(gh, gw, 8, 8).transpose(0, 2, 1, 3).reshape(
+            gh * 8, gw * 8
         )
+        ry, rx = vmax // vi, hmax // hi
+        if ry > 1 or rx > 1:  # nearest-neighbor chroma upsample
+            plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
         planes.append(plane[:h, :w])
 
     if ncomp == 1:

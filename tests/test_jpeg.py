@@ -98,3 +98,26 @@ def test_multimodal_jpeg_branch(spark):
     assert out["jpg-ok"]["features"][0] == 12.0  # height survived
     assert "image_decode_failed(" in out["jpg-bad"]["decode_error"]
     assert out["video"]["decode_error"] == "image_format_unsupported(mkv)"
+
+
+def test_chroma_420_subsampling():
+    """4:2:0 (what real-world encoders emit): smaller files, chroma
+    box-downsampled 2x2 on encode and nearest-upsampled on decode;
+    MCU padding/cropping must survive every odd geometry."""
+    h, w = 50, 70
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.stack(
+        [(xx * 255 / w), (yy * 255 / h), ((xx + yy) * 255 / (h + w))], axis=-1
+    ).astype(np.uint8)
+    e444 = encode_jpeg(img, 85, "444")
+    e420 = encode_jpeg(img, 85, "420")
+    assert len(e420) < len(e444)
+    d420 = decode_jpeg(e420)
+    assert d420.shape == img.shape
+    assert _psnr(img, d420) > 35  # chroma is lossy, luma is not
+    rng = np.random.default_rng(9)
+    for shape in [(1, 1, 3), (7, 9, 3), (15, 17, 3), (16, 16, 3), (33, 31, 3)]:
+        im = rng.integers(0, 256, shape, dtype=np.uint8)
+        assert decode_jpeg(encode_jpeg(im, 90, "420")).shape == im.shape
+    with pytest.raises(JpegError):
+        encode_jpeg(img, 85, "422")
