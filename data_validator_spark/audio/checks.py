@@ -95,6 +95,10 @@ def run_audio_checks(
     clips: DataFrame,
     snr_min: float = SNR_MIN_DB,
     skip_col: str | None = None,
+    quality: bool = False,
+    clipping_max: float | None = None,
+    dc_max: float | None = None,
+    silence_max: float | None = None,
 ) -> DataFrame:
     """Append audio-check outcome columns:
 
@@ -110,9 +114,21 @@ def run_audio_checks(
 
     The SNR label rounds to 1dp, echoing the offending value like the
     reference's `fast_rt_...s` labels (core_models.py:169-202).
+
+    quality=True swaps in the FUSED quality UDF (audio/quality.py):
+    the same single decode pass additionally yields the spectral/
+    level features and a `_quality_labels` soft-tier column — a
+    pipeline gating on both the invariant and quality never decodes
+    twice.
     """
     skip = F.col(skip_col) if skip_col else F.lit(False)
-    res = audio_check_udf(
+    if quality:
+        from data_validator_spark.audio import quality as _q
+
+        udf = _q.audio_quality_udf
+    else:
+        udf = audio_check_udf
+    res = udf(
         F.struct(
             F.col("clip_id"),
             F.col("codec"),
@@ -124,6 +140,26 @@ def run_audio_checks(
     out = clips.withColumn("audio_bytes_null", F.col("bytes").isNull()).withColumn(
         "_audio", res
     )
+    if quality:
+        from data_validator_spark.audio.quality import (
+            _FEATURE_FIELDS,
+            CLIPPING_MAX_RATIO,
+            DC_OFFSET_MAX,
+            SILENCE_MAX_RATIO,
+            quality_labels_expr,
+        )
+
+        for name, _ in _FEATURE_FIELDS:
+            out = out.withColumn(name, F.col(f"_audio.{name}"))
+        out = out.withColumn(
+            "_quality_labels",
+            quality_labels_expr(
+                "_audio",
+                clipping_max if clipping_max is not None else CLIPPING_MAX_RATIO,
+                dc_max if dc_max is not None else DC_OFFSET_MAX,
+                silence_max if silence_max is not None else SILENCE_MAX_RATIO,
+            ),
+        )
     snr_name = f"audio_snr_below_{int(snr_min)}db"
     return (
         out.withColumn("audio_decode_error", F.col("_audio.decode_error"))

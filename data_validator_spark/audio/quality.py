@@ -161,6 +161,49 @@ def audio_quality_udf(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield pd.DataFrame(out)
 
 
+def quality_labels_expr(
+    struct_name: str,
+    clipping_max: float = CLIPPING_MAX_RATIO,
+    dc_max: float = DC_OFFSET_MAX,
+    silence_max: float = SILENCE_MAX_RATIO,
+) -> Column:
+    """';'-joined soft-tier quality labels (NULL when clean) over the
+    named decode-result struct column — the same value-echoing shape
+    the rule compiler emits, so plans fold it straight into
+    `messages`. Shared by run_quality_checks and the fused
+    checks.run_audio_checks(quality=True) path."""
+    s = F.col(struct_name)
+    decoded = s.getField("decode_error").isNull()
+    labels = F.array(
+        F.when(
+            decoded & (s.getField("clipping_ratio") > clipping_max),
+            F.concat(
+                F.lit("audio_clipping("),
+                F.round(s.getField("clipping_ratio"), 3).cast("string"),
+                F.lit(")"),
+            ),
+        ),
+        F.when(
+            decoded & (F.abs(s.getField("dc_offset")) > dc_max),
+            F.concat(
+                F.lit("audio_dc_offset("),
+                F.round(s.getField("dc_offset"), 3).cast("string"),
+                F.lit(")"),
+            ),
+        ),
+        F.when(
+            decoded & (s.getField("silence_ratio") > silence_max),
+            F.concat(
+                F.lit("audio_silent("),
+                F.round(s.getField("silence_ratio"), 3).cast("string"),
+                F.lit(")"),
+            ),
+        ),
+    )
+    joined = F.array_join(F.filter(labels, lambda c: c.isNotNull()), ";")
+    return F.when(joined != "", joined)
+
+
 def run_quality_checks(
     clips: DataFrame,
     skip_col: str | None = None,
@@ -170,53 +213,16 @@ def run_quality_checks(
 ) -> DataFrame:
     """Append quality feature columns + soft-tier labels. Input needs
     (clip_id, codec, sr_hz, bytes); output adds every feature column
-    plus `_quality_labels` (';'-joined, NULL when clean — same shape
-    the rule compiler emits, so plans can fold it into `messages`)."""
-    skip = F.col(skip_col) if skip_col else F.lit(False)
-    res = audio_quality_udf(
-        F.struct(
-            F.col("clip_id"),
-            F.col("codec"),
-            F.col("sr_hz"),
-            F.col("bytes"),
-            skip.alias("skip"),
-        )
+    plus `_quality_labels` (';'-joined, NULL when clean). Delegates to
+    the fused checks.run_audio_checks(quality=True) — ONE decode pass
+    computes the SNR invariant and the features."""
+    from data_validator_spark.audio.checks import run_audio_checks
+
+    return run_audio_checks(
+        clips,
+        skip_col=skip_col,
+        quality=True,
+        clipping_max=clipping_max,
+        dc_max=dc_max,
+        silence_max=silence_max,
     )
-    out = (
-        clips.withColumn("_aq", res)
-        .withColumn("audio_decode_error", F.col("_aq.decode_error"))
-        .withColumn("audio_snr_db", F.col("_aq.snr_db"))
-    )
-    for name, _ in _FEATURE_FIELDS:
-        out = out.withColumn(name, F.col(f"_aq.{name}"))
-    decoded = F.col("_aq.decode_error").isNull()
-    labels = F.array(
-        F.when(
-            decoded & (F.col("_aq.clipping_ratio") > clipping_max),
-            F.concat(
-                F.lit("audio_clipping("),
-                F.round(F.col("_aq.clipping_ratio"), 3).cast("string"),
-                F.lit(")"),
-            ),
-        ),
-        F.when(
-            decoded & (F.abs(F.col("_aq.dc_offset")) > dc_max),
-            F.concat(
-                F.lit("audio_dc_offset("),
-                F.round(F.col("_aq.dc_offset"), 3).cast("string"),
-                F.lit(")"),
-            ),
-        ),
-        F.when(
-            decoded & (F.col("_aq.silence_ratio") > silence_max),
-            F.concat(
-                F.lit("audio_silent("),
-                F.round(F.col("_aq.silence_ratio"), 3).cast("string"),
-                F.lit(")"),
-            ),
-        ),
-    )
-    joined = F.array_join(F.filter(labels, lambda c: c.isNotNull()), ";")
-    return out.withColumn(
-        "_quality_labels", F.when(joined != "", joined)
-    ).drop("_aq")

@@ -47,6 +47,11 @@ class ValidationConfig:
     partition_col: str = "ingest_date"
     order_col: str = "ingest_seq"  # deterministic first-wins ordering
     check_audio: bool = True
+    # opt-in: compute the audio QUALITY features + soft labels
+    # (clipping / DC offset / silence — audio/quality.py) in the SAME
+    # decode pass as the SNR invariant; adds the feature columns to
+    # the validated output and folds quality labels into messages
+    check_quality: bool = False
     snr_min_db: float = 30.0
     decode_partitions: int | None = None  # repartition before decode stage
     # persist the post-audio row set (bytes already dropped) so the
@@ -193,7 +198,10 @@ def run_validation(
                 cfg.decode_partitions, "clip_id", cfg.order_col
             )
         audio_res = run_audio_checks(
-            audio_in, snr_min=cfg.snr_min_db, skip_col="_skip_decode"
+            audio_in,
+            snr_min=cfg.snr_min_db,
+            skip_col="_skip_decode",
+            quality=cfg.check_quality,
         ).drop("codec", "sr_hz", "bytes")
         if cfg.persist:
             audio_res = audio_res.persist()
@@ -292,6 +300,10 @@ def run_validation(
         v = append_messages(
             v, ENTITY, F.col("_container_sr_label"), warning=True
         ).drop("_container_sr_label")
+        if cfg.check_quality:
+            v = append_messages(v, ENTITY, F.col("_quality_labels")).drop(
+                "_quality_labels"
+            )
     # bytes is a no-op drop when check_audio (never joined back);
     # audio_bytes_null is all-false on the validated side by now
     v = v.drop("bytes", "audio_bytes_null")

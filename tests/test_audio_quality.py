@@ -163,3 +163,45 @@ def test_near_match_label(spark):
     assert out["c"] == "near_match(3)"
     assert out["d"].startswith("mismatch(")
     assert out["e"] is None
+
+
+def test_pipeline_check_quality_stage(spark, fixture_paths):
+    """check_quality=True: the SAME single decode pass yields feature
+    columns in the validated output and folds quality labels into
+    messages — a planted silent payload flips valid_clip with an
+    audio_silent label, everything else matches the default run."""
+    from pyspark.sql import functions as F
+
+    from data_validator_spark.plans import ValidationConfig, run_validation
+
+    clips = spark.read.parquet(fixture_paths["clips"])
+    victim = (
+        clips.filter(F.col("bytes").isNotNull() & (F.col("codec") == "pcm16"))
+        .select("clip_id", "sr_hz")
+        .first()
+    )
+    silent = codecs.encode(
+        "pcm16", np.zeros(int(victim["sr_hz"]), np.float32), int(victim["sr_hz"])
+    )
+    planted = clips.withColumn(
+        "bytes",
+        F.when(
+            F.col("clip_id") == victim["clip_id"], F.lit(bytearray(silent))
+        ).otherwise(F.col("bytes")),
+    )
+    res = run_validation(planted, cfg=ValidationConfig(check_quality=True))
+    cols = set(res.validated.columns)
+    assert {"clipping_ratio", "silence_ratio", "dominant_freq_hz"} <= cols
+    row = res.validated.filter(F.col("clip_id") == victim["clip_id"]).first()
+    assert row is not None
+    assert row["silence_ratio"] == 1.0
+    assert "audio_silent(" in row["validation_msg_clip"]
+    assert row["valid_clip"] is False
+
+    base = run_validation(clips, cfg=ValidationConfig())
+    n_q = res.validated.filter(F.col("valid_clip")).count()
+    n_b = base.validated.filter(F.col("valid_clip")).count()
+    # clean synth clips trip no quality flags; only the plant differs
+    assert n_b - n_q == (1 if base.validated.filter(
+        (F.col("clip_id") == victim["clip_id"]) & F.col("valid_clip")
+    ).count() else 0)
