@@ -1984,6 +1984,25 @@ def q68_transcript_near_match(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q69_ivfpq_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF-PQ ANN (coarse k-means cells + product-quantized codes +
+    ADC shortlist + EXACT refine re-rank) vs the same exact SQL
+    oracle as q42/q57: inverted lists carry only n_sub-byte codes
+    (32x memory cut at dim=64), yet the planted twin's true nearest
+    neighbor must surface at rank 1 with its exact cosine — the
+    refine stage makes the returned scores exact, so the third ANN
+    scale path answers identically to brute force on oracle-computable
+    ground truth."""
+    from data_validator_spark.operators.similarity import ivfpq_topk
+
+    e = _t(spark, sf, "embeddings")
+    pert = _perturbed_twins(e, 5)
+    out = ivfpq_topk(
+        e, pert, dim=64, k=1, n_cells=16, nprobe=4, round_digits=4
+    )
+    return out.withColumn("rank", F.col("rank").cast("long")).orderBy("query_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2054,6 +2073,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q66_jpeg_features": q66_jpeg_features,
         "q67_duration_consistency": q67_duration_consistency,
         "q68_transcript_near_match": q68_transcript_near_match,
+        "q69_ivfpq_topk": q69_ivfpq_topk,
     }
 
 
@@ -2525,6 +2545,23 @@ _ORACLES: dict[str, str] = {
         FROM ranked WHERE rank <= 1 ORDER BY query_id
     """,
     "q57_ivf_topk": """
+        WITH pert AS (
+          SELECT vec_id + 100000 AS query_id,
+                 list_transform(embedding, x -> x*(1+0.1*x)) AS qv
+          FROM embeddings WHERE vec_id < 5),
+        scored AS (
+          SELECT p.query_id, e.vec_id AS neighbor_id,
+                 round(CAST(list_cosine_similarity(e.embedding, p.qv) AS DOUBLE), 4)
+                   AS cos_sim
+          FROM embeddings e CROSS JOIN pert p),
+        ranked AS (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+                     ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+          FROM scored)
+        SELECT query_id, neighbor_id, cos_sim, rank::BIGINT AS rank
+        FROM ranked WHERE rank <= 1 ORDER BY query_id
+    """,
+    "q69_ivfpq_topk": """
         WITH pert AS (
           SELECT vec_id + 100000 AS query_id,
                  list_transform(embedding, x -> x*(1+0.1*x)) AS qv

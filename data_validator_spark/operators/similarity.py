@@ -404,3 +404,199 @@ def embedding_near_dups(
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "cos_sim")
     )
+
+
+def _pq_train(mat: np.ndarray, n_sub: int, n_pq: int, seed: int) -> np.ndarray:
+    """Driver-side product-quantizer training: per-subspace Lloyd
+    k-means (vectorized numpy, seeded deterministic init) on the
+    capped sample. -> codebooks (n_sub, n_pq, sub_dim)."""
+    n, dim = mat.shape
+    sd = dim // n_sub
+    rng = np.random.default_rng(seed)
+    books = np.empty((n_sub, n_pq, sd))
+    for j in range(n_sub):
+        x = mat[:, j * sd : (j + 1) * sd]
+        # k-means++-lite: distinct seeded picks
+        idx = rng.choice(n, size=min(n_pq, n), replace=False)
+        c = x[idx].copy()
+        if len(c) < n_pq:  # degenerate tiny sample
+            c = np.concatenate([c, np.zeros((n_pq - len(c), sd))])
+        for _ in range(15):
+            d = ((x[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+            assign = d.argmin(axis=1)
+            for ci in range(n_pq):
+                m = assign == ci
+                if m.any():
+                    c[ci] = x[m].mean(axis=0)
+        books[j] = c
+    return books
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 0,
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    n_sub: int = 8,
+    n_pq: int = 32,
+    refine_mult: int = 8,
+    seed: int = 7,
+    round_digits: int = 6,
+    max_train_rows: int = 1_000_000,
+    pq_train_rows: int = 100_000,
+) -> DataFrame:
+    """IVF-PQ approximate top-k: the IVF coarse quantizer plus a
+    product quantizer that compresses every corpus vector to n_sub
+    bytes-ish codes (dim x float32 -> n_sub small ints — at dim=64 /
+    n_sub=8 that is a 32x memory cut on the inverted lists), scored by
+    asymmetric distance (ADC: per-query dot-product lookup tables
+    against the codebooks), then the top refine_mult*k ADC candidates
+    re-ranked EXACTLY by joining their true vectors back (a broadcast
+    equi-join on the small candidate id set).
+
+    The 100-TB story: inverted lists carry (id, cell, code) only —
+    the full-precision embedding column is touched by exactly two
+    scans (encode; refine join), never shuffled wholesale, and the
+    in-flight candidate set per query is bounded by
+    nprobe * cell_size for ADC and refine_mult*k for exact re-rank.
+
+    Training: coarse KMeans on the capped hash-sample (as ivf_topk);
+    PQ codebooks driver-side on a further-capped sample
+    (pq_train_rows x dim floats — ~50 MB at the defaults).
+
+    -> (query_id, neighbor_id, cos_sim, rank) — cos_sim is EXACT for
+    returned rows (refine stage), so planted-twin oracles hold.
+    """
+    if dim <= 0:
+        raise ValueError("dim (embedding length) is required")
+    if dim % n_sub:
+        raise ValueError("n_sub must divide dim")
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.sql.functions import pandas_udf
+
+    from data_validator_spark.operators.sampling import hash_sample
+
+    n_corpus = corpus.count()
+    train_src = corpus
+    if n_corpus > max_train_rows:
+        frac = min(1.0, 1.1 * max_train_rows / n_corpus)
+        train_src = hash_sample(corpus, [id_col], frac).limit(max_train_rows)
+    train = train_src.select(
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
+    )
+    model = KMeans(k=n_cells, seed=seed, maxIter=20).fit(train)
+    centers = np.asarray([np.asarray(c) for c in model.clusterCenters()])
+    c_sq = (centers**2).sum(axis=1)
+
+    pq_src = train_src if n_corpus <= pq_train_rows else hash_sample(
+        corpus, [id_col], min(1.0, 1.1 * pq_train_rows / n_corpus)
+    ).limit(pq_train_rows)
+    sample = np.asarray(
+        [np.asarray(v, dtype=np.float64) for v in
+         pq_src.select(vec_col).toPandas()[vec_col]]
+    )
+    books = _pq_train(sample, n_sub, n_pq, seed)  # (n_sub, n_pq, sd)
+    book_sq = (books**2).sum(axis=2)  # (n_sub, n_pq)
+    sd = dim // n_sub
+
+    @pandas_udf("struct<cell:int, code:array<int>>")
+    def _encode(vs: pd.Series) -> pd.DataFrame:
+        mat = np.asarray([np.asarray(v, np.float64) for v in vs])
+        if mat.size == 0:
+            return pd.DataFrame({"cell": [], "code": []})
+        cell = (c_sq[None, :] - 2.0 * (mat @ centers.T)).argmin(axis=1)
+        codes = np.empty((len(mat), n_sub), np.int32)
+        for j in range(n_sub):
+            x = mat[:, j * sd : (j + 1) * sd]
+            d = book_sq[j][None, :] - 2.0 * (x @ books[j].T)
+            codes[:, j] = d.argmin(axis=1)
+        return pd.DataFrame(
+            {"cell": cell.astype(np.int32), "code": list(codes)}
+        )
+
+    @pandas_udf("array<int>")
+    def _probe(vs: pd.Series) -> pd.Series:
+        mat = np.asarray([np.asarray(v, np.float64) for v in vs])
+        if mat.size == 0:
+            return pd.Series([], dtype=object)
+        d = c_sq[None, :] - 2.0 * (mat @ centers.T)
+        order = np.argsort(d, axis=1, kind="stable")[:, :nprobe]
+        return pd.Series([row.astype(np.int32) for row in order])
+
+    enc = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _encode(F.col(vec_col)).alias("_e")
+    ).select(
+        "neighbor_id", F.col("_e.cell").alias("cell"), F.col("_e.code").alias("code")
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        F.explode(_probe(F.col(vec_col))).alias("cell"),
+    )
+
+    @pandas_udf("double")
+    def _adc(qvs: pd.Series, codes: pd.Series) -> pd.Series:
+        if len(qvs) == 0:
+            return pd.Series([], dtype=float)
+        out = np.empty(len(qvs))
+        code_mat = np.asarray([np.asarray(c, np.int64) for c in codes])
+        qmat = np.asarray([np.asarray(v, np.float64) for v in qvs])
+        # batch rows share few distinct queries; vectorize per query
+        # via lookup tables dot[j, c] = q_j . C[j, c]
+        keys, inv = np.unique(qmat, axis=0, return_inverse=True)
+        for qi in range(len(keys)):
+            rows = np.nonzero(inv == qi)[0]
+            qv = keys[qi]
+            dot = np.einsum(
+                "jd,jkd->jk", qv.reshape(n_sub, sd), books
+            )  # (n_sub, n_pq)
+            est_dot = dot[np.arange(n_sub)[None, :], code_mat[rows]].sum(axis=1)
+            est_nsq = book_sq[np.arange(n_sub)[None, :], code_mat[rows]].sum(
+                axis=1
+            )
+            qn = np.sqrt((qv**2).sum())
+            denom = np.sqrt(np.maximum(est_nsq, 1e-30)) * max(qn, 1e-30)
+            out[rows] = est_dot / denom
+        return pd.Series(out)
+
+    cand = (
+        enc.join(F.broadcast(q), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("est_cos", _adc(F.col("_qv"), F.col("code")))
+        .select("query_id", "neighbor_id", "est_cos")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w_adc = Window.partitionBy("query_id").orderBy(
+        F.col("est_cos").desc(), F.col("neighbor_id").asc()
+    )
+    short = cand.withColumn("_r", F.row_number().over(w_adc)).filter(
+        F.col("_r") <= refine_mult * k
+    )
+
+    # exact refine: broadcast the SMALL candidate set against the
+    # corpus scan — full vectors touched only for survivors
+    cv = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
+    )
+    qv = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv2"))
+    refined = (
+        cv.join(F.broadcast(short.select("query_id", "neighbor_id")), "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+        .withColumn(
+            "cos_sim", F.round(cosine(F.col("_cv"), F.col("_qv2")), round_digits)
+        )
+        .select("query_id", "neighbor_id", "cos_sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        refined.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )

@@ -303,3 +303,34 @@ def test_ivf_topk_finds_planted_twins_and_subsets_bruteforce(spark):
     }
     for r in out:
         assert bf[(r.query_id, r.neighbor_id)] == r.cos_sim
+
+
+def test_ivfpq_matches_brute_force_on_twins(spark):
+    """IVF-PQ (codes-only inverted lists + ADC shortlist + exact
+    refine) returns the identical top-1 rows as exact brute force for
+    near-duplicate queries."""
+    import math
+
+    corpus = spark.createDataFrame(
+        [(i, [math.sin(0.3 * i + 0.7 * j) for j in range(16)]) for i in range(300)],
+        "vec_id long, embedding array<double>",
+    )
+    pert = corpus.filter(F.col("vec_id") < 4).select(
+        (F.col("vec_id") + 1000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * (1 + F.lit(0.05) * x)).alias(
+            "embedding"
+        ),
+    )
+    pq = (
+        similarity.ivfpq_topk(
+            corpus, pert, dim=16, k=1, n_cells=8, nprobe=3, n_sub=4, n_pq=16
+        )
+        .orderBy("query_id")
+        .collect()
+    )
+    bf = (
+        similarity.brute_force_topk(corpus, pert, k=1)
+        .orderBy("query_id")
+        .collect()
+    )
+    assert [tuple(r) for r in pq] == [tuple(r) for r in bf]
