@@ -22,10 +22,13 @@ codec in operators/imaging.py:
       restored by vectorized cumsum).
 
 Everything is vectorized where it is hot: rice encode builds the bit
-array with numpy cumsum/scatter (no per-sample python loop), rice
-decode is a two-pass scheme — a cheap python scan over the positions
-of 1-bits finds the unary quotients, then one numpy gather decodes
-every low-bit field at once. Reference counterpart for WHY this codec
+array with numpy cumsum/scatter (no per-sample python loop); rice
+decode is a two-pass scheme — terminator positions hop through a
+precomputed one-count (rank) array at two O(1) scalar reads per code,
+then one numpy gather decodes every low-bit field at once; frame
+CRC-16s over >=2 KiB run as a numpy tree reduction (per-word
+positional tables + per-level shift tables). Reference counterpart
+for WHY this codec
 exists: the per-row decoded-PCM invariant the validation engine
 checks (BASELINE.json input_hint; reference rt-bounds
 core_models.py:169-202).
@@ -33,7 +36,6 @@ core_models.py:169-202).
 
 from __future__ import annotations
 
-import bisect
 import hashlib
 import struct
 
@@ -94,6 +96,75 @@ def _make_crc16_table2() -> tuple[int, ...]:
 
 _CRC16_TABLE2 = _make_crc16_table2()
 
+# Vectorized CRC-16 (used for payloads >= _CRC16_VEC_MIN bytes): CRC is
+# linear over GF(2) with init 0, so crc(A||B) = shift_{|B|}(crc(A)) ^
+# crc(B) and leading zero bytes are free. The kernel computes per-8-byte
+# word CRCs with positional tables, then tree-reduces words pairwise
+# with per-level shift-by-(8*2^lvl)-bytes tables (hi/lo byte
+# decomposition of the 16-bit state keeps every table 256 entries).
+# All numpy gathers — no per-byte python loop.
+_CRC16_VEC_MIN = 2048  # measured crossover vs the slice-by-2 loop
+_CRC16_VEC: list | None = None
+
+
+def _zero_shift1(c: int) -> int:
+    """Advance a CRC-16 state by one zero byte."""
+    return _CRC16_TABLE[c >> 8] ^ ((c << 8) & 0xFFFF)
+
+
+def _make_crc16_vec_tables(n_levels: int = 22) -> list:
+    pos = np.zeros((8, 256), np.uint16)
+    for v in range(256):
+        c = _CRC16_TABLE[v]
+        for j in range(7, -1, -1):
+            pos[j, v] = c
+            c = _zero_shift1(c)
+    hi = np.zeros(256, np.uint16)
+    lo = np.zeros(256, np.uint16)
+    for v in range(256):
+        c = v << 8
+        for _ in range(8):
+            c = _zero_shift1(c)
+        hi[v] = c
+        c = v
+        for _ in range(8):
+            c = _zero_shift1(c)
+        lo[v] = c
+    his, los = [hi], [lo]
+    idx = np.arange(256)
+    for _ in range(n_levels - 1):
+        hi_p, lo_p = his[-1], los[-1]
+
+        def app(c):  # shift by the previous level's byte count
+            return (hi_p[c >> 8] ^ lo_p[c & 0xFF]).astype(np.uint16)
+
+        his.append(app(app((idx << 8).astype(np.uint16))))
+        los.append(app(app(idx.astype(np.uint16))))
+    return [pos, his, los]
+
+
+def _crc16_vec(b: np.ndarray) -> int:
+    global _CRC16_VEC
+    if _CRC16_VEC is None:
+        _CRC16_VEC = _make_crc16_vec_tables()
+    pos, his, los = _CRC16_VEC
+    n = len(b)
+    nw = -(-n // 8)
+    p2w = 1 << (nw - 1).bit_length() if nw > 1 else 1
+    pad = p2w * 8 - n
+    if pad:  # front-pad: leading zeros leave the CRC unchanged
+        b = np.concatenate([np.zeros(pad, np.uint8), b])
+    w = b.reshape(-1, 8)
+    c = pos[0][w[:, 0]]
+    for j in range(1, 8):
+        c ^= pos[j][w[:, j]]
+    lvl = 0
+    while len(c) > 1:
+        a = c[0::2]
+        c = (his[lvl][a >> 8] ^ los[lvl][a & 0xFF]) ^ c[1::2]
+        lvl += 1
+    return int(c[0])
+
 
 def crc8(data) -> int:
     c = 0
@@ -104,7 +175,11 @@ def crc8(data) -> int:
 
 
 def crc16(data) -> int:
+    if isinstance(data, np.ndarray) and len(data) >= _CRC16_VEC_MIN:
+        return _crc16_vec(data)
     b = bytes(data)
+    if len(b) >= _CRC16_VEC_MIN:
+        return _crc16_vec(np.frombuffer(b, np.uint8))
     c = 0
     t2 = _CRC16_TABLE2
     n2 = len(b) & ~1
@@ -162,9 +237,20 @@ class _BitReader:
     def __init__(self, data: bytes) -> None:
         self.raw = np.frombuffer(data, np.uint8)
         self.bits = np.unpackbits(self.raw)
-        self.ones = np.flatnonzero(self.bits).tolist()
+        # bool view: nonzero() scans it ~2x faster than uint8
+        self.ones = np.flatnonzero(self.bits.view(bool))
         self.n = len(self.bits)
         self.pos = 0
+        self._rank: np.ndarray | None = None
+        self._nxt: dict[int, np.ndarray] = {}
+
+    def rank(self) -> np.ndarray:
+        """Inclusive one-count: rank()[p] = number of 1-bits at
+        positions <= p — equivalently the index (into `ones`) of the
+        first 1-bit strictly after p. Built lazily, once per stream."""
+        if self._rank is None:
+            self._rank = np.cumsum(self.bits, dtype=np.int32)
+        return self._rank
 
     def read(self, k: int) -> int:
         if k == 0:
@@ -179,10 +265,10 @@ class _BitReader:
         return v
 
     def read_unary(self) -> int:
-        i = bisect.bisect_left(self.ones, self.pos)
+        i = int(np.searchsorted(self.ones, self.pos))
         if i == len(self.ones):
             raise FlacError("truncated unary code")
-        t = self.ones[i]
+        t = int(self.ones[i])
         q = t - self.pos
         self.pos = t + 1
         return q
@@ -200,47 +286,42 @@ class _BitReader:
         return np.where(vals >= half, vals - (half << 1), vals)
 
     def read_rice_array(self, count: int, k: int) -> np.ndarray:
-        """count rice(k) codes -> signed residuals. Pass 1: python
-        scan over 1-bit positions finds each code's unary terminator
-        (O(count + total ones), small int ops only). Pass 2: one numpy
-        gather decodes all k-bit suffixes at once."""
+        """count rice(k) codes -> signed residuals. Pass 1 finds each
+        code's unary terminator via the rank array: from terminator t,
+        the next terminator is the first 1-bit after the k suffix bits,
+        i.e. ones[rank[t + k]] — two O(1) scalar reads per code, no
+        bisect (measured ~2.4x the bisect scan; suffix 1-bits are
+        skipped by construction because rank jumps straight over them).
+        Pass 2: one numpy gather decodes all k-bit suffixes at once."""
         if count == 0:
             return np.zeros(0, np.int64)
         ones = self.ones
-        oi = bisect.bisect_left(ones, self.pos)
-        p = self.pos
-        terms = [0] * count
+        rank = self.rank()
+        p0 = self.pos
+        # nxt[j]: index of the terminator that follows ones[j]'s k
+        # suffix bits (clamped reads past the stream end resolve to the
+        # out-of-range sentinel len(ones) and raise in the hop below);
+        # cached per k — frames overwhelmingly reuse one rice parameter
+        nxt = self._nxt.get(k)
+        if nxt is None:
+            nxt = rank[np.minimum(ones + k, self.n - 1)]
+            self._nxt[k] = nxt
+        ni = nxt.item
+        # index of the first 1-bit at position >= p0
+        c = int(rank[p0 - 1]) if p0 > 0 else 0
+        seq: list[int] = []
+        append = seq.append
         try:
-            if k >= 4:
-                # dense suffixes: ~k/2 ones sit inside each k-bit
-                # suffix — one C-level bisect (lo hint keeps it local)
-                # jumps them all instead of stepping one by one
-                bl = bisect.bisect_left
-                for i in range(count):
-                    oi = bl(ones, p, oi)
-                    t = ones[oi]
-                    terms[i] = t
-                    oi += 1
-                    p = t + 1 + k
-            else:
-                n_ones = len(ones)
-                for i in range(count):
-                    while True:
-                        if oi >= n_ones:
-                            raise IndexError
-                        t = ones[oi]
-                        oi += 1
-                        if t >= p:
-                            break
-                    terms[i] = t
-                    p = t + 1 + k
+            for _ in range(count):
+                append(c)
+                c = ni(c)
         except IndexError:
             raise FlacError("truncated rice stream") from None
+        t_arr = ones[np.asarray(seq, np.int64)]
+        p = int(t_arr[-1]) + 1 + k
         if p > self.n:
             raise FlacError("truncated rice suffix bits")
-        p0 = self.pos
         self.pos = p
-        t_arr = np.asarray(terms, dtype=np.int64)
         # unary start_i chains from the previous terminator:
         # start_0 = p0, start_i = t_{i-1} + 1 + k; quotient = t - start
         starts = np.empty(count, np.int64)
@@ -646,7 +727,7 @@ def decode_flac(payload: bytes) -> tuple[np.ndarray, int]:
         pad = (-r.pos) % 8
         if pad and r.read(pad) != 0:
             raise FlacError("nonzero frame padding")
-        if r.read(16) != crc16(r.raw[frame_start : r.pos // 8 - 2].tobytes()):
+        if r.read(16) != crc16(r.raw[frame_start : r.pos // 8 - 2]):
             raise FlacError("frame CRC-16 mismatch")
         if decoded + bs > streaminfo["total"]:
             raise FlacError("frames exceed STREAMINFO total samples")
