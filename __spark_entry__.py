@@ -2003,6 +2003,99 @@ def q69_ivfpq_topk(spark: SparkSession, sf: str) -> DataFrame:
     return out.withColumn("rank", F.col("rank").cast("long")).orderBy("query_id")
 
 
+def q70_video_features(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL video path (operators/video.py): 24 deterministic
+    MJPEG-in-AVI clips (frames are linear gradients, encoded by the
+    pure-python JPEG codec into a spec-shaped RIFF/AVI container with
+    idx1 index) plus three planted defect rows (NULL payload, WAVE
+    payload, truncated AVI) run through decode_video_features —
+    container probe from headers only, evenly-spaced k=3 frame sample,
+    index-seek decode of ONLY those frames. Container metadata must
+    survive exactly; each sampled frame's pixel mean must land within
+    1.0 of the ANALYTIC gradient value 2*(w-1) + 9*f + 13 (JPEG is
+    lossy — tolerance booleans, the q66 pattern); defect rows must
+    carry the exact NORMALIZED decode_error. DuckDB recomputes every
+    scalar from the id alone."""
+    from data_validator_spark.operators.video import decode_video_features
+
+    def gen(batches):
+        import struct as _struct
+
+        import numpy as np
+        import pandas as pd
+
+        from data_validator_spark.operators import video as v
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for i in pdf["id"]:
+                i = int(i)
+                if i == 24:
+                    ids.append("v_null")
+                    payloads.append(None)
+                elif i == 25:
+                    ids.append("v_wav")
+                    payloads.append(
+                        bytearray(b"RIFF" + _struct.pack("<I", 4) + b"WAVE")
+                    )
+                elif i == 26:
+                    ids.append("v_trunc")
+                    frames = [np.zeros((16, 24, 3), np.uint8)]
+                    payloads.append(
+                        bytearray(v.encode_avi_mjpeg(frames, fps=5)[:64])
+                    )
+                else:
+                    n = 3 + i % 4
+                    h, w = 16 + 8 * (i % 2), 24 + 8 * (i % 3)
+                    fps = 5 + i % 3
+                    y, x = np.mgrid[0:h, 0:w]
+                    frames = [
+                        np.stack(
+                            [x * 4 + f * 9 + ch * 13 for ch in range(3)],
+                            axis=2,
+                        ).astype(np.uint8)
+                        for f in range(n)
+                    ]
+                    ids.append(f"v{i:02d}")
+                    payloads.append(
+                        bytearray(v.encode_avi_mjpeg(frames, fps=fps))
+                    )
+            yield pd.DataFrame({"clip_id": ids, "bytes": payloads})
+
+    clips = spark.range(0, 27, numPartitions=3).mapInPandas(
+        gen, "clip_id string, bytes binary"
+    )
+    feats = decode_video_features(clips, k_frames=3)
+    i = F.regexp_extract("id", r"^v(\d+)$", 1).cast("long")
+    w = (F.lit(24) + (i % 3) * 8).cast("double")
+    # analytic mean of px = 4x + 9f + 13c over x in [0,w), c in {0,1,2}
+    expected = F.transform(
+        F.col("sampled"),
+        lambda fi: F.lit(2.0) * (w - 1) + F.lit(9.0) * fi + F.lit(13.0),
+    )
+    means_ok = F.when(
+        F.col("frame_means").isNotNull(),
+        F.forall(
+            F.zip_with(
+                F.col("frame_means"), expected, lambda m, e: F.abs(m - e) <= 1.0
+            ),
+            lambda ok: ok,
+        ),
+    )
+    return feats.select(
+        F.col("id").alias("vid_id"),
+        "n_frames",
+        "width",
+        "height",
+        F.round("fps", 3).alias("fps"),
+        F.when(F.col("sampled").isNotNull(), F.size("sampled")).alias(
+            "k_sampled"
+        ),
+        means_ok.alias("means_ok"),
+        F.coalesce(F.col("decode_error"), F.lit("ok")).alias("outcome"),
+    ).orderBy("vid_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2074,6 +2167,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q67_duration_consistency": q67_duration_consistency,
         "q68_transcript_near_match": q68_transcript_near_match,
         "q69_ivfpq_topk": q69_ivfpq_topk,
+        "q70_video_features": q70_video_features,
     }
 
 
@@ -2969,6 +3063,35 @@ _ORACLES: dict[str, str] = {
           ('jitter',     40::BIGINT, 0::BIGINT,  true)
         ) AS t(planted, n, n_flagged, all_decoded)
         ORDER BY planted
+    """,
+    "q70_video_features": """
+        WITH base AS (
+          SELECT i, printf('v%02d', i) AS vid_id,
+                 (3 + i % 4)::INT AS n_frames,
+                 (24 + (i % 3) * 8)::INT AS width,
+                 (16 + (i % 2) * 8)::INT AS height,
+                 round((5 + i % 3)::DOUBLE, 3) AS fps
+          FROM range(24) t(i)
+        ),
+        rows_ok AS (
+          SELECT vid_id, n_frames, width, height, fps,
+                 3::INT AS k_sampled, true AS means_ok, 'ok' AS outcome
+          FROM base
+        ),
+        defects AS (
+          SELECT * FROM (VALUES
+            ('v_null', NULL::INT, NULL::INT, NULL::INT, NULL::DOUBLE,
+             NULL::INT, NULL::BOOLEAN, 'payload_missing'),
+            ('v_wav', NULL::INT, NULL::INT, NULL::INT, NULL::DOUBLE,
+             NULL::INT, NULL::BOOLEAN, 'video_format_unsupported(wav)'),
+            ('v_trunc', NULL::INT, NULL::INT, NULL::INT, NULL::DOUBLE,
+             NULL::INT, NULL::BOOLEAN,
+             'video_decode_failed(truncated RIFF payload)')
+          ) AS t(vid_id, n_frames, width, height, fps, k_sampled,
+                 means_ok, outcome)
+        )
+        SELECT * FROM rows_ok UNION ALL SELECT * FROM defects
+        ORDER BY vid_id
     """,
     "q68_transcript_near_match": """
         WITH d AS (

@@ -10,13 +10,15 @@ implements the PNG container (zlib scanlines, all five filters) and
 operators/jpeg.py a baseline-sequential JPEG codec (Annex K tables,
 4:4:4, numpy DCT), both pure numpy+stdlib, so `decode_image_features`
 turns PNG/JPEG bytes into pixel statistics with no imaging library.
-Video formats have no pure-python decode path in this sandbox
+Video is REAL for MJPEG-in-AVI (operators/video.py: RIFF container
+parse, idx1 index-seek, per-frame JPEG decode); compressed codecs
+(H.264/VP9/...) have no pure-python decode path in this sandbox
 (install attempts recorded in BASELINE.md) and yield NULL features
-with a NORMALIZED `image_format_unsupported(fmt)` reason; `fake=True`
-substitutes a deterministic hash-derived vector for ANY payload so
-the distributed plumbing is exercisable on non-image fixtures. A
-production deployment adds a libav branch next to the PNG/JPEG ones —
-nothing else changes.
+with a NORMALIZED unsupported-format reason; `fake=True` substitutes
+a deterministic hash-derived vector for ANY payload so the
+distributed plumbing is exercisable on non-image fixtures. A
+production deployment adds a libav branch next to the PNG/JPEG/MJPEG
+ones — nothing else changes.
 """
 
 from __future__ import annotations
@@ -35,7 +37,7 @@ _MAGIC_HEX = {
     "FFD8FFE1": "jpeg",  # (JFIF / EXIF / bare-DQT / Adobe headers)
     "FFD8FFDB": "jpeg",
     "FFD8FFEE": "jpeg",
-    "52494646": "riff",  # wav/avi container
+    "52494646": "riff",  # RIFF container — refined to wav/avi by form type
     "664C6143": "flac",  # real FLAC bitstream (audio/flac.py)
     "4D554C57": "mulaw_standin",
     "4F505530": "opus_standin",
@@ -44,11 +46,20 @@ _MAGIC_HEX = {
 
 
 def sniff_format(payload: Column) -> Column:
-    """Container format from magic bytes — pure Column expr."""
+    """Container format from magic bytes — pure Column expr. RIFF
+    payloads are refined by their form type (bytes 9-12): 'WAVE' ->
+    wav, 'AVI ' -> avi, anything else stays riff."""
     prefix = F.upper(F.hex(F.substring(payload, 1, 4)))
     out = F.lit("unknown")
     for magic, fmt in _MAGIC_HEX.items():
         out = F.when(prefix == magic, F.lit(fmt)).otherwise(out)
+    form = F.substring(payload, 9, 4).cast("string")
+    out = F.when(
+        prefix == "52494646",
+        F.when(form == "WAVE", F.lit("wav"))
+        .when(form == "AVI ", F.lit("avi"))
+        .otherwise(F.lit("riff")),
+    ).otherwise(out)
     return F.when(payload.isNull(), F.lit(None)).otherwise(out)
 
 
@@ -93,9 +104,16 @@ _MAGIC_BYTES = {bytes.fromhex(h): f for h, f in _MAGIC_HEX.items()}
 
 
 def _sniff_py(payload: bytes) -> str:
-    """Python-side twin of sniff_format (same magic table)."""
+    """Python-side twin of sniff_format (same magic table + RIFF form
+    refinement; pass at least the first 12 bytes for RIFF payloads)."""
     for magic, fmt in _MAGIC_BYTES.items():
         if payload[:4] == magic:
+            if fmt == "riff":
+                form = payload[8:12]
+                if form == b"WAVE":
+                    return "wav"
+                if form == b"AVI ":
+                    return "avi"
             return fmt
     return "unknown"
 
@@ -138,7 +156,7 @@ def decode_image_features(
                 return None, "payload_missing"
             if fake:
                 return _fake_rgb(p).tolist(), None
-            fmt = _sniff_py(bytes(p[:4]))
+            fmt = _sniff_py(bytes(p[:12]))
             if fmt == "png":
                 try:
                     return (

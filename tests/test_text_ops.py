@@ -182,7 +182,7 @@ def test_multimodal_sniff_and_stub(spark, clips):
 
     meta = multimodal.payload_metadata(clips.limit(200))
     fmts = {r.payload_format for r in meta.select("payload_format").distinct().collect()}
-    assert "riff" in fmts  # pcm16/wav magic detected
+    assert "wav" in fmts  # pcm16 RIFF/WAVE magic detected + form-refined
     feats = multimodal.decode_image_features(clips.limit(50), fake=True)
     rows = feats.collect()
     assert all(r.features is None or len(r.features) == 8 for r in rows)
