@@ -2096,6 +2096,86 @@ def q70_video_features(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("vid_id")
 
 
+def q71_tdigest_quantiles(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL mergeable t-digest (operators/tdigest.py — the north
+    star's 't-digest' quantile surface): map-side partial sketches per
+    Arrow batch, sketch-only merge shuffle, k1-scale clustering.
+    Gate: every estimate must land BETWEEN the exact (p-0.02) and
+    (p+0.02) quantiles — the rank-error guarantee t-digests make —
+    checked globally and per l_returnflag group; the exact brackets
+    themselves are computed by Spark's F.percentile and must
+    hash-match DuckDB's quantile_cont cross-engine (both interpolate
+    on rank (n-1)p), so the boolean is anchored to
+    independently-verified ground truth."""
+    from data_validator_spark.operators.tdigest import tdigest_quantiles
+
+    li = _t(spark, sf, "lineitem")
+    probs = [0.01, 0.5, 0.99]
+    eps = 0.02
+    bounds = []
+    for p in probs:
+        bounds += [max(0.0, p - eps), min(1.0, p + eps)]
+
+    est_g = tdigest_quantiles(li, "l_extendedprice", probs).withColumn(
+        "scope", F.lit("all")
+    )
+    est_r = (
+        tdigest_quantiles(
+            li, "l_extendedprice", probs, group_by=["l_returnflag"]
+        )
+        .withColumn("scope", F.concat(F.lit("rf:"), F.col("l_returnflag")))
+        .drop("l_returnflag")
+    )
+    est = est_g.unionByName(est_r)
+
+    x = F.col("l_extendedprice").cast("double")
+    ex_g = li.agg(F.percentile(x, bounds).alias("qs")).withColumn(
+        "scope", F.lit("all")
+    )
+    ex_r = (
+        li.groupBy("l_returnflag")
+        .agg(F.percentile(x, bounds).alias("qs"))
+        .withColumn("scope", F.concat(F.lit("rf:"), F.col("l_returnflag")))
+        .drop("l_returnflag")
+    )
+    pidx = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(p).alias("prob"),
+                    F.lit(2 * j + 1).alias("ilo"),
+                    F.lit(2 * j + 2).alias("ihi"),
+                )
+                for j, p in enumerate(probs)
+            ]
+        )
+    ).alias("pi")
+    ex = (
+        ex_g.unionByName(ex_r)
+        .select("scope", "qs", pidx)
+        .select(
+            "scope",
+            F.col("pi.prob").alias("prob"),
+            F.round(F.element_at("qs", F.col("pi.ilo")), 4).alias("lo"),
+            F.round(F.element_at("qs", F.col("pi.ihi")), 4).alias("hi"),
+        )
+    )
+    return (
+        est.join(F.broadcast(ex), ["scope", "prob"])
+        .select(
+            "scope",
+            "prob",
+            "lo",
+            "hi",
+            ((F.col("estimate") >= F.col("lo")) & (F.col("estimate") <= F.col("hi"))).alias(
+                "in_bracket"
+            ),
+            F.col("n").cast("long").alias("n"),
+        )
+        .orderBy("scope", "prob")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2168,6 +2248,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q68_transcript_near_match": q68_transcript_near_match,
         "q69_ivfpq_topk": q69_ivfpq_topk,
         "q70_video_features": q70_video_features,
+        "q71_tdigest_quantiles": q71_tdigest_quantiles,
     }
 
 
@@ -3063,6 +3144,28 @@ _ORACLES: dict[str, str] = {
           ('jitter',     40::BIGINT, 0::BIGINT,  true)
         ) AS t(planted, n, n_flagged, all_decoded)
         ORDER BY planted
+    """,
+    "q71_tdigest_quantiles": """
+        WITH sc AS (
+          SELECT 'all' AS scope,
+                 quantile_cont(l_extendedprice,
+                               [0.0, 0.03, 0.48, 0.52, 0.97, 1.0]) AS qs,
+                 count(*)::BIGINT AS n
+          FROM lineitem
+          UNION ALL
+          SELECT 'rf:' || l_returnflag,
+                 quantile_cont(l_extendedprice,
+                               [0.0, 0.03, 0.48, 0.52, 0.97, 1.0]),
+                 count(*)::BIGINT
+          FROM lineitem GROUP BY 1
+        )
+        SELECT scope, p.prob,
+               round(qs[p.ilo], 4) AS lo,
+               round(qs[p.ihi], 4) AS hi,
+               true AS in_bracket, n
+        FROM sc CROSS JOIN (VALUES (0.01, 1, 2), (0.5, 3, 4), (0.99, 5, 6))
+                           AS p(prob, ilo, ihi)
+        ORDER BY scope, prob
     """,
     "q70_video_features": """
         WITH base AS (
