@@ -71,6 +71,30 @@ class TestKernel:
         assert a == b
 
 
+class TestDriftFromSketches:
+    def test_ks_between_sketches_tracks_exact_ks(self):
+        rng = np.random.default_rng(11)
+        a = rng.normal(0.0, 1.0, 120_000)
+        b = rng.normal(0.35, 1.0, 120_000)  # exact KS ~ 0.139
+        sa, sb = td.sketch_series(a), td.sketch_series(b)
+        est = td.ks_from_sketches(sa, sb)
+        # exact two-sample KS
+        allv = np.sort(np.concatenate([a, b]))
+        fa = np.searchsorted(np.sort(a), allv, side="right") / len(a)
+        fb = np.searchsorted(np.sort(b), allv, side="right") / len(b)
+        exact = float(np.max(np.abs(fa - fb)))
+        assert est == pytest.approx(exact, abs=0.005)
+        # identical snapshots -> ~0
+        assert td.ks_from_sketches(sa, sa) == pytest.approx(0.0, abs=1e-9)
+
+    def test_cdf_matches_quantile_inverse(self):
+        rng = np.random.default_rng(5)
+        s = td.sketch_series(rng.lognormal(0, 1, 50_000))
+        qs = td.quantile_from_sketch(s, [0.1, 0.5, 0.9])
+        back = td.cdf_from_sketch(s, np.asarray(qs))
+        assert np.allclose(back, [0.1, 0.5, 0.9], atol=1e-6)
+
+
 class TestSparkStage:
     def test_global_sketch_and_quantiles(self, spark):
         n = 60_000
@@ -106,6 +130,28 @@ class TestSparkStage:
         assert len(out) == 3
         for r in out:
             assert r.estimate == pytest.approx(int(r.g) * 1000 + 500, abs=25)
+
+    def test_profile_many_columns_one_pass(self, spark):
+        df = spark.range(0, 20_000, numPartitions=4).select(
+            F.col("id").cast("double").alias("a"),
+            (F.col("id") % 100).cast("double").alias("b"),
+        )
+        prof = td.tdigest_profile(df, ["a", "b"])
+        rows = {r.column_name: r for r in prof.collect()}
+        assert set(rows) == {"a", "b"}
+        assert rows["a"].n == 20_000 and rows["b"].n == 20_000
+        med_a = td.quantile_from_sketch(rows["a"].asDict(), [0.5])[0]
+        med_b = td.quantile_from_sketch(rows["b"].asDict(), [0.5])[0]
+        assert med_a == pytest.approx(10_000, rel=0.01)
+        assert med_b == pytest.approx(49.5, abs=2.0)
+        # one scan: exactly one parquet-free range source, single stage
+        # pair (map partials -> grouped merge)
+        plan = prof._jdf.queryExecution().executedPlan().toString()
+        # after collect() AQE prints Final + Initial sections; audit the
+        # final one only
+        final = plan.split("== Initial Plan ==")[0].lower()
+        assert final.count("range (0, 20000") == 1
+        assert final.count("mapinpandas") == 1
 
     def test_sketch_shuffle_carries_sketches_not_values(self, spark):
         df = spark.range(0, 20_000, numPartitions=4).select(
