@@ -2176,6 +2176,103 @@ def q71_tdigest_quantiles(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q72_sketch_drift(spark: SparkSession, sf: str) -> DataFrame:
+    """Raw-data-free drift: KS + PSI computed from two snapshots'
+    persisted t-digest sketch tables alone (drift.sketch_drift over
+    tdigest_profile output — the north star's KS/PSI drift surface at
+    the 10^12-row price point: O(columns) per comparison, not O(rows)).
+    Two planted columns: v_drift (affine-shifted current snapshot,
+    real drift) and v_same (disjoint halves of the same distribution,
+    near-zero drift). Gate: exact KS/PSI are recomputed from raw rows
+    by BOTH engines (window cumsums / fixed-grid buckets) and must
+    hash-match; the sketch estimates must land within ±0.02 (KS) /
+    ±0.05 (PSI) of them — tolerance booleans, oracle emits TRUE."""
+    from data_validator_spark.operators import drift
+    from data_validator_spark.operators.tdigest import tdigest_profile
+
+    ev = _t(spark, sf, "events")
+    base = ev.filter(F.col("event_id") % 2 == 0).select(
+        F.col("value").alias("v_drift"), F.col("value").alias("v_same")
+    )
+    cur = ev.filter(F.col("event_id") % 2 == 1).select(
+        (F.col("value") * 1.07 + 2.0).alias("v_drift"),
+        F.col("value").alias("v_same"),
+    )
+    est = drift.sketch_drift(
+        tdigest_profile(base, ["v_drift", "v_same"]),
+        tdigest_profile(cur, ["v_drift", "v_same"]),
+    )
+
+    cols = ["v_drift", "v_same"]
+
+    def longify(df: DataFrame, grp: str) -> DataFrame:
+        pairs = [
+            F.struct(F.lit(c).alias("column_name"), F.col(c).alias("v"))
+            for c in cols
+        ]
+        return (
+            df.select(F.explode(F.array(*pairs)).alias("p"))
+            .select("p.*")
+            .filter(F.col("v").isNotNull())
+            .withColumn("grp", F.lit(grp))
+        )
+
+    u = longify(base, "a").unionByName(longify(cur, "b"))
+    counts = u.groupBy("column_name", "v").agg(
+        F.sum((F.col("grp") == "a").cast("long")).alias("ca"),
+        F.sum((F.col("grp") == "b").cast("long")).alias("cb"),
+    )
+    wall = Window.partitionBy("column_name")
+    worder = Window.partitionBy("column_name").orderBy("v")
+    cum = counts.select(
+        "column_name",
+        (F.sum("ca").over(worder) / F.sum("ca").over(wall)).alias("fa"),
+        (F.sum("cb").over(worder) / F.sum("cb").over(wall)).alias("fb"),
+    )
+    ks = cum.groupBy("column_name").agg(
+        F.max(F.abs(F.col("fa") - F.col("fb"))).alias("ks_exact")
+    )
+    bounds = u.groupBy("column_name").agg(
+        F.min("v").alias("lo"), F.max("v").alias("hi")
+    )
+    width = (F.col("hi") - F.col("lo")) / F.lit(20.0)
+    bck = u.join(F.broadcast(bounds), "column_name").select(
+        "column_name",
+        F.least(F.floor((F.col("v") - F.col("lo")) / width), F.lit(19)).alias(
+            "bucket"
+        ),
+        "grp",
+    )
+    bc = bck.groupBy("column_name", "bucket").agg(
+        F.sum((F.col("grp") == "a").cast("long")).alias("ca"),
+        F.sum((F.col("grp") == "b").cast("long")).alias("cb"),
+    )
+    pp = bc.select(
+        "column_name",
+        (F.col("ca") / F.sum("ca").over(wall) + F.lit(1e-6)).alias("pa"),
+        (F.col("cb") / F.sum("cb").over(wall) + F.lit(1e-6)).alias("pb"),
+    )
+    psi = pp.groupBy("column_name").agg(
+        F.sum((F.col("pb") - F.col("pa")) * F.log(F.col("pb") / F.col("pa"))).alias(
+            "psi_exact"
+        )
+    )
+    exact = ks.join(psi, "column_name")
+    return (
+        est.join(F.broadcast(exact), "column_name")
+        .select(
+            "column_name",
+            F.round("ks_exact", 6).alias("ks_exact"),
+            F.round("psi_exact", 6).alias("psi_exact"),
+            F.col("n_base").cast("long").alias("n_base"),
+            F.col("n_cur").cast("long").alias("n_cur"),
+            (F.abs(F.col("ks") - F.col("ks_exact")) <= 0.02).alias("ks_ok"),
+            (F.abs(F.col("psi") - F.col("psi_exact")) <= 0.05).alias("psi_ok"),
+        )
+        .orderBy("column_name")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2249,6 +2346,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q69_ivfpq_topk": q69_ivfpq_topk,
         "q70_video_features": q70_video_features,
         "q71_tdigest_quantiles": q71_tdigest_quantiles,
+        "q72_sketch_drift": q72_sketch_drift,
     }
 
 
@@ -3166,6 +3264,61 @@ _ORACLES: dict[str, str] = {
         FROM sc CROSS JOIN (VALUES (0.01, 1, 2), (0.5, 3, 4), (0.99, 5, 6))
                            AS p(prob, ilo, ihi)
         ORDER BY scope, prob
+    """,
+    "q72_sketch_drift": """
+        WITH ev AS (SELECT event_id, value FROM events WHERE value IS NOT NULL),
+        u AS (
+          SELECT 'v_drift' AS column_name, value AS v, 'a' AS grp
+          FROM ev WHERE event_id % 2 = 0
+          UNION ALL
+          SELECT 'v_same', value, 'a' FROM ev WHERE event_id % 2 = 0
+          UNION ALL
+          SELECT 'v_drift', value * 1.07 + 2.0, 'b' FROM ev WHERE event_id % 2 = 1
+          UNION ALL
+          SELECT 'v_same', value, 'b' FROM ev WHERE event_id % 2 = 1
+        ),
+        counts AS (
+          SELECT column_name, v,
+                 count(*) FILTER (WHERE grp = 'a') AS ca,
+                 count(*) FILTER (WHERE grp = 'b') AS cb
+          FROM u GROUP BY 1, 2),
+        cum AS (
+          SELECT column_name,
+                 sum(ca) OVER (PARTITION BY column_name ORDER BY v)
+                   / sum(ca) OVER (PARTITION BY column_name) AS fa,
+                 sum(cb) OVER (PARTITION BY column_name ORDER BY v)
+                   / sum(cb) OVER (PARTITION BY column_name) AS fb
+          FROM counts),
+        ks AS (SELECT column_name, max(abs(fa - fb)) AS ks_exact
+               FROM cum GROUP BY 1),
+        n AS (SELECT column_name, sum(ca)::BIGINT AS n_base,
+                     sum(cb)::BIGINT AS n_cur
+              FROM counts GROUP BY 1),
+        bounds AS (SELECT column_name, min(v) AS lo, max(v) AS hi
+                   FROM u GROUP BY 1),
+        bck AS (
+          SELECT u.column_name,
+                 least(floor((u.v - b.lo) / ((b.hi - b.lo) / 20.0)), 19)
+                   AS bucket,
+                 grp
+          FROM u JOIN bounds b ON u.column_name = b.column_name),
+        bc AS (
+          SELECT column_name, bucket,
+                 count(*) FILTER (WHERE grp = 'a') AS ca,
+                 count(*) FILTER (WHERE grp = 'b') AS cb
+          FROM bck GROUP BY 1, 2),
+        pp AS (
+          SELECT column_name,
+                 ca / sum(ca) OVER (PARTITION BY column_name) + 1e-6 AS pa,
+                 cb / sum(cb) OVER (PARTITION BY column_name) + 1e-6 AS pb
+          FROM bc),
+        psi AS (SELECT column_name, sum((pb - pa) * ln(pb / pa)) AS psi_exact
+                FROM pp GROUP BY 1)
+        SELECT k.column_name, round(ks_exact, 6) AS ks_exact,
+               round(psi_exact, 6) AS psi_exact, n_base, n_cur,
+               true AS ks_ok, true AS psi_ok
+        FROM ks k JOIN psi USING (column_name) JOIN n USING (column_name)
+        ORDER BY 1
     """,
     "q70_video_features": """
         WITH base AS (

@@ -254,6 +254,25 @@ def ks_from_sketches(a: dict, b: dict) -> float:
     return float(np.max(np.abs(cdf_from_sketch(a, grid) - cdf_from_sketch(b, grid))))
 
 
+def psi_from_sketches(
+    a: dict, b: dict, n_buckets: int = 20, eps: float = 1e-6
+) -> float:
+    """Population-stability index estimated from two sketches alone:
+    bucket masses on a fixed grid spanning both sketches' exact
+    [vmin, vmax] come from CDF differences; the formula and eps
+    smoothing mirror operators/drift.py (psi = Σ (p_cur − p_base)
+    · ln(p_cur / p_base)), so sketch-based and histogram-based
+    baselines are directly comparable."""
+    lo = min(a["vmin"], b["vmin"])
+    hi = max(a["vmax"], b["vmax"])
+    if not (hi > lo):
+        return 0.0
+    edges = np.linspace(lo, hi, n_buckets + 1)
+    p_base = np.diff(cdf_from_sketch(a, edges)) + eps
+    p_cur = np.diff(cdf_from_sketch(b, edges)) + eps
+    return float(np.sum((p_cur - p_base) * np.log(p_cur / p_base)))
+
+
 def tdigest_quantiles(
     df: DataFrame,
     col: str,

@@ -74,3 +74,49 @@ def generate_clips_meta(spark, cfg):
     return spark.range(0, cfg.n_rows, numPartitions=4).mapInPandas(
         gen, schema="clip_id string, sr_hz int, dur_ms int, codec string, transcript string"
     )
+
+
+def test_sketch_drift_matches_exact_ks_psi(spark):
+    """sketch_drift (t-digest tables only) vs exact numpy KS/PSI."""
+    import numpy as np
+
+    from data_validator_spark.operators import tdigest as td
+
+    n = 80_000
+    base = spark.range(0, n, numPartitions=4).select(
+        (F.col("id") % 1000).cast("double").alias("v_drift"),
+        (F.col("id") % 777).cast("double").alias("v_same"),
+    )
+    cur = spark.range(0, n, numPartitions=4).select(
+        ((F.col("id") % 1000) * 1.07 + 2.0).alias("v_drift"),
+        ((F.col("id") + 13) % 777).cast("double").alias("v_same"),
+    )
+    est = {
+        r.column_name: r
+        for r in drift.sketch_drift(
+            td.tdigest_profile(base, ["v_drift", "v_same"]),
+            td.tdigest_profile(cur, ["v_drift", "v_same"]),
+        ).collect()
+    }
+    assert est["v_drift"].n_base == n and est["v_drift"].n_cur == n
+
+    def exact_ks(a, b):
+        allv = np.sort(np.concatenate([a, b]))
+        fa = np.searchsorted(np.sort(a), allv, side="right") / len(a)
+        fb = np.searchsorted(np.sort(b), allv, side="right") / len(b)
+        return float(np.max(np.abs(fa - fb)))
+
+    def exact_psi(a, b, n_buckets=20, eps=1e-6):
+        lo, hi = min(a.min(), b.min()), max(a.max(), b.max())
+        edges = np.linspace(lo, hi, n_buckets + 1)
+        pa = np.histogram(a, bins=edges)[0] / len(a) + eps
+        pb = np.histogram(b, bins=edges)[0] / len(b) + eps
+        return float(np.sum((pb - pa) * np.log(pb / pa)))
+
+    ids = np.arange(n, dtype=np.float64)
+    a_d, b_d = ids % 1000, (ids % 1000) * 1.07 + 2.0
+    a_s, b_s = ids % 777, (ids + 13) % 777
+    assert est["v_drift"].ks == pytest.approx(exact_ks(a_d, b_d), abs=0.01)
+    assert est["v_drift"].psi == pytest.approx(exact_psi(a_d, b_d), abs=0.05)
+    assert est["v_same"].ks == pytest.approx(0.0, abs=0.01)
+    assert est["v_same"].psi == pytest.approx(0.0, abs=0.02)
