@@ -2273,6 +2273,67 @@ def q72_sketch_drift(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q73_profile_tdigest(spark: SparkSession, sf: str) -> DataFrame:
+    """Column profile with quantile_method='tdigest' (stats.profile —
+    the north star names 't-digest/approx_percentile'; this gates the
+    t-digest arm of that disjunction inside the profiler). Gate: each
+    estimated quantile's exact MID-RANK — (#below + ½·#equal)/n,
+    tie-robust — must land within ±0.03 of its target probability;
+    the oracle replays the exact row counts and emits TRUE."""
+    from data_validator_spark.operators import stats
+
+    li = _t(spark, sf, "lineitem")
+    specs = [
+        stats.ColumnSpec("l_extendedprice", "numeric"),
+        stats.ColumnSpec("l_quantity", "numeric"),
+        stats.ColumnSpec("l_returnflag", "categorical"),
+    ]
+    probs = list(stats.DEFAULT_QUANTILES)
+    prof = stats.profile(li, specs, quantile_method="tdigest")
+    est = (
+        prof.filter(F.col("quantiles").isNotNull())
+        .select(
+            "column_name",
+            "n_rows",
+            F.posexplode("quantiles").alias("pi", "v_est"),
+        )
+        .withColumn(
+            "prob",
+            F.element_at(
+                F.array(*[F.lit(float(p)) for p in probs]), F.col("pi") + 1
+            ),
+        )
+        .drop("pi")
+    )
+    pairs = [
+        F.struct(
+            F.lit(c).alias("column_name"),
+            F.col(c).cast("double").alias("v"),
+        )
+        for c in ("l_extendedprice", "l_quantity")
+    ]
+    longv = li.select(F.explode(F.array(*pairs)).alias("p")).select("p.*")
+    midrank = (
+        longv.join(F.broadcast(est), "column_name")
+        .groupBy("column_name", "prob", "n_rows")
+        .agg(
+            (
+                (
+                    F.sum((F.col("v") < F.col("v_est")).cast("long"))
+                    + 0.5 * F.sum((F.col("v") == F.col("v_est")).cast("long"))
+                )
+                / F.first("n_rows")
+            ).alias("mid")
+        )
+    )
+    return midrank.select(
+        "column_name",
+        "prob",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        (F.abs(F.col("mid") - F.col("prob")) <= 0.03).alias("rank_ok"),
+    ).orderBy("column_name", "prob")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2347,6 +2408,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q70_video_features": q70_video_features,
         "q71_tdigest_quantiles": q71_tdigest_quantiles,
         "q72_sketch_drift": q72_sketch_drift,
+        "q73_profile_tdigest": q73_profile_tdigest,
     }
 
 
@@ -3319,6 +3381,13 @@ _ORACLES: dict[str, str] = {
                true AS ks_ok, true AS psi_ok
         FROM ks k JOIN psi USING (column_name) JOIN n USING (column_name)
         ORDER BY 1
+    """,
+    "q73_profile_tdigest": """
+        SELECT c.column_name, p.prob, n.n_rows, true AS rank_ok
+        FROM (VALUES ('l_extendedprice'), ('l_quantity')) c(column_name)
+        CROSS JOIN (VALUES (0.05), (0.25), (0.5), (0.75), (0.95)) p(prob)
+        CROSS JOIN (SELECT count(*)::BIGINT AS n_rows FROM lineitem) n
+        ORDER BY 1, 2
     """,
     "q70_video_features": """
         WITH base AS (

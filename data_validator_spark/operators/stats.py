@@ -42,6 +42,7 @@ def profile(
     specs: Sequence[ColumnSpec],
     quantiles: Sequence[float] = DEFAULT_QUANTILES,
     hll_rsd: float = 0.02,
+    quantile_method: str = "approx",
 ) -> DataFrame:
     """Long-format per-column summary:
     (column_name, null_rate, min_val, max_val, approx_distinct, quantiles).
@@ -53,7 +54,19 @@ def profile(
     0.02 costs ~2^13 registers (~8 KB) per column — still a fixed-size
     mergeable sketch at any row count — and keeps the estimate inside
     the engine's ±5% cardinality contract with margin (the 0.05
-    default rsd breaches 5% routinely on low-cardinality columns)."""
+    default rsd breaches 5% routinely on low-cardinality columns).
+
+    quantile_method: "approx" fuses percentile_approx into the one
+    scalar Aggregate (single scan). "tdigest" runs the mergeable
+    t-digest (operators/tdigest.py) for numeric columns instead and
+    joins its read-out back on — one extra scan, but the per-snapshot
+    sketch rows it produces are persistable and mergeable, which is
+    what the raw-data-free drift path (drift.sketch_drift) consumes;
+    choose it when snapshots are profiled once and compared many
+    times."""
+    if quantile_method not in ("approx", "tdigest"):
+        raise ValueError(f"unknown quantile_method: {quantile_method!r}")
+    use_td = quantile_method == "tdigest"
     aggs: list[Column] = [F.count(F.lit(1)).alias("_n")]
     for s in specs:
         c = F.col(s.name)
@@ -63,7 +76,7 @@ def profile(
             F.max(c).cast("string").alias(f"{s.name}__max"),
             F.approx_count_distinct(c, rsd=hll_rsd).alias(f"{s.name}__hll"),
         ]
-        if s.kind == "numeric":
+        if s.kind == "numeric" and not use_td:
             aggs.append(
                 F.percentile_approx(
                     c.cast("double"), list(quantiles), 10_000
@@ -82,14 +95,33 @@ def profile(
             F.col(f"{s.name}__hll").alias("approx_distinct"),
             (
                 F.col(f"{s.name}__q")
-                if s.kind == "numeric"
+                if s.kind == "numeric" and not use_td
                 else F.lit(None).cast("array<double>")
             ).alias("quantiles"),
             F.col("_n").alias("n_rows"),
         )
         for s in specs
     ]
-    return wide.select(F.explode(F.array(*structs)).alias("s")).select("s.*")
+    out = wide.select(F.explode(F.array(*structs)).alias("s")).select("s.*")
+    if not use_td:
+        return out
+    from .tdigest import quantile_array_readout, tdigest_profile
+
+    num_cols = [s.name for s in specs if s.kind == "numeric"]
+    if not num_cols:
+        return out
+    readout = quantile_array_readout(
+        tdigest_profile(df, num_cols), quantiles
+    ).withColumnRenamed("quantiles", "_td_q")
+    return out.join(F.broadcast(readout), "column_name", "left").select(
+        "column_name",
+        "null_rate",
+        "min_val",
+        "max_val",
+        "approx_distinct",
+        F.coalesce(F.col("_td_q"), F.col("quantiles")).alias("quantiles"),
+        "n_rows",
+    )
 
 
 def bucketize(spec: ColumnSpec) -> Column:

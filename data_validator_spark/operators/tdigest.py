@@ -254,6 +254,39 @@ def ks_from_sketches(a: dict, b: dict) -> float:
     return float(np.max(np.abs(cdf_from_sketch(a, grid) - cdf_from_sketch(b, grid))))
 
 
+def quantile_array_readout(
+    sketches: DataFrame,
+    probs: Sequence[float],
+    key_cols: Sequence[str] = ("column_name",),
+) -> DataFrame:
+    """(key cols..., quantiles array<double>) from a sketch table —
+    the wide-format read-out stats.profile() joins back onto its
+    scalar aggregate (sketch rows are tiny, so this stage is free)."""
+    keys = list(key_cols)
+    schema = ", ".join(f"{k} string" for k in keys) + ", quantiles array<double>"
+    probs_l = [float(p) for p in probs]
+
+    def readout(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                ests = quantile_from_sketch(
+                    {
+                        "weights": r["weights"],
+                        "means": r["means"],
+                        "vmin": r["vmin"],
+                        "vmax": r["vmax"],
+                    },
+                    probs_l,
+                )
+                rows.append(
+                    {**{k: r[k] for k in keys}, "quantiles": ests}
+                )
+            yield pd.DataFrame(rows)
+
+    return sketches.mapInPandas(readout, schema=schema)
+
+
 def psi_from_sketches(
     a: dict, b: dict, n_buckets: int = 20, eps: float = 1e-6
 ) -> float:

@@ -120,3 +120,34 @@ def test_sketch_drift_matches_exact_ks_psi(spark):
     assert est["v_drift"].psi == pytest.approx(exact_psi(a_d, b_d), abs=0.05)
     assert est["v_same"].ks == pytest.approx(0.0, abs=0.01)
     assert est["v_same"].psi == pytest.approx(0.0, abs=0.02)
+
+
+def test_profile_tdigest_quantiles(spark, clips):
+    """profile(quantile_method='tdigest'): same schema, t-digest
+    quantile values within the rank-error contract of the approx
+    path's exact brackets."""
+    meta = clips.drop("bytes")
+    td_prof = {
+        r.column_name: r
+        for r in stats.profile(meta, SPECS, quantile_method="tdigest").collect()
+    }
+    ap_prof = {
+        r.column_name: r for r in stats.profile(meta, SPECS).collect()
+    }
+    assert set(td_prof) == set(ap_prof)
+    # categorical columns: no quantiles either way; scalars identical
+    assert td_prof["codec"].quantiles is None
+    assert td_prof["codec"].approx_distinct == ap_prof["codec"].approx_distinct
+    assert td_prof["dur_ms"].null_rate == ap_prof["dur_ms"].null_rate
+    # numeric: both estimate the same exact quantiles; exact brackets
+    exact = meta.agg(
+        F.percentile(F.col("dur_ms").cast("double"), [0.03, 0.07, 0.48, 0.52, 0.93, 0.97])
+    ).first()[0]
+    q = td_prof["dur_ms"].quantiles
+    assert len(q) == 5
+    assert exact[0] <= q[0] <= exact[1]  # p05 within rank +-0.02
+    assert exact[2] <= q[2] <= exact[3]  # p50
+    assert exact[4] <= q[3 + 1] <= exact[5]  # p95
+
+    with pytest.raises(ValueError):
+        stats.profile(meta, SPECS, quantile_method="exact")
