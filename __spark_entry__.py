@@ -2334,6 +2334,51 @@ def q73_profile_tdigest(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("column_name", "prob")
 
 
+def q74_bloom_orphans(spark: SparkSession, sf: str) -> DataFrame:
+    """Referential integrity via broadcast Bloom filter
+    (operators/bloom.py): dim = customers minus every 13th key
+    (planted deletions), fact = orders. The exact composition
+    (bloom-miss ⇒ orphan outright, bloom-hit rows anti-joined) must
+    reproduce the plain anti join — hash-matched counts/key-sums —
+    while the shuffle-free scan alone must cover ≥95% of violations
+    (fp-bounded) and accuse zero valid rows (the Bloom no-false-
+    negative guarantee, checked structurally)."""
+    from data_validator_spark.operators import bloom
+
+    dim = (
+        _t(spark, sf, "customer")
+        .filter(F.col("c_custkey") % 13 != 0)
+        .select(F.col("c_custkey").alias("key"))
+    )
+    fact = _t(spark, sf, "orders").select(
+        "o_orderkey", F.col("o_custkey").alias("key")
+    )
+    exact = bloom.bloom_orphans(fact, dim, "key")
+    bf = bloom.build_bloom(dim, "key")
+    definite = bloom.bloom_orphan_scan(fact, bf, "key")
+    a = exact.agg(
+        F.count(F.lit(1)).alias("n_orphans"),
+        F.sum("o_orderkey").alias("sum_keys"),
+    )
+    d = definite.agg(F.count(F.lit(1)).alias("n_definite"))
+    false_acc = (
+        definite.join(dim.dropDuplicates(["key"]), "key", "left_semi")
+        .agg(F.count(F.lit(1)).alias("n_false"))
+    )
+    return (
+        a.crossJoin(d)
+        .crossJoin(false_acc)
+        .select(
+            F.col("n_orphans").cast("long").alias("n_orphans"),
+            F.col("sum_keys").cast("long").alias("sum_keys"),
+            (F.col("n_definite") >= 0.95 * F.col("n_orphans")).alias(
+                "definite_cov_ok"
+            ),
+            (F.col("n_false") == 0).alias("sound"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2409,6 +2454,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q71_tdigest_quantiles": q71_tdigest_quantiles,
         "q72_sketch_drift": q72_sketch_drift,
         "q73_profile_tdigest": q73_profile_tdigest,
+        "q74_bloom_orphans": q74_bloom_orphans,
     }
 
 
@@ -3388,6 +3434,17 @@ _ORACLES: dict[str, str] = {
         CROSS JOIN (VALUES (0.05), (0.25), (0.5), (0.75), (0.95)) p(prob)
         CROSS JOIN (SELECT count(*)::BIGINT AS n_rows FROM lineitem) n
         ORDER BY 1, 2
+    """,
+    "q74_bloom_orphans": """
+        WITH dim AS (SELECT c_custkey FROM customer WHERE c_custkey % 13 <> 0),
+        orph AS (
+          SELECT o_orderkey FROM orders o
+          WHERE NOT EXISTS (SELECT 1 FROM dim d WHERE d.c_custkey = o.o_custkey)
+        )
+        SELECT count(*)::BIGINT AS n_orphans,
+               sum(o_orderkey)::BIGINT AS sum_keys,
+               true AS definite_cov_ok, true AS sound
+        FROM orph
     """,
     "q70_video_features": """
         WITH base AS (
