@@ -2379,6 +2379,54 @@ def q74_bloom_orphans(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q75_heavy_hitters(spark: SparkSession, sf: str) -> DataFrame:
+    """Mergeable Misra–Gries heavy hitters (operators/heavy_hitters.py)
+    over a planted 60%-mass-on-6-keys item column. Gate: the top-5
+    exact-count items (DuckDB-replayable) must each be present in the
+    k=20 sketch with est ≤ true and true − est ≤ ⌊n/(k+1)⌋ (the
+    mergeable-summaries bound), and zero exact-heavy items may be
+    missing from the sketch — containment + bounds, oracle emits
+    TRUE/0."""
+    from data_validator_spark.operators.heavy_hitters import heavy_hitters
+
+    ev = _t(spark, sf, "events")
+    item = F.when(
+        F.col("event_id") % 10 < 6,
+        F.concat(F.lit("hot"), (F.col("event_id") % 6).cast("string")),
+    ).otherwise(F.concat(F.lit("cold"), F.col("event_id").cast("string")))
+    d = ev.select(item.alias("item"))
+    sk = heavy_hitters(d, "item", k=20)
+    exact = d.groupBy("item").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    j = exact.join(
+        F.broadcast(sk.select("item", "est_count", "err_bound")), "item", "left"
+    )
+    top5 = (
+        j.orderBy(F.col("exact_cnt").desc(), "item")
+        .limit(5)
+        .select(
+            "item",
+            F.col("exact_cnt").cast("long").alias("exact_cnt"),
+            (
+                F.col("est_count").isNotNull()
+                & (F.col("est_count") <= F.col("exact_cnt"))
+                & (F.col("exact_cnt") - F.col("est_count") <= F.col("err_bound"))
+            ).alias("ok"),
+        )
+    )
+    bound = sk.agg(F.max("err_bound").alias("_b"))
+    missed = (
+        j.crossJoin(F.broadcast(bound))
+        .filter((F.col("exact_cnt") > F.col("_b")) & F.col("est_count").isNull())
+        .agg(F.count(F.lit(1)).alias("n_missed"))
+        .select(
+            F.lit("__missed_heavy__").alias("item"),
+            F.col("n_missed").cast("long").alias("exact_cnt"),
+            (F.col("n_missed") == 0).alias("ok"),
+        )
+    )
+    return top5.unionByName(missed).orderBy(F.col("exact_cnt").desc(), "item")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2455,6 +2503,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q72_sketch_drift": q72_sketch_drift,
         "q73_profile_tdigest": q73_profile_tdigest,
         "q74_bloom_orphans": q74_bloom_orphans,
+        "q75_heavy_hitters": q75_heavy_hitters,
     }
 
 
@@ -3445,6 +3494,20 @@ _ORACLES: dict[str, str] = {
                sum(o_orderkey)::BIGINT AS sum_keys,
                true AS definite_cov_ok, true AS sound
         FROM orph
+    """,
+    "q75_heavy_hitters": """
+        WITH d AS (
+          SELECT CASE WHEN event_id % 10 < 6 THEN 'hot' || (event_id % 6)
+                      ELSE 'cold' || event_id END AS item
+          FROM events),
+        exact AS (SELECT item, count(*)::BIGINT AS exact_cnt
+                  FROM d GROUP BY 1),
+        top5 AS (SELECT item, exact_cnt, true AS ok FROM exact
+                 ORDER BY exact_cnt DESC, item LIMIT 5)
+        SELECT * FROM (
+          SELECT * FROM top5
+          UNION ALL SELECT '__missed_heavy__', 0::BIGINT, true)
+        ORDER BY exact_cnt DESC, item
     """,
     "q70_video_features": """
         WITH base AS (
