@@ -2427,6 +2427,80 @@ def q75_heavy_hitters(spark: SparkSession, sf: str) -> DataFrame:
     return top5.unionByName(missed).orderBy(F.col("exact_cnt").desc(), "item")
 
 
+def q76_snapshot_compare(spark: SparkSession, sf: str) -> DataFrame:
+    """Snapshot store round-trip (plans/snapshots.py): capture two
+    snapshots (profile + fixed-grid histograms + t-digest sketches) to
+    a throwaway parquet root, then compare() from PERSISTED STATE ONLY
+    — the north star's drift-against-a-baseline-snapshot loop. The
+    histogram KS/PSI and per-side row counts are deterministic and
+    replayed exactly by DuckDB (q28 arithmetic on the same grid); the
+    sketch-path estimates must agree with the histogram estimates
+    within grid tolerance (consistency booleans, oracle emits TRUE);
+    a categorical column must come back sketch-free by design."""
+    import shutil
+    import tempfile
+
+    from data_validator_spark.operators import stats
+    from data_validator_spark.plans.snapshots import SnapshotStore
+
+    ev = _t(spark, sf, "events").filter(F.col("value").isNotNull())
+    cat_b = F.concat(F.lit("c"), (F.col("event_id") % 4).cast("string"))
+    cat_c = F.concat(
+        F.lit("c"), F.least(F.col("event_id") % 4, F.lit(2)).cast("string")
+    )
+    base = ev.filter(F.col("event_id") % 2 == 0).select(
+        F.col("value").alias("v_drift"),
+        F.col("value").alias("v_same"),
+        cat_b.alias("cat"),
+    )
+    cur = ev.filter(F.col("event_id") % 2 == 1).select(
+        (F.col("value") * 1.07 + 2.0).alias("v_drift"),
+        F.col("value").alias("v_same"),
+        cat_c.alias("cat"),
+    )
+    specs = [
+        stats.ColumnSpec("v_drift", "numeric", 0.0, 550.0, 22),
+        stats.ColumnSpec("v_same", "numeric", 0.0, 550.0, 22),
+        stats.ColumnSpec("cat", "categorical"),
+    ]
+    tmp = tempfile.mkdtemp(prefix="q76_snapshots_")
+    try:
+        store = SnapshotStore(tmp)
+        store.capture(base, "base", specs)
+        store.capture(cur, "cur", specs)
+        rows = store.compare(spark, "base", "cur").collect()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    out = []
+    for r in sorted(rows, key=lambda x: x.column_name):
+        is_cat = r.column_name == "cat"
+        consistent = (
+            (r.sketch_ks is None)
+            if is_cat
+            else (
+                abs(r.sketch_ks - r.ks) <= 0.08
+                and abs(r.sketch_psi - r.psi) <= 0.12
+            )
+        )
+        out.append(
+            (
+                r.column_name,
+                round(r.psi, 6),
+                round(r.ks, 6),
+                r.drift_status,
+                r.n_base,
+                r.n_cur,
+                bool(consistent),
+            )
+        )
+    return spark.createDataFrame(
+        out,
+        schema="column_name string, psi double, ks double, "
+        "drift_status string, n_base long, n_cur long, "
+        "sketch_consistent boolean",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2504,6 +2578,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q73_profile_tdigest": q73_profile_tdigest,
         "q74_bloom_orphans": q74_bloom_orphans,
         "q75_heavy_hitters": q75_heavy_hitters,
+        "q76_snapshot_compare": q76_snapshot_compare,
     }
 
 
@@ -3508,6 +3583,65 @@ _ORACLES: dict[str, str] = {
           SELECT * FROM top5
           UNION ALL SELECT '__missed_heavy__', 0::BIGINT, true)
         ORDER BY exact_cnt DESC, item
+    """,
+    "q76_snapshot_compare": """
+        WITH ev AS (SELECT event_id, value FROM events WHERE value IS NOT NULL),
+        buck AS (
+          SELECT 'v_drift' AS column_name,
+                 CAST(CAST(greatest(-1, least(floor(value / 25.0), 22)) AS BIGINT) AS VARCHAR) AS bucket,
+                 'a' AS grp
+          FROM ev WHERE event_id % 2 = 0
+          UNION ALL
+          SELECT 'v_same',
+                 CAST(CAST(greatest(-1, least(floor(value / 25.0), 22)) AS BIGINT) AS VARCHAR), 'a'
+          FROM ev WHERE event_id % 2 = 0
+          UNION ALL
+          SELECT 'v_drift',
+                 CAST(CAST(greatest(-1, least(floor((value * 1.07 + 2.0) / 25.0), 22)) AS BIGINT) AS VARCHAR), 'b'
+          FROM ev WHERE event_id % 2 = 1
+          UNION ALL
+          SELECT 'v_same',
+                 CAST(CAST(greatest(-1, least(floor(value / 25.0), 22)) AS BIGINT) AS VARCHAR), 'b'
+          FROM ev WHERE event_id % 2 = 1
+          UNION ALL
+          SELECT 'cat', 'c' || (event_id % 4), 'a' FROM ev WHERE event_id % 2 = 0
+          UNION ALL
+          SELECT 'cat', 'c' || least(event_id % 4, 2), 'b' FROM ev WHERE event_id % 2 = 1
+        ),
+        freqs AS (
+          SELECT column_name, bucket,
+                 count(*) FILTER (WHERE grp = 'a') AS ca,
+                 count(*) FILTER (WHERE grp = 'b') AS cb
+          FROM buck GROUP BY 1, 2),
+        probs AS (
+          SELECT column_name, bucket,
+                 ca / sum(ca) OVER (PARTITION BY column_name) AS pb,
+                 cb / sum(cb) OVER (PARTITION BY column_name) AS pc
+          FROM freqs),
+        terms AS (
+          SELECT column_name,
+                 (pc + 1e-6 - (pb + 1e-6)) * ln((pc + 1e-6) / (pb + 1e-6)) AS psi_term,
+                 abs(sum(pc) OVER (PARTITION BY column_name
+                                   ORDER BY try_cast(bucket AS DOUBLE) ASC NULLS LAST, bucket ASC)
+                     - sum(pb) OVER (PARTITION BY column_name
+                                     ORDER BY try_cast(bucket AS DOUBLE) ASC NULLS LAST, bucket ASC)) AS cdf_gap
+          FROM probs),
+        m AS (
+          SELECT column_name, sum(psi_term) AS psi, max(cdf_gap) AS ks
+          FROM terms GROUP BY 1),
+        ns AS (
+          SELECT column_name,
+                 CASE WHEN column_name = 'cat' THEN NULL
+                      ELSE sum(ca) END::BIGINT AS n_base,
+                 CASE WHEN column_name = 'cat' THEN NULL
+                      ELSE sum(cb) END::BIGINT AS n_cur
+          FROM freqs GROUP BY 1)
+        SELECT m.column_name, round(psi, 6) AS psi, round(ks, 6) AS ks,
+               CASE WHEN psi >= 0.25 OR ks >= 0.2 THEN 'fail'
+                    WHEN psi >= 0.1 THEN 'warn' ELSE 'pass' END AS drift_status,
+               n_base, n_cur, true AS sketch_consistent
+        FROM m JOIN ns USING (column_name)
+        ORDER BY 1
     """,
     "q70_video_features": """
         WITH base AS (

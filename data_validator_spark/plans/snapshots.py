@@ -1,0 +1,142 @@
+"""Snapshot store: persisted per-snapshot statistics for drift checks.
+
+The north star's drift contract is "KS / PSI ... against a baseline
+SNAPSHOT". At 10^12 rows the baseline must never be re-scanned per
+comparison, so a snapshot here is the set of small, mergeable summary
+tables one profiling pass produces:
+
+    profile        — null rate / min / max / HLL / t-digest quantiles
+    histograms     — fixed-grid freqs (drift_metrics input)
+    tdigest        — raw sketch rows (sketch_drift input; mergeable,
+                     so partial snapshots can be unioned later)
+    heavy_hitters  — Misra–Gries top-k for high-cardinality columns
+
+Each artifact is a plain parquet directory under
+root/<snapshot_id>/<artifact>; a `_manifest` parquet carries lineage
+(snapshot id, artifact row counts, rule version, created_at) in the
+same append-only style as plans/manifest.py. Everything is
+DataFrame-sized-by-columns, so a snapshot is kilobytes regardless of
+input rows.
+
+compare() then answers drift questions from persisted state alone:
+histogram KS/PSI verdicts (drift_verdicts) joined with sketch-based
+KS/PSI (sketch_drift) — two engines' worth of drift evidence, zero
+raw-data reads. q76 gates the full write -> read -> compare loop.
+
+Reference counterpart: weekly snapshot diffing
+(weekly_report.py:217-283) — ad-hoc Counter diffs there, persisted
+mergeable summaries here.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import drift, stats
+from ..operators.heavy_hitters import heavy_hitters
+from ..operators.tdigest import tdigest_profile
+
+ARTIFACTS = ("profile", "histograms", "tdigest", "heavy_hitters")
+
+
+@dataclass(frozen=True)
+class SnapshotStore:
+    root: str
+
+    def _path(self, snapshot_id: str, artifact: str) -> str:
+        return f"{self.root}/{snapshot_id}/{artifact}"
+
+    def capture(
+        self,
+        df: DataFrame,
+        snapshot_id: str,
+        specs: Sequence[stats.ColumnSpec],
+        hh_cols: Sequence[str] = (),
+        hh_k: int = 100,
+        rule_version: str = "v1",
+    ) -> None:
+        """Profile `df` once per artifact family and persist the
+        summaries. The t-digest table is written RAW (not read out),
+        so later snapshots can be compared or even merged against it.
+
+        Scale shape: each artifact is an independent small write; the
+        scans stay separate on purpose — profile is one JVM Aggregate,
+        histogram/tdigest share the explode-to-long pattern, heavy
+        hitters only visits hh_cols. Fuse by persisting `df` upstream
+        if the input is not a re-readable table."""
+        spark = df.sparkSession
+        num_cols = [s.name for s in specs if s.kind == "numeric"]
+        stats.profile(df, specs, quantile_method="tdigest").write.mode(
+            "overwrite"
+        ).parquet(self._path(snapshot_id, "profile"))
+        stats.histogram(df, specs).write.mode("overwrite").parquet(
+            self._path(snapshot_id, "histograms")
+        )
+        if num_cols:
+            tdigest_profile(df, num_cols).write.mode("overwrite").parquet(
+                self._path(snapshot_id, "tdigest")
+            )
+        for c in hh_cols:
+            heavy_hitters(df, c, k=hh_k).withColumn(
+                "column_name", F.lit(c)
+            ).write.mode("append").parquet(
+                self._path(snapshot_id, "heavy_hitters")
+            )
+        manifest = spark.createDataFrame(
+            [
+                {
+                    "snapshot_id": snapshot_id,
+                    "rule_version": rule_version,
+                    "n_specs": len(specs),
+                    "n_hh_cols": len(hh_cols),
+                }
+            ]
+        ).withColumn("created_at", F.current_timestamp())
+        manifest.write.mode("append").parquet(f"{self.root}/_manifest")
+
+    def read(
+        self, spark: SparkSession, snapshot_id: str, artifact: str
+    ) -> DataFrame:
+        if artifact not in ARTIFACTS:
+            raise ValueError(f"unknown artifact {artifact!r}")
+        return spark.read.parquet(self._path(snapshot_id, artifact))
+
+    def snapshots(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(f"{self.root}/_manifest")
+
+    def compare(
+        self,
+        spark: SparkSession,
+        baseline_id: str,
+        current_id: str,
+        psi_warn: float = 0.1,
+        psi_fail: float = 0.25,
+        ks_fail: float = 0.2,
+    ) -> DataFrame:
+        """Drift verdicts from persisted state only: histogram-based
+        PSI/KS with thresholds (drift_verdicts) full-outer-joined with
+        sketch-based KS/PSI (sketch_drift, numeric columns only) —
+        columns (column_name, psi, ks, n_buckets, drift_status,
+        sketch_ks, sketch_psi, n_base, n_cur)."""
+        hist_v = drift.drift_verdicts(
+            self.read(spark, baseline_id, "histograms"),
+            self.read(spark, current_id, "histograms"),
+            psi_warn=psi_warn,
+            psi_fail=psi_fail,
+            ks_fail=ks_fail,
+        )
+        sk = drift.sketch_drift(
+            self.read(spark, baseline_id, "tdigest"),
+            self.read(spark, current_id, "tdigest"),
+        ).select(
+            "column_name",
+            F.col("ks").alias("sketch_ks"),
+            F.col("psi").alias("sketch_psi"),
+            "n_base",
+            "n_cur",
+        )
+        return hist_v.join(sk, "column_name", "full_outer")
