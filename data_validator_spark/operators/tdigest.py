@@ -167,18 +167,53 @@ def tdigest_sketch(
     ) + _SKETCH_FIELDS
 
     def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Arrow batches are deliberately small in this session (payload-
+        # safe maxRecordsPerBatch) — so accumulate per-batch sketches
+        # across the WHOLE partition and emit once, compacting any
+        # group's partial list whenever it grows past _CAP (keeps
+        # memory at O(groups · δ) no matter how long the partition is).
+        _CAP = 64
+        _FLUSH_ROWS = 1 << 16
+        acc: dict[tuple, list[dict]] = {}
+        buf: list[pd.DataFrame] = []
+        buf_rows = 0
+
+        def _add(key: tuple, sk: dict) -> None:
+            lst = acc.setdefault(key, [])
+            lst.append(sk)
+            if len(lst) > _CAP:
+                acc[key] = [merge_sketch_rows(pd.DataFrame(lst), delta)]
+
+        def _flush() -> None:
+            nonlocal buf, buf_rows
+            if not buf:
+                return
+            pdf = buf[0] if len(buf) == 1 else pd.concat(buf, ignore_index=True)
+            buf, buf_rows = [], 0
+            if groups:
+                for key, sub in pdf.groupby(groups, dropna=False, sort=False):
+                    key = key if isinstance(key, tuple) else (key,)
+                    _add(key, sketch_series(sub["_v"].to_numpy(), delta))
+            else:
+                _add((), sketch_series(pdf["_v"].to_numpy(), delta))
+
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            if groups:
-                out = []
-                for key, sub in pdf.groupby(groups, dropna=False, sort=False):
-                    key = key if isinstance(key, tuple) else (key,)
-                    sk = sketch_series(sub["_v"].to_numpy(), delta)
-                    out.append({**dict(zip(groups, key)), **sk})
-                yield pd.DataFrame(out)
-            else:
-                yield pd.DataFrame([sketch_series(pdf["_v"].to_numpy(), delta)])
+            # the session's Arrow batches are payload-sized (tiny) —
+            # coalesce them to ~64k-row chunks so the groupby/sort/
+            # compress cost is paid per chunk, not per wire batch
+            buf.append(pdf)
+            buf_rows += len(pdf)
+            if buf_rows >= _FLUSH_ROWS:
+                _flush()
+        _flush()
+        out = [
+            {**dict(zip(groups, key)), **merge_sketch_rows(pd.DataFrame(lst), delta)}
+            for key, lst in acc.items()
+        ]
+        if out:
+            yield pd.DataFrame(out)
 
     parts = proj.mapInPandas(partials, schema=part_schema)
 
@@ -252,6 +287,28 @@ def ks_from_sketches(a: dict, b: dict) -> float:
         )
     )
     return float(np.max(np.abs(cdf_from_sketch(a, grid) - cdf_from_sketch(b, grid))))
+
+
+def merge_sketch_table(
+    sketches: DataFrame,
+    group_cols: Sequence[str] = ("column_name",),
+    delta: int = DEFAULT_DELTA,
+) -> DataFrame:
+    """Collapse a table of sketch rows (several per group — e.g. one
+    per micro-batch, per snapshot shard, or per partition) into one
+    merged sketch per group. Because the merge is associative and
+    commutative, the result carries the same rank-error contract as a
+    single-pass build — this is what makes a t-digest snapshot
+    APPENDABLE: accumulate partial rows cheaply, merge on read."""
+    groups = list(group_cols)
+    schema = ", ".join(f"{g} string" for g in groups) + ", " + _SKETCH_FIELDS
+
+    def mg(pdf: pd.DataFrame) -> pd.DataFrame:
+        sk = merge_sketch_rows(pdf, delta)
+        head = {g: pdf[g].iloc[0] for g in groups}
+        return pd.DataFrame([{**head, **sk}])
+
+    return sketches.groupBy(*groups).applyInPandas(mg, schema)
 
 
 def quantile_array_readout(
