@@ -68,25 +68,65 @@ def heavy_hitters(
     ) + "_item string, _cnt long"
 
     def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            out = []
-            by = pdf.groupby(groups, dropna=False, sort=False) if groups else [((), pdf)]
+        # coalesce the session's tiny payload-sized Arrow batches to
+        # ~64k-row chunks, fold each chunk's value_counts into a
+        # per-group running summary (trimmed to 4k entries whenever it
+        # grows past 8 partial counts — intermediate trims to k' ≥ k
+        # keep the MG bound), and emit ONCE per partition
+        _FLUSH_ROWS = 1 << 16
+        acc: dict[tuple, list[pd.Series]] = {}
+        ns: dict[tuple, int] = {}
+        buf: list[pd.DataFrame] = []
+        buf_rows = 0
+
+        def _compact(key: tuple, final: bool) -> None:
+            merged = pd.concat(acc[key]).groupby(level=0).sum()
+            items, counts = _mg_trim(
+                merged.index.to_numpy(),
+                merged.to_numpy(np.int64),
+                k if final else max(k, 4096),
+            )
+            acc[key] = [pd.Series(counts, index=items)]
+
+        def _flush() -> None:
+            nonlocal buf, buf_rows
+            if not buf:
+                return
+            pdf = buf[0] if len(buf) == 1 else pd.concat(buf, ignore_index=True)
+            buf, buf_rows = [], 0
+            by = (
+                pdf.groupby(groups, dropna=False, sort=False)
+                if groups
+                else [((), pdf)]
+            )
             for key, sub in by:
                 key = key if isinstance(key, tuple) else (key,)
-                head = dict(zip(groups, key))
                 # nulls are excluded — their share is profile()'s
                 # null_rate, and the None item slot is the n-sentinel
                 vc = sub["_item"].value_counts()
-                n_batch = int(vc.sum())
-                items, counts = _mg_trim(
-                    vc.index.to_numpy(), vc.to_numpy(np.int64), k
-                )
-                for it, c in zip(items, counts):
-                    out.append({**head, "_item": it, "_cnt": int(c)})
-                # sentinel row carries the exact non-null row total
-                out.append({**head, "_item": None, "_cnt": n_batch})
+                ns[key] = ns.get(key, 0) + int(vc.sum())
+                lst = acc.setdefault(key, [])
+                lst.append(vc)
+                if len(lst) > 8:
+                    _compact(key, final=False)
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            buf.append(pdf)
+            buf_rows += len(pdf)
+            if buf_rows >= _FLUSH_ROWS:
+                _flush()
+        _flush()
+        out = []
+        for key in acc:
+            _compact(key, final=True)
+            head = dict(zip(groups, key))
+            for it, c in acc[key][0].items():
+                out.append({**head, "_item": it, "_cnt": int(c)})
+            # sentinel row carries the exact non-null row total
+            out.append({**head, "_item": None, "_cnt": ns[key]})
+        if out:
             yield pd.DataFrame(out)
 
     parts = proj.mapInPandas(partials, schema=part_schema)
