@@ -2501,6 +2501,73 @@ def q76_snapshot_compare(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q77_streaming_sketch(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming sketch monitor (streaming/sketch_monitor.py): two
+    arrival waves land in a watched directory; an availableNow run
+    appends t-digest partials per micro-batch; a resume run with
+    nothing new must append NOTHING (streaming checkpoint); the merged
+    running snapshot's quantiles must land inside exact (p∓0.02) rank
+    brackets over the UNION of both waves — brackets computed by
+    Spark's F.percentile and hash-matched against DuckDB's
+    quantile_cont (both interpolate on rank (n−1)p, q71 precedent)."""
+    import shutil
+    import tempfile
+
+    from data_validator_spark.operators.tdigest import quantile_from_sketch
+    from data_validator_spark.streaming import sketch_monitor as sm
+
+    ev = _t(spark, sf, "events").filter(F.col("value").isNotNull())
+    wave1 = ev.filter(F.col("event_id") % 2 == 0).select(
+        F.col("value").alias("v")
+    )
+    wave2 = ev.filter(F.col("event_id") % 2 == 1).select(
+        (F.col("value") * 1.3 + 10.0).alias("v")
+    )
+    tmp = tempfile.mkdtemp(prefix="q77_sketch_mon_")
+    try:
+        in_dir, state = f"{tmp}/in", f"{tmp}/state"
+        wave1.write.mode("append").parquet(in_dir)
+        sm.run_sketch_monitor(spark, in_dir, state, ["v"], "v double").awaitTermination(180)
+        n1 = spark.read.parquet(f"{state}/partials").count()
+        sm.run_sketch_monitor(spark, in_dir, state, ["v"], "v double").awaitTermination(180)
+        resume_ok = spark.read.parquet(f"{state}/partials").count() == n1
+        wave2.write.mode("append").parquet(in_dir)
+        sm.run_sketch_monitor(spark, in_dir, state, ["v"], "v double").awaitTermination(180)
+        sk = sm.current_sketches(spark, state).collect()[0].asDict()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    probs = [0.1, 0.5, 0.9]
+    eps = 0.02
+    bounds = []
+    for p in probs:
+        bounds += [max(0.0, p - eps), min(1.0, p + eps)]
+    u = wave1.unionByName(wave2)
+    row = u.agg(
+        F.percentile(F.col("v"), bounds).alias("qs"),
+        F.count(F.lit(1)).alias("n"),
+    ).first()
+    ests = quantile_from_sketch(sk, probs)
+    out = []
+    for j, p in enumerate(probs):
+        lo, hi = row.qs[2 * j], row.qs[2 * j + 1]
+        out.append(
+            (
+                float(p),
+                round(lo, 4),
+                round(hi, 4),
+                bool(lo <= ests[j] <= hi),
+                int(row.n),
+                bool(resume_ok),
+            )
+        )
+    return spark.createDataFrame(
+        out,
+        schema="prob double, lo double, hi double, in_bracket boolean, "
+        "n long, resume_ok boolean",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2579,6 +2646,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q74_bloom_orphans": q74_bloom_orphans,
         "q75_heavy_hitters": q75_heavy_hitters,
         "q76_snapshot_compare": q76_snapshot_compare,
+        "q77_streaming_sketch": q77_streaming_sketch,
     }
 
 
@@ -3642,6 +3710,21 @@ _ORACLES: dict[str, str] = {
                n_base, n_cur, true AS sketch_consistent
         FROM m JOIN ns USING (column_name)
         ORDER BY 1
+    """,
+    "q77_streaming_sketch": """
+        WITH ev AS (SELECT event_id, value FROM events WHERE value IS NOT NULL),
+        u AS (
+          SELECT value AS v FROM ev WHERE event_id % 2 = 0
+          UNION ALL
+          SELECT value * 1.3 + 10.0 FROM ev WHERE event_id % 2 = 1),
+        sc AS (SELECT quantile_cont(v, [0.08, 0.12, 0.48, 0.52, 0.88, 0.92]) AS qs,
+                      count(*)::BIGINT AS n
+               FROM u)
+        SELECT p.prob, round(qs[p.ilo], 4) AS lo, round(qs[p.ihi], 4) AS hi,
+               true AS in_bracket, n, true AS resume_ok
+        FROM sc CROSS JOIN (VALUES (0.1, 1, 2), (0.5, 3, 4), (0.9, 5, 6))
+                           AS p(prob, ilo, ihi)
+        ORDER BY prob
     """,
     "q70_video_features": """
         WITH base AS (
