@@ -2568,6 +2568,162 @@ def q77_streaming_sketch(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q78_hll_cardinality(spark: SparkSession, sf: str) -> DataFrame:
+    """Persisted HLL cardinality drift (operators/stats.py
+    hll_sketches/hll_compare): two snapshot sides each reduce to one
+    DataSketches HLL sketch per column (hll_sketch_agg, lgk=12,
+    ~1% rsd), round-trip through parquet, then hll_compare answers
+    base/cur/union/newly-seen cardinality from SKETCH BYTES ONLY —
+    no raw data re-read, the sketch union is one JVM-side hll_union.
+    Construction gives exactly-known truths: `cat` is event_id%50 on
+    the base side vs %80 on the current side (50 ⊂ 80 ⇒ union 80,
+    new 30); `key` is the event_id itself, split even/odd (disjoint ⇒
+    union = n_even + n_odd). The oracle replays the exact counts in
+    SQL and pins the tolerance booleans (|est−exact| ≤ 5% of the
+    side's exact value) to TRUE — at these cardinalities lgk=12 is
+    well inside 5%."""
+    import shutil
+    import tempfile
+
+    from data_validator_spark.operators import stats
+
+    ev = _t(spark, sf, "events")
+    base = ev.filter(F.col("event_id") % 2 == 0).select(
+        F.concat(F.lit("c"), (F.col("event_id") % 50).cast("string")).alias(
+            "cat"
+        ),
+        F.col("event_id").cast("string").alias("key"),
+    )
+    cur = ev.filter(F.col("event_id") % 2 == 1).select(
+        F.concat(F.lit("c"), (F.col("event_id") % 80).cast("string")).alias(
+            "cat"
+        ),
+        F.col("event_id").cast("string").alias("key"),
+    )
+    tmp = tempfile.mkdtemp(prefix="q78_hll_")
+    try:
+        stats.hll_sketches(base, ["cat", "key"]).write.parquet(f"{tmp}/b")
+        stats.hll_sketches(cur, ["cat", "key"]).write.parquet(f"{tmp}/c")
+        rows = stats.hll_compare(
+            spark.read.parquet(f"{tmp}/b"), spark.read.parquet(f"{tmp}/c")
+        ).collect()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    exact = {
+        r.column_name: r
+        for r in base.select(
+            F.lit("base").alias("side"),
+            F.explode(
+                F.array(
+                    F.struct(F.lit("cat").alias("column_name"), F.col("cat").alias("v")),
+                    F.struct(F.lit("key").alias("column_name"), F.col("key").alias("v")),
+                )
+            ).alias("s"),
+        )
+        .select("side", "s.*")
+        .unionByName(
+            cur.select(
+                F.lit("cur").alias("side"),
+                F.explode(
+                    F.array(
+                        F.struct(F.lit("cat").alias("column_name"), F.col("cat").alias("v")),
+                        F.struct(F.lit("key").alias("column_name"), F.col("key").alias("v")),
+                    )
+                ).alias("s"),
+            ).select("side", "s.*")
+        )
+        .groupBy("column_name")
+        .agg(
+            F.count_distinct(
+                F.when(F.col("side") == "base", F.col("v"))
+            ).alias("exact_base"),
+            F.count_distinct(
+                F.when(F.col("side") == "cur", F.col("v"))
+            ).alias("exact_cur"),
+            F.count_distinct("v").alias("exact_union"),
+        )
+        .collect()
+    }
+    out = []
+    for r in sorted(rows, key=lambda x: x.column_name):
+        e = exact[r.column_name]
+        exact_new = e.exact_union - e.exact_base
+        tol = lambda est, ex: bool(abs(est - ex) <= max(0.05 * ex, 2.0))
+        out.append(
+            (
+                r.column_name,
+                int(e.exact_base),
+                int(e.exact_cur),
+                int(e.exact_union),
+                int(exact_new),
+                tol(r.distinct_base, e.exact_base),
+                tol(r.distinct_cur, e.exact_cur),
+                tol(r.distinct_union, e.exact_union),
+                bool(
+                    abs(r.est_new_values - exact_new)
+                    <= max(0.05 * e.exact_union, 2.0)
+                ),
+            )
+        )
+    return spark.createDataFrame(
+        out,
+        schema="column_name string, exact_base long, exact_cur long, "
+        "exact_union long, exact_new long, base_ok boolean, "
+        "cur_ok boolean, union_ok boolean, new_ok boolean",
+    )
+
+
+def q79_freq_drift(spark: SparkSession, sf: str) -> DataFrame:
+    """Formal frequency-drift tests (operators/drift.py
+    freq_drift_tests): Pearson two-sample chi-squared under
+    homogeneity + Wilson-Hilferty 95% critical value + Jensen-Shannon
+    divergence, computed over the SAME fixed-grid histogram tables
+    the PSI/KS path uses — the north star's codec-frequency drift as
+    a significance test, not just an effect size. Everything is
+    closed-form arithmetic over bucket counts, so DuckDB replays the
+    exact statistics: `cat` drifts hard (c4/c5 collapse onto c3 on
+    the current side ⇒ reject), `v` gets a 4% scale shift (large-n
+    chi-squared rejects), and `v_same` is identical up to the
+    even/odd split (no drift ⇒ chi-squared below the critical
+    value)."""
+    from data_validator_spark.operators import drift, stats
+
+    ev = _t(spark, sf, "events").filter(F.col("value").isNotNull())
+    specs = [
+        stats.ColumnSpec("v", "numeric", 0.0, 550.0, 22),
+        stats.ColumnSpec("v_same", "numeric", 0.0, 550.0, 22),
+        stats.ColumnSpec("cat", "categorical"),
+    ]
+    base = ev.filter(F.col("event_id") % 2 == 0).select(
+        F.col("value").alias("v"),
+        F.col("value").alias("v_same"),
+        F.concat(F.lit("c"), (F.col("event_id") % 6).cast("string")).alias(
+            "cat"
+        ),
+    )
+    cur = ev.filter(F.col("event_id") % 2 == 1).select(
+        (F.col("value") * 1.04 + 1.0).alias("v"),
+        F.col("value").alias("v_same"),
+        F.concat(
+            F.lit("c"), F.least(F.col("event_id") % 6, F.lit(3)).cast("string")
+        ).alias("cat"),
+    )
+    out = drift.freq_drift_tests(
+        stats.histogram(base, specs), stats.histogram(cur, specs)
+    )
+    return out.select(
+        "column_name",
+        F.round("chi2", 6).alias("chi2"),
+        "dof",
+        F.round("chi2_crit_95", 6).alias("chi2_crit_95"),
+        "chi2_reject_95",
+        F.round("js_div", 6).alias("js_div"),
+        "n_base",
+        "n_cur",
+    ).orderBy("column_name")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2647,6 +2803,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q75_heavy_hitters": q75_heavy_hitters,
         "q76_snapshot_compare": q76_snapshot_compare,
         "q77_streaming_sketch": q77_streaming_sketch,
+        "q78_hll_cardinality": q78_hll_cardinality,
+        "q79_freq_drift": q79_freq_drift,
     }
 
 
@@ -3725,6 +3883,80 @@ _ORACLES: dict[str, str] = {
         FROM sc CROSS JOIN (VALUES (0.1, 1, 2), (0.5, 3, 4), (0.9, 5, 6))
                            AS p(prob, ilo, ihi)
         ORDER BY prob
+    """,
+    "q78_hll_cardinality": """
+        WITH ev AS (SELECT event_id FROM events),
+        vals AS (
+          SELECT 'cat' AS column_name, 'base' AS side,
+                 'c' || (event_id % 50) AS v FROM ev WHERE event_id % 2 = 0
+          UNION ALL
+          SELECT 'cat', 'cur', 'c' || (event_id % 80) FROM ev WHERE event_id % 2 = 1
+          UNION ALL
+          SELECT 'key', 'base', CAST(event_id AS VARCHAR) FROM ev WHERE event_id % 2 = 0
+          UNION ALL
+          SELECT 'key', 'cur', CAST(event_id AS VARCHAR) FROM ev WHERE event_id % 2 = 1
+        )
+        SELECT column_name,
+               count(DISTINCT v) FILTER (WHERE side = 'base') AS exact_base,
+               count(DISTINCT v) FILTER (WHERE side = 'cur') AS exact_cur,
+               count(DISTINCT v) AS exact_union,
+               count(DISTINCT v) - count(DISTINCT v) FILTER (WHERE side = 'base') AS exact_new,
+               true AS base_ok, true AS cur_ok, true AS union_ok, true AS new_ok
+        FROM vals GROUP BY 1 ORDER BY 1
+    """,
+    "q79_freq_drift": """
+        WITH ev AS (SELECT event_id, value FROM events WHERE value IS NOT NULL),
+        buck AS (
+          SELECT 'v' AS column_name,
+                 CAST(CAST(greatest(-1, least(floor(value / 25.0), 22)) AS BIGINT) AS VARCHAR) AS bucket,
+                 'b' AS side
+          FROM ev WHERE event_id % 2 = 0
+          UNION ALL
+          SELECT 'v',
+                 CAST(CAST(greatest(-1, least(floor((value * 1.04 + 1.0) / 25.0), 22)) AS BIGINT) AS VARCHAR), 'c'
+          FROM ev WHERE event_id % 2 = 1
+          UNION ALL
+          SELECT 'v_same',
+                 CAST(CAST(greatest(-1, least(floor(value / 25.0), 22)) AS BIGINT) AS VARCHAR), 'b'
+          FROM ev WHERE event_id % 2 = 0
+          UNION ALL
+          SELECT 'v_same',
+                 CAST(CAST(greatest(-1, least(floor(value / 25.0), 22)) AS BIGINT) AS VARCHAR), 'c'
+          FROM ev WHERE event_id % 2 = 1
+          UNION ALL
+          SELECT 'cat', 'c' || (event_id % 6), 'b' FROM ev WHERE event_id % 2 = 0
+          UNION ALL
+          SELECT 'cat', 'c' || least(event_id % 6, 3), 'c' FROM ev WHERE event_id % 2 = 1
+        ),
+        cnts AS (
+          SELECT column_name, bucket,
+                 count(*) FILTER (WHERE side = 'b') AS cb,
+                 count(*) FILTER (WHERE side = 'c') AS cc
+          FROM buck GROUP BY 1, 2),
+        tots AS (
+          SELECT column_name, cb, cc,
+                 sum(cb) OVER (PARTITION BY column_name) AS nb,
+                 sum(cc) OVER (PARTITION BY column_name) AS nc
+          FROM cnts),
+        terms AS (
+          SELECT column_name, nb, nc,
+                 CASE WHEN cb + cc > 0 THEN
+                   pow(cb - nb * (cb + cc) / (nb + nc), 2) / (nb * (cb + cc) / (nb + nc))
+                   + pow(cc - nc * (cb + cc) / (nb + nc), 2) / (nc * (cb + cc) / (nb + nc))
+                 ELSE 0 END AS chi_term,
+                 0.5 * (cb / nb + 1e-6) * ln((cb / nb + 1e-6) / (((cb / nb + 1e-6) + (cc / nc + 1e-6)) / 2))
+                 + 0.5 * (cc / nc + 1e-6) * ln((cc / nc + 1e-6) / (((cb / nb + 1e-6) + (cc / nc + 1e-6)) / 2)) AS js_term
+          FROM tots),
+        m AS (
+          SELECT column_name, sum(chi_term) AS chi2,
+                 (count(*) - 1)::BIGINT AS dof, sum(js_term) AS js,
+                 max(nb)::BIGINT AS n_base, max(nc)::BIGINT AS n_cur
+          FROM terms GROUP BY 1)
+        SELECT column_name, round(chi2, 6) AS chi2, dof,
+               round(dof * pow(1 - 2.0 / (9 * dof) + 1.6448536269514722 * sqrt(2.0 / (9 * dof)), 3), 6) AS chi2_crit_95,
+               chi2 >= dof * pow(1 - 2.0 / (9 * dof) + 1.6448536269514722 * sqrt(2.0 / (9 * dof)), 3) AS chi2_reject_95,
+               round(js, 6) AS js_div, n_base, n_cur
+        FROM m ORDER BY 1
     """,
     "q70_video_features": """
         WITH base AS (

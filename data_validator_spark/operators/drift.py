@@ -118,6 +118,84 @@ def sketch_drift(
     return joined.mapInPandas(compute, schema=schema)
 
 
+def freq_drift_tests(
+    baseline_hist: DataFrame, current_hist: DataFrame, z_95: float = 1.6448536269514722
+) -> DataFrame:
+    """Frequency-table drift tests from two histogram tables — the
+    formal-statistics companions to PSI/KS for categorical columns
+    (the north star's codec-frequency drift):
+
+    - Pearson two-sample chi-squared under homogeneity: for bucket i
+      with counts (cb_i, cc_i) and totals (nb, nc, N=nb+nc),
+      E_side_i = n_side * (cb_i + cc_i) / N and
+      chi2 = sum over buckets and sides of (O - E)^2 / E, dof = k - 1.
+    - `chi2_reject_95`: chi2 >= the 95% critical value via the
+      Wilson-Hilferty cube-root approximation
+      crit = dof * (1 - 2/(9*dof) + z * sqrt(2/(9*dof)))^3 — pure
+      arithmetic, so the verdict boolean replays exactly in SQL
+      (no incomplete-gamma needed on either engine).
+    - Jensen-Shannon divergence (natural log, eps-smoothed):
+      js = 0.5*sum(pb*ln(pb/m)) + 0.5*sum(pc*ln(pc/m)), m=(pb+pc)/2.
+      Bounded by ln 2; symmetric, unlike PSI's eps sensitivity.
+
+    One full-outer join + one groupBy per call — same shuffle shape
+    as drift_metrics, O(columns x buckets) rows total.
+    Returns (column_name, chi2, dof, chi2_crit_95, chi2_reject_95,
+    js_div, n_base, n_cur).
+    """
+    b = baseline_hist.select(
+        "column_name", "bucket", F.col("cnt").alias("cb")
+    )
+    c = current_hist.select(
+        "column_name", "bucket", F.col("cnt").alias("cc")
+    )
+    j = (
+        b.join(c, ["column_name", "bucket"], "full_outer")
+        .fillna(0, subset=["cb", "cc"])
+        .withColumn("nb", F.sum("cb").over(Window.partitionBy("column_name")))
+        .withColumn("nc", F.sum("cc").over(Window.partitionBy("column_name")))
+    )
+    tot = F.col("cb") + F.col("cc")
+    n = F.col("nb") + F.col("nc")
+    eb = F.col("nb") * tot / n
+    ec = F.col("nc") * tot / n
+    chi_term = F.when(
+        tot > 0,
+        (F.col("cb") - eb) ** 2 / eb + (F.col("cc") - ec) ** 2 / ec,
+    ).otherwise(F.lit(0.0))
+    pb = F.col("cb") / F.col("nb") + _EPS
+    pc = F.col("cc") / F.col("nc") + _EPS
+    m = (pb + pc) / 2
+    js_term = 0.5 * pb * F.log(pb / m) + 0.5 * pc * F.log(pc / m)
+    agg = (
+        j.withColumn("_chi", chi_term)
+        .withColumn("_js", js_term)
+        .groupBy("column_name")
+        .agg(
+            F.sum("_chi").alias("chi2"),
+            (F.count(F.lit(1)) - F.lit(1)).cast("long").alias("dof"),
+            F.sum("_js").alias("js_div"),
+            F.max("nb").alias("n_base"),
+            F.max("nc").alias("n_cur"),
+        )
+    )
+    h = 2.0 / (9.0 * F.col("dof"))
+    crit = F.when(
+        F.col("dof") > 0,
+        F.col("dof") * (1.0 - h + F.lit(z_95) * F.sqrt(h)) ** 3,
+    )
+    return agg.select(
+        "column_name",
+        "chi2",
+        "dof",
+        crit.alias("chi2_crit_95"),
+        (F.col("chi2") >= crit).alias("chi2_reject_95"),
+        "js_div",
+        "n_base",
+        "n_cur",
+    )
+
+
 def drift_verdicts(
     baseline_hist: DataFrame,
     current_hist: DataFrame,

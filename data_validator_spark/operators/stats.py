@@ -124,6 +124,57 @@ def profile(
     )
 
 
+DEFAULT_HLL_LGK = 12
+
+
+def hll_sketches(
+    df: DataFrame, cols: Sequence[str], lgk: int = DEFAULT_HLL_LGK
+) -> DataFrame:
+    """(column_name, hll binary) — persistable, MERGEABLE cardinality
+    state via Spark's native DataSketches HLL (hll_sketch_agg; ~1%
+    relative error at lgk=12, fixed ≤ 2^lgk bytes per column). Unlike
+    approx_count_distinct (estimate-only), the sketch itself survives:
+    snapshots store it, and cross-snapshot questions — union
+    cardinality, newly-seen-value counts — are one hll_union away,
+    JVM-side, no raw data. All values hash as strings so one sketch
+    schema fits every column type."""
+    aggs = [
+        F.hll_sketch_agg(F.col(c).cast("string"), F.lit(lgk)).alias(f"{c}__sk")
+        for c in cols
+    ]
+    wide = df.agg(*aggs)
+    structs = [
+        F.struct(
+            F.lit(c).alias("column_name"), F.col(f"{c}__sk").alias("hll")
+        )
+        for c in cols
+    ]
+    return wide.select(F.explode(F.array(*structs)).alias("s")).select("s.*")
+
+
+def hll_compare(base: DataFrame, cur: DataFrame) -> DataFrame:
+    """Cardinality drift from two persisted hll_sketches tables:
+    (column_name, distinct_base, distinct_cur, distinct_union,
+    est_new_values) — est_new_values = union − base estimates how many
+    values the current snapshot introduced (within sketch error)."""
+    b = base.select("column_name", F.col("hll").alias("_hb"))
+    c = cur.select("column_name", F.col("hll").alias("_hc"))
+    j = b.join(c, "column_name", "inner")
+    return j.select(
+        "column_name",
+        F.hll_sketch_estimate("_hb").alias("distinct_base"),
+        F.hll_sketch_estimate("_hc").alias("distinct_cur"),
+        F.hll_sketch_estimate(F.hll_union("_hb", "_hc")).alias(
+            "distinct_union"
+        ),
+    ).withColumn(
+        "est_new_values",
+        F.greatest(
+            F.lit(0), F.col("distinct_union") - F.col("distinct_base")
+        ),
+    )
+
+
 def bucketize(spec: ColumnSpec) -> Column:
     """Fixed-grid bucket id for a numeric column: floor((x-lo)/w) with
     underflow/overflow buckets; NULL rows excluded by histogram()."""

@@ -40,7 +40,7 @@ from ..operators import drift, stats
 from ..operators.heavy_hitters import heavy_hitters
 from ..operators.tdigest import tdigest_profile
 
-ARTIFACTS = ("profile", "histograms", "tdigest", "heavy_hitters")
+ARTIFACTS = ("profile", "histograms", "tdigest", "heavy_hitters", "hll")
 
 
 @dataclass(frozen=True)
@@ -80,6 +80,9 @@ class SnapshotStore:
             tdigest_profile(df, num_cols).write.mode("overwrite").parquet(
                 self._path(snapshot_id, "tdigest")
             )
+        stats.hll_sketches(df, [s.name for s in specs]).write.mode(
+            "overwrite"
+        ).parquet(self._path(snapshot_id, "hll"))
         for c in hh_cols:
             heavy_hitters(df, c, k=hh_k).withColumn(
                 "column_name", F.lit(c)
@@ -119,9 +122,11 @@ class SnapshotStore:
     ) -> DataFrame:
         """Drift verdicts from persisted state only: histogram-based
         PSI/KS with thresholds (drift_verdicts) full-outer-joined with
-        sketch-based KS/PSI (sketch_drift, numeric columns only) —
-        columns (column_name, psi, ks, n_buckets, drift_status,
-        sketch_ks, sketch_psi, n_base, n_cur)."""
+        sketch-based KS/PSI (sketch_drift, numeric columns only) and
+        HLL cardinality drift (hll_compare, every column) — columns
+        (column_name, psi, ks, n_buckets, drift_status, sketch_ks,
+        sketch_psi, n_base, n_cur, distinct_base, distinct_cur,
+        distinct_union, est_new_values)."""
         hist_v = drift.drift_verdicts(
             self.read(spark, baseline_id, "histograms"),
             self.read(spark, current_id, "histograms"),
@@ -139,4 +144,10 @@ class SnapshotStore:
             "n_base",
             "n_cur",
         )
-        return hist_v.join(sk, "column_name", "full_outer")
+        card = stats.hll_compare(
+            self.read(spark, baseline_id, "hll"),
+            self.read(spark, current_id, "hll"),
+        )
+        return hist_v.join(sk, "column_name", "full_outer").join(
+            card, "column_name", "full_outer"
+        )

@@ -68,3 +68,23 @@ def test_compare_is_raw_data_free_and_detects_drift(spark, store):
     assert cmp["v"].ks > 0.05 and cmp["v"].sketch_ks > 0.05
     assert cmp["v"].sketch_ks == pytest.approx(cmp["v"].ks, abs=0.05)
     assert cmp["v"].n_base == 40_000 and cmp["v"].n_cur == 40_000
+
+
+def test_hll_artifact_and_cardinality_drift(spark, store):
+    """HLL sketches persist per column and compare() answers
+    cardinality drift from sketch bytes only (within ~1% rsd at
+    lgk=12). frame() gives v 900 distinct both sides, cat 2 both."""
+    hll = store.read(spark, "2026-01-01", "hll")
+    assert hll.columns == ["column_name", "hll"]
+    assert {r.column_name for r in hll.collect()} == {"v", "cat"}
+
+    cmp = {
+        r.column_name: r
+        for r in store.compare(spark, "2026-01-01", "2026-01-08").collect()
+    }
+    assert cmp["cat"].distinct_base == 2 and cmp["cat"].distinct_cur == 2
+    assert cmp["cat"].distinct_union == 2 and cmp["cat"].est_new_values == 0
+    # v: 900 ints vs the same 900 ints * 1.15 -> overlap only at 0
+    assert abs(cmp["v"].distinct_base - 900) <= 27
+    assert abs(cmp["v"].distinct_union - 1799) <= 54
+    assert cmp["v"].est_new_values > 800

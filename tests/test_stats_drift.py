@@ -151,3 +151,44 @@ def test_profile_tdigest_quantiles(spark, clips):
 
     with pytest.raises(ValueError):
         stats.profile(meta, SPECS, quantile_method="exact")
+
+
+def test_freq_drift_chi2_js(spark, clips):
+    """chi-squared + JS on the same histogram tables: self-compare is
+    a structural zero (and never rejects); a codec-mix flip rejects
+    at 95% with a large statistic; scipy cross-checks the statistic
+    when available."""
+    base = clips.drop("bytes")
+    cur = base.withColumn(
+        "codec",
+        F.when(F.col("codec") == "pcm16", F.lit("flac")).otherwise(
+            F.col("codec")
+        ),
+    )
+    hb = stats.histogram(base, SPECS[:2])
+    self_r = {
+        r.column_name: r
+        for r in drift.freq_drift_tests(hb, hb).collect()
+    }
+    for r in self_r.values():
+        assert r.chi2 == pytest.approx(0.0, abs=1e-9)
+        assert abs(r.js_div) < 1e-5  # eps-smoothing keeps it near 0
+        assert not r.chi2_reject_95
+        assert r.n_base == r.n_cur
+
+    moved = {
+        r.column_name: r
+        for r in drift.freq_drift_tests(
+            hb, stats.histogram(cur, SPECS[:2])
+        ).collect()
+    }
+    c = moved["codec"]
+    assert c.chi2_reject_95 and c.chi2 > 100
+    assert c.dof >= 3 and c.js_div > 0.01
+    # Wilson-Hilferty critical value tracks scipy's exact one within 1%
+    try:
+        from scipy.stats import chi2 as chi2_dist
+    except ImportError:
+        return
+    exact = chi2_dist.ppf(0.95, int(c.dof))
+    assert c.chi2_crit_95 == pytest.approx(exact, rel=0.01)
