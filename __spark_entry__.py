@@ -2724,6 +2724,175 @@ def q79_freq_drift(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("column_name")
 
 
+def q80_theta_membership(spark: SparkSession, sf: str) -> DataFrame:
+    """Snapshot membership churn from Theta sketches (operators/
+    stats.py theta_sketches/theta_compare): how many keys appeared /
+    vanished / survived between two snapshots, answered from persisted
+    sketch bytes via native theta_intersection / theta_difference —
+    set operations HLL cannot express, and the sketch-state answer to
+    the north star's clip_id-uniqueness-over-time story. Construction
+    gives exact truths: `key` is even event_ids on the base side vs
+    multiples of 3 on the current side (common = multiples of 6);
+    `cat` is event_id%50 vs %80 (50 ⊂ 80 ⇒ vanished 0). Sketches
+    round-trip through parquet first. The oracle replays the exact
+    set arithmetic; tolerance booleans pin every estimate within 5%
+    of the exact union (observed error ~1% at lgk=12)."""
+    import shutil
+    import tempfile
+
+    from data_validator_spark.operators import stats
+
+    ev = _t(spark, sf, "events")
+    base = ev.filter(F.col("event_id") % 2 == 0).select(
+        F.col("event_id").cast("string").alias("key"),
+        F.concat(F.lit("c"), (F.col("event_id") % 50).cast("string")).alias(
+            "cat"
+        ),
+    )
+    cur = ev.filter(F.col("event_id") % 3 == 0).select(
+        F.col("event_id").cast("string").alias("key"),
+        F.concat(F.lit("c"), (F.col("event_id") % 80).cast("string")).alias(
+            "cat"
+        ),
+    )
+    tmp = tempfile.mkdtemp(prefix="q80_theta_")
+    try:
+        stats.theta_sketches(base, ["key", "cat"]).write.parquet(f"{tmp}/b")
+        stats.theta_sketches(cur, ["key", "cat"]).write.parquet(f"{tmp}/c")
+        rows = stats.theta_compare(
+            spark.read.parquet(f"{tmp}/b"), spark.read.parquet(f"{tmp}/c")
+        ).collect()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    exact = {
+        r.column_name: r
+        for r in base.select(F.lit("b").alias("side"), "key", "cat")
+        .unionByName(cur.select(F.lit("c").alias("side"), "key", "cat"))
+        .select(
+            "side",
+            F.explode(
+                F.array(
+                    F.struct(F.lit("key").alias("column_name"), F.col("key").alias("v")),
+                    F.struct(F.lit("cat").alias("column_name"), F.col("cat").alias("v")),
+                )
+            ).alias("s"),
+        )
+        .select("side", "s.*")
+        .groupBy("column_name", "v")
+        .agg(
+            F.max(F.col("side") == "b").alias("in_b"),
+            F.max(F.col("side") == "c").alias("in_c"),
+        )
+        .groupBy("column_name")
+        .agg(
+            F.sum(F.col("in_b").cast("long")).alias("nb"),
+            F.sum(F.col("in_c").cast("long")).alias("nc"),
+            F.sum((F.col("in_b") & F.col("in_c")).cast("long")).alias("ncommon"),
+        )
+        .collect()
+    }
+    out = []
+    for r in sorted(rows, key=lambda x: x.column_name):
+        e = exact[r.column_name]
+        union = e.nb + e.nc - e.ncommon
+        tol = max(0.05 * union, 2.0)
+        checks = [
+            (r.distinct_base, e.nb),
+            (r.distinct_cur, e.nc),
+            (r.est_common, e.ncommon),
+            (r.est_appeared, e.nc - e.ncommon),
+            (r.est_vanished, e.nb - e.ncommon),
+            (r.distinct_union, union),
+        ]
+        out.append(
+            (
+                r.column_name,
+                int(e.nb),
+                int(e.nc),
+                int(e.ncommon),
+                int(e.nc - e.ncommon),
+                int(e.nb - e.ncommon),
+                int(union),
+                bool(all(abs(est - ex) <= tol for est, ex in checks)),
+            )
+        )
+    return spark.createDataFrame(
+        out,
+        schema="column_name string, exact_base long, exact_cur long, "
+        "exact_common long, exact_appeared long, exact_vanished long, "
+        "exact_union long, est_ok boolean",
+    )
+
+
+def q81_kll_drift(spark: SparkSession, sf: str) -> DataFrame:
+    """Native KLL quantile-sketch KS drift (stats.kll_sketches /
+    kll_drift): the fully-JVM DataSketches alternative to the Python
+    t-digest path (q72) — per column, one kll_sketch_agg_double
+    sketch per snapshot side, KS estimated as the max rank gap over
+    the merged sketch's quantile grid. v_drift gets an affine shift
+    (real drift), v_same is the even/odd split of one distribution
+    (near-zero). Gate: exact KS recomputed from raw rows by BOTH
+    engines via window cumsums must hash-match, and the sketch
+    estimate must land within ±0.02 of it (tolerance boolean, oracle
+    emits TRUE) — q72's bracket discipline on a different sketch."""
+    from data_validator_spark.operators import stats
+
+    ev = _t(spark, sf, "events").filter(F.col("value").isNotNull())
+    base = ev.filter(F.col("event_id") % 2 == 0).select(
+        F.col("value").alias("v_drift"), F.col("value").alias("v_same")
+    )
+    cur = ev.filter(F.col("event_id") % 2 == 1).select(
+        (F.col("value") * 1.05 + 3.0).alias("v_drift"),
+        F.col("value").alias("v_same"),
+    )
+    est = stats.kll_drift(
+        stats.kll_sketches(base, ["v_drift", "v_same"]),
+        stats.kll_sketches(cur, ["v_drift", "v_same"]),
+    )
+
+    cols = ["v_drift", "v_same"]
+    pairs_b = [
+        F.struct(F.lit(c).alias("column_name"), F.col(c).alias("v"))
+        for c in cols
+    ]
+    u = (
+        base.select(F.explode(F.array(*pairs_b)).alias("p"))
+        .select("p.*")
+        .withColumn("grp", F.lit("a"))
+        .unionByName(
+            cur.select(F.explode(F.array(*pairs_b)).alias("p"))
+            .select("p.*")
+            .withColumn("grp", F.lit("b"))
+        )
+    )
+    counts = u.groupBy("column_name", "v").agg(
+        F.sum((F.col("grp") == "a").cast("long")).alias("ca"),
+        F.sum((F.col("grp") == "b").cast("long")).alias("cb"),
+    )
+    wall = Window.partitionBy("column_name")
+    worder = Window.partitionBy("column_name").orderBy("v")
+    cum = counts.select(
+        "column_name",
+        (F.sum("ca").over(worder) / F.sum("ca").over(wall)).alias("fa"),
+        (F.sum("cb").over(worder) / F.sum("cb").over(wall)).alias("fb"),
+    )
+    exact = cum.groupBy("column_name").agg(
+        F.max(F.abs(F.col("fa") - F.col("fb"))).alias("ks_exact")
+    )
+    return (
+        est.join(F.broadcast(exact), "column_name")
+        .select(
+            "column_name",
+            F.round("ks_exact", 6).alias("ks_exact"),
+            F.col("n_base").cast("long").alias("n_base"),
+            F.col("n_cur").cast("long").alias("n_cur"),
+            (F.abs(F.col("ks") - F.col("ks_exact")) <= 0.02).alias("ks_ok"),
+        )
+        .orderBy("column_name")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2805,6 +2974,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q77_streaming_sketch": q77_streaming_sketch,
         "q78_hll_cardinality": q78_hll_cardinality,
         "q79_freq_drift": q79_freq_drift,
+        "q80_theta_membership": q80_theta_membership,
+        "q81_kll_drift": q81_kll_drift,
     }
 
 
@@ -3957,6 +4128,71 @@ _ORACLES: dict[str, str] = {
                chi2 >= dof * pow(1 - 2.0 / (9 * dof) + 1.6448536269514722 * sqrt(2.0 / (9 * dof)), 3) AS chi2_reject_95,
                round(js, 6) AS js_div, n_base, n_cur
         FROM m ORDER BY 1
+    """,
+    "q80_theta_membership": """
+        WITH ev AS (SELECT event_id FROM events),
+        vals AS (
+          SELECT 'key' AS column_name, CAST(event_id AS VARCHAR) AS v,
+                 true AS in_b, false AS in_c
+          FROM ev WHERE event_id % 2 = 0
+          UNION ALL
+          SELECT 'key', CAST(event_id AS VARCHAR), false, true
+          FROM ev WHERE event_id % 3 = 0
+          UNION ALL
+          SELECT 'cat', 'c' || (event_id % 50), true, false
+          FROM ev WHERE event_id % 2 = 0
+          UNION ALL
+          SELECT 'cat', 'c' || (event_id % 80), false, true
+          FROM ev WHERE event_id % 3 = 0
+        ),
+        mem AS (
+          SELECT column_name, v, bool_or(in_b) AS in_b, bool_or(in_c) AS in_c
+          FROM vals GROUP BY 1, 2),
+        agg AS (
+          SELECT column_name,
+                 count(*) FILTER (WHERE in_b) AS nb,
+                 count(*) FILTER (WHERE in_c) AS nc,
+                 count(*) FILTER (WHERE in_b AND in_c) AS ncommon,
+                 count(*) AS nunion
+          FROM mem GROUP BY 1)
+        SELECT column_name, nb AS exact_base, nc AS exact_cur,
+               ncommon AS exact_common, nc - ncommon AS exact_appeared,
+               nb - ncommon AS exact_vanished, nunion AS exact_union,
+               true AS est_ok
+        FROM agg ORDER BY 1
+    """,
+    "q81_kll_drift": """
+        WITH ev AS (SELECT event_id, value FROM events WHERE value IS NOT NULL),
+        u AS (
+          SELECT 'v_drift' AS column_name, value AS v, 'a' AS grp
+          FROM ev WHERE event_id % 2 = 0
+          UNION ALL
+          SELECT 'v_same', value, 'a' FROM ev WHERE event_id % 2 = 0
+          UNION ALL
+          SELECT 'v_drift', value * 1.05 + 3.0, 'b' FROM ev WHERE event_id % 2 = 1
+          UNION ALL
+          SELECT 'v_same', value, 'b' FROM ev WHERE event_id % 2 = 1
+        ),
+        counts AS (
+          SELECT column_name, v,
+                 count(*) FILTER (WHERE grp = 'a') AS ca,
+                 count(*) FILTER (WHERE grp = 'b') AS cb
+          FROM u GROUP BY 1, 2),
+        cum AS (
+          SELECT column_name,
+                 sum(ca) OVER (PARTITION BY column_name ORDER BY v)
+                   / sum(ca) OVER (PARTITION BY column_name) AS fa,
+                 sum(cb) OVER (PARTITION BY column_name ORDER BY v)
+                   / sum(cb) OVER (PARTITION BY column_name) AS fb
+          FROM counts),
+        ks AS (SELECT column_name, max(abs(fa - fb)) AS ks_exact
+               FROM cum GROUP BY 1),
+        n AS (SELECT column_name, sum(ca)::BIGINT AS n_base,
+                     sum(cb)::BIGINT AS n_cur
+              FROM counts GROUP BY 1)
+        SELECT ks.column_name, round(ks_exact, 6) AS ks_exact,
+               n_base, n_cur, true AS ks_ok
+        FROM ks JOIN n USING (column_name) ORDER BY 1
     """,
     "q70_video_features": """
         WITH base AS (

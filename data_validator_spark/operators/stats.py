@@ -175,6 +175,145 @@ def hll_compare(base: DataFrame, cur: DataFrame) -> DataFrame:
     )
 
 
+def theta_sketches(
+    df: DataFrame, cols: Sequence[str], lg_nom_entries: int = 12
+) -> DataFrame:
+    """(column_name, theta binary) — mergeable DataSketches Theta
+    sketches (theta_sketch_agg). Unlike HLL, Theta supports set
+    INTERSECTION and DIFFERENCE, so two persisted snapshots can answer
+    'how many clip_ids appeared / vanished / survived' without ever
+    re-reading raw rows — the membership-churn side of the north
+    star's uniqueness + drift story. Below ~2^lgk distinct values the
+    sketch retains every hash (estimates are exact); above, relative
+    error ~1/sqrt(2^lgk) (~1.6% at lgk=12). Values hash as strings so
+    one schema fits every key type."""
+    aggs = [
+        F.theta_sketch_agg(F.col(c).cast("string"), F.lit(lg_nom_entries)).alias(
+            f"{c}__sk"
+        )
+        for c in cols
+    ]
+    wide = df.agg(*aggs)
+    structs = [
+        F.struct(
+            F.lit(c).alias("column_name"), F.col(f"{c}__sk").alias("theta")
+        )
+        for c in cols
+    ]
+    return wide.select(F.explode(F.array(*structs)).alias("s")).select("s.*")
+
+
+def theta_compare(base: DataFrame, cur: DataFrame) -> DataFrame:
+    """Membership churn from two persisted theta_sketches tables:
+    (column_name, distinct_base, distinct_cur, est_common,
+    est_appeared, est_vanished, distinct_union) — appeared = cur∖base,
+    vanished = base∖cur, common = base∩cur, all evaluated JVM-side on
+    sketch bytes (theta_intersection / theta_difference)."""
+    b = base.select("column_name", F.col("theta").alias("_tb"))
+    c = cur.select("column_name", F.col("theta").alias("_tc"))
+    j = b.join(c, "column_name", "inner")
+    return j.select(
+        "column_name",
+        F.theta_sketch_estimate("_tb").alias("distinct_base"),
+        F.theta_sketch_estimate("_tc").alias("distinct_cur"),
+        F.theta_sketch_estimate(F.theta_intersection("_tb", "_tc")).alias(
+            "est_common"
+        ),
+        F.theta_sketch_estimate(F.theta_difference("_tc", "_tb")).alias(
+            "est_appeared"
+        ),
+        F.theta_sketch_estimate(F.theta_difference("_tb", "_tc")).alias(
+            "est_vanished"
+        ),
+        F.theta_sketch_estimate(F.theta_union("_tb", "_tc")).alias(
+            "distinct_union"
+        ),
+    )
+
+
+def kll_sketches(df: DataFrame, cols: Sequence[str], k: int = 800) -> DataFrame:
+    """(column_name, n, kll binary) — native DataSketches KLL quantile
+    sketches over double-cast columns (kll_sketch_agg_double): the
+    fully JVM-side, mergeable alternative to the Python t-digest
+    (operators/tdigest.py) when only rank/quantile queries are needed.
+    k=800 keeps normalized rank error well under 1% at a few KB per
+    sketch. NULLs are excluded (Spark's agg skips them); n comes from
+    the sketch itself so the table is self-describing.
+
+    KLL compaction is randomized: re-aggregating the same rows yields
+    a slightly different (still rank-error-bounded) sketch, so
+    persist the table once per snapshot and compare persisted bytes —
+    don't recompute per comparison."""
+    aggs = [
+        F.kll_sketch_agg_double(F.col(c).cast("double"), F.lit(k)).alias(
+            f"{c}__sk"
+        )
+        for c in cols
+    ]
+    wide = df.agg(*aggs)
+    structs = [
+        F.struct(
+            F.lit(c).alias("column_name"),
+            F.kll_sketch_get_n_double(F.col(f"{c}__sk")).alias("n"),
+            F.col(f"{c}__sk").alias("kll"),
+        )
+        for c in cols
+    ]
+    return wide.select(F.explode(F.array(*structs)).alias("s")).select("s.*")
+
+
+def kll_drift(base: DataFrame, cur: DataFrame, n_probes: int = 128) -> DataFrame:
+    """KS drift from two persisted kll_sketches tables: probe values
+    are the merged sketch's quantiles at i/(n_probes+1), and
+    ks = max_i |rank_base(probe_i) − rank_cur(probe_i)|. Error is
+    bounded by grid resolution (merged CDF moves 1/(n_probes+1)
+    between probes, so each side's at most twice that) plus both
+    sketches' rank error (<1% at k=800) — q81 gates the estimate
+    against the exact window-cumsum KS with a tolerance boolean.
+
+    Spark's KLL read-out functions (kll_sketch_get_quantile_double /
+    get_rank) require FOLDABLE probe arguments, so this runs in two
+    phases: phase 1 collects the per-column probe values (the sketch
+    table is O(columns) kilobytes — driver-side by design, like every
+    snapshot-state read-out); phase 2 evaluates all rank gaps
+    JVM-side with the probes inlined as literals. Raw data is never
+    touched. Returns (column_name, ks, n_base, n_cur)."""
+    b = base.select(
+        "column_name", F.col("n").alias("n_base"), F.col("kll").alias("_kb")
+    )
+    c = cur.select(
+        "column_name", F.col("n").alias("n_cur"), F.col("kll").alias("_kc")
+    )
+    j = b.join(c, "column_name", "inner").withColumn(
+        "_merged", F.kll_sketch_merge_double("_kb", "_kc")
+    )
+    fracs = [i / (n_probes + 1.0) for i in range(1, n_probes + 1)]
+    probe_rows = j.select(
+        "column_name",
+        F.array(
+            *[
+                F.kll_sketch_get_quantile_double("_merged", F.lit(p))
+                for p in fracs
+            ]
+        ).alias("_probes"),
+    ).collect()
+    per_col = {r.column_name: r._probes for r in probe_rows}
+    ks = F.lit(None).cast("double")
+    for col_name, probes in per_col.items():
+        # dedup probes (repeated quantiles at heavy ties) to shrink
+        # the expression; order is irrelevant under max()
+        gaps = [
+            F.abs(
+                F.kll_sketch_get_rank_double("_kb", F.lit(float(v)))
+                - F.kll_sketch_get_rank_double("_kc", F.lit(float(v)))
+            )
+            for v in sorted(set(probes))
+        ]
+        col_ks = gaps[0] if len(gaps) == 1 else F.greatest(*gaps)
+        ks = F.when(F.col("column_name") == col_name, col_ks).otherwise(ks)
+    return j.select("column_name", ks.alias("ks"), "n_base", "n_cur")
+
+
 def bucketize(spec: ColumnSpec) -> Column:
     """Fixed-grid bucket id for a numeric column: floor((x-lo)/w) with
     underflow/overflow buckets; NULL rows excluded by histogram()."""

@@ -40,7 +40,7 @@ from ..operators import drift, stats
 from ..operators.heavy_hitters import heavy_hitters
 from ..operators.tdigest import tdigest_profile
 
-ARTIFACTS = ("profile", "histograms", "tdigest", "heavy_hitters", "hll")
+ARTIFACTS = ("profile", "histograms", "tdigest", "heavy_hitters", "hll", "theta")
 
 
 @dataclass(frozen=True)
@@ -58,6 +58,7 @@ class SnapshotStore:
         hh_cols: Sequence[str] = (),
         hh_k: int = 100,
         rule_version: str = "v1",
+        key_cols: Sequence[str] = (),
     ) -> None:
         """Profile `df` once per artifact family and persist the
         summaries. The t-digest table is written RAW (not read out),
@@ -83,6 +84,10 @@ class SnapshotStore:
         stats.hll_sketches(df, [s.name for s in specs]).write.mode(
             "overwrite"
         ).parquet(self._path(snapshot_id, "hll"))
+        if key_cols:
+            stats.theta_sketches(df, list(key_cols)).write.mode(
+                "overwrite"
+            ).parquet(self._path(snapshot_id, "theta"))
         for c in hh_cols:
             heavy_hitters(df, c, k=hh_k).withColumn(
                 "column_name", F.lit(c)
@@ -96,6 +101,7 @@ class SnapshotStore:
                     "rule_version": rule_version,
                     "n_specs": len(specs),
                     "n_hh_cols": len(hh_cols),
+                    "n_key_cols": len(key_cols),
                 }
             ]
         ).withColumn("created_at", F.current_timestamp())
@@ -150,4 +156,19 @@ class SnapshotStore:
         )
         return hist_v.join(sk, "column_name", "full_outer").join(
             card, "column_name", "full_outer"
+        )
+
+    def membership_drift(
+        self, spark: SparkSession, baseline_id: str, current_id: str
+    ) -> DataFrame:
+        """Key churn between two snapshots from persisted Theta
+        sketches alone (capture() with key_cols): per key column,
+        how many values appeared / vanished / survived —
+        theta_intersection / theta_difference on sketch bytes, set
+        operations the HLL artifact cannot answer. Columns
+        (column_name, distinct_base, distinct_cur, est_common,
+        est_appeared, est_vanished, distinct_union)."""
+        return stats.theta_compare(
+            self.read(spark, baseline_id, "theta"),
+            self.read(spark, current_id, "theta"),
         )

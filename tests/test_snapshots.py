@@ -13,13 +13,15 @@ SPECS = [
 ]
 
 
-def frame(spark, shift=0.0, cat_flip=False):
+def frame(spark, shift=0.0, cat_flip=False, id_off=0):
     base = spark.range(0, 40_000, numPartitions=4)
     cat = F.when(
         F.col("id") % 10 < (7 if not cat_flip else 3), F.lit("a")
     ).otherwise(F.lit("b"))
     return base.select(
-        ((F.col("id") % 900) * (1.0 + shift)).alias("v"), cat.alias("cat")
+        ((F.col("id") % 900) * (1.0 + shift)).alias("v"),
+        cat.alias("cat"),
+        (F.col("id") + id_off).cast("string").alias("key"),
     )
 
 
@@ -27,10 +29,13 @@ def frame(spark, shift=0.0, cat_flip=False):
 def store(spark, tmp_path_factory):
     root = str(tmp_path_factory.mktemp("snaps"))
     s = SnapshotStore(root)
-    s.capture(frame(spark), "2026-01-01", SPECS, hh_cols=["cat"], hh_k=8)
     s.capture(
-        frame(spark, shift=0.15, cat_flip=True), "2026-01-08", SPECS,
-        hh_cols=["cat"], hh_k=8,
+        frame(spark), "2026-01-01", SPECS, hh_cols=["cat"], hh_k=8,
+        key_cols=["key"],
+    )
+    s.capture(
+        frame(spark, shift=0.15, cat_flip=True, id_off=10_000),
+        "2026-01-08", SPECS, hh_cols=["cat"], hh_k=8, key_cols=["key"],
     )
     return s
 
@@ -88,3 +93,21 @@ def test_hll_artifact_and_cardinality_drift(spark, store):
     assert abs(cmp["v"].distinct_base - 900) <= 27
     assert abs(cmp["v"].distinct_union - 1799) <= 54
     assert cmp["v"].est_new_values > 800
+
+
+def test_theta_membership_drift(spark, store):
+    """Theta key churn from persisted sketches: ids 0..39999 vs
+    10000..49999 -> 30000 survive, 10000 appear, 10000 vanish (all
+    exact below 2^lgk? no — 40k > 4096, so within ~5%)."""
+    md = {
+        r.column_name: r
+        for r in store.membership_drift(
+            spark, "2026-01-01", "2026-01-08"
+        ).collect()
+    }
+    k = md["key"]
+    assert abs(k.distinct_base - 40_000) <= 2_000
+    assert abs(k.est_common - 30_000) <= 2_500
+    assert abs(k.est_appeared - 10_000) <= 2_500
+    assert abs(k.est_vanished - 10_000) <= 2_500
+    assert abs(k.distinct_union - 50_000) <= 2_500

@@ -192,3 +192,42 @@ def test_freq_drift_chi2_js(spark, clips):
         return
     exact = chi2_dist.ppf(0.95, int(c.dof))
     assert c.chi2_crit_95 == pytest.approx(exact, rel=0.01)
+
+
+def test_kll_drift_tracks_exact_ks(spark, clips):
+    """Native KLL sketch KS vs exact window-cumsum KS on dur_ms:
+    self-compare ~0; a +25% scale shift is detected within 0.02."""
+    base = clips.select(F.col("dur_ms").cast("double").alias("dur_ms"))
+    cur = base.select((F.col("dur_ms") * 1.25).alias("dur_ms"))
+    sk_b = stats.kll_sketches(base, ["dur_ms"])
+    # KLL compaction is randomized: re-aggregating the same rows gives
+    # a slightly different sketch, so self-compare is bounded by rank
+    # error (<1% at k=800), not structurally zero like the t-digest.
+    self_ks = stats.kll_drift(sk_b, sk_b).first()
+    assert self_ks.ks == pytest.approx(0.0, abs=0.01)
+    assert self_ks.n_base == self_ks.n_cur
+
+    est = stats.kll_drift(sk_b, stats.kll_sketches(cur, ["dur_ms"])).first()
+    from pyspark.sql import Window
+
+    u = base.select("dur_ms", F.lit("a").alias("g")).unionByName(
+        cur.select("dur_ms", F.lit("b").alias("g"))
+    )
+    cnt = u.groupBy("dur_ms").agg(
+        F.sum((F.col("g") == "a").cast("long")).alias("ca"),
+        F.sum((F.col("g") == "b").cast("long")).alias("cb"),
+    )
+    w = Window.orderBy("dur_ms")
+    wall = Window.partitionBy()
+    exact = (
+        cnt.select(
+            (
+                F.sum("ca").over(w) / F.sum("ca").over(wall)
+                - F.sum("cb").over(w) / F.sum("cb").over(wall)
+            ).alias("d")
+        )
+        .agg(F.max(F.abs(F.col("d"))))
+        .first()[0]
+    )
+    assert est.ks == pytest.approx(exact, abs=0.02)
+    assert exact > 0.1  # the shift is real drift
