@@ -1633,7 +1633,8 @@ def q64_codec_contract(spark: SparkSession, sf: str) -> DataFrame:
     the roundtrip, every codec clears the 30 dB SNR gate, the
     high-fidelity codecs (pcm16 real WAV, flac REAL bitstream —
     audio/flac.py) clear 80 dB while the lossy tiers (mulaw 8-bit
-    companding, opus stand-in 12-bit) sit below it, and flac is
+    companding, alaw bit-exact G.711 segment/chord ~38 dB, opus
+    stand-in 12-bit) sit below it, and flac is
     EXACTLY lossless at the int16 level (decode reproduces the encoded
     samples bit-for-bit — CRC-8/16 + MD5 verified inside the decoder).
     The REAL IMA/DVI ADPCM codec (4-bit differential, standard step
@@ -1651,14 +1652,14 @@ def q64_codec_contract(spark: SparkSession, sf: str) -> DataFrame:
 
         from data_validator_spark.audio import codecs, synth
 
-        codec_names = ["pcm16", "flac", "mulaw", "adpcm", "opus"]
+        codec_names = ["pcm16", "flac", "mulaw", "alaw", "adpcm", "opus"]
         srs = [8000, 16000, 22050, 44100, 48000]
         for pdf in batches:
             rows = []
             for i in pdf["id"]:
                 i = int(i)
-                codec = codec_names[i % 5]
-                sr = srs[(i // 5) % 5]
+                codec = codec_names[i % 6]
+                sr = srs[(i // 6) % 5]
                 n = 400 + (i * 37) % 4000
                 pcm = np.clip(synth.reference_pcm(f"q64-{i:06d}", sr, n), -1, 1)
                 dec, sr2 = codecs.decode(codec, codecs.encode(codec, pcm, sr))
@@ -1677,7 +1678,7 @@ def q64_codec_contract(spark: SparkSession, sf: str) -> DataFrame:
                 rows, columns=["codec", "sr_ok", "len_ok", "lossless", "snr"]
             )
 
-    out = spark.range(0, 250, numPartitions=8).mapInPandas(
+    out = spark.range(0, 300, numPartitions=8).mapInPandas(
         gen,
         "codec string, sr_ok boolean, len_ok boolean, lossless boolean, snr double",
     )
@@ -3836,6 +3837,7 @@ _ORACLES: dict[str, str] = {
     "q64_codec_contract": """
         SELECT * FROM (VALUES
           ('adpcm', 50::BIGINT, true, true, false, false, true),
+          ('alaw',  50::BIGINT, true, true, true,  false, true),
           ('flac',  50::BIGINT, true, true, true,  true,  true),
           ('mulaw', 50::BIGINT, true, true, true,  false, true),
           ('opus',  50::BIGINT, true, true, true,  false, true),

@@ -5,6 +5,11 @@ Real codecs:
   - ``pcm16``: standard RIFF/WAVE 16-bit PCM container (fully real).
   - ``mulaw``: G.711 mu-law companding (real algorithm, ITU-T G.711)
     in a minimal ``MULW`` container.
+  - ``alaw``: G.711 A-law companding — the BIT-EXACT segment/chord
+    form (13-bit linear -> sign + 3-bit segment + 4-bit quantized
+    mantissa, 0x55 alternate-mark-inversion mask), the same integer
+    algorithm every telephony stack interoperates on — in a minimal
+    ``ALW0`` container. Fully vectorized (no per-sample loop).
   - ``flac``: REAL FLAC bitstream (audio/flac.py — pure-python subset
     codec: fixed/verbatim/constant subframes, rice residuals, CRC-8 +
     CRC-16 + MD5 verified; mono/16-bit encode, wider decode).
@@ -39,10 +44,11 @@ import numpy as np
 
 from data_validator_spark.audio import flac as _flac
 
-SUPPORTED_CODECS = ("pcm16", "flac", "mulaw", "adpcm", "opus")
+SUPPORTED_CODECS = ("pcm16", "flac", "mulaw", "alaw", "adpcm", "opus")
 
 _WAV_FMT_PCM = 1
 _MAGIC_MULAW = b"MULW"
+_MAGIC_ALAW = b"ALW0"
 _MAGIC_OPUS = b"OPU0"
 _MAGIC_ADPCM = b"ADP0"
 
@@ -108,6 +114,63 @@ def _decode_mulaw(payload: bytes) -> tuple[np.ndarray, int]:
     y = np.frombuffer(data, dtype=np.uint8).astype(np.float32) / 127.5 - 1.0
     pcm = np.sign(y) * ((1.0 + _MU) ** np.abs(y) - 1.0) / _MU
     return pcm.astype(np.float32), sr_hz
+
+
+# ---------------------------------------------------------------- G.711 A-law
+
+# Segment upper bounds for the 13-bit magnitude (ITU-T G.711 table 1a;
+# identical constants in every interoperating implementation).
+_ALAW_SEG_END = np.array(
+    [0x1F, 0x3F, 0x7F, 0xFF, 0x1FF, 0x3FF, 0x7FF, 0xFFF], dtype=np.int32
+)
+_ALAW_AMI_MASK = 0x55  # alternate-mark-inversion: even bits inverted
+
+
+def _linear_to_alaw(x16: np.ndarray) -> np.ndarray:
+    """int16 samples -> G.711 A-law bytes (bit-exact segment/chord
+    encoding). Vectorized transcription of the normative integer
+    algorithm: 16-bit sample >> 3 to the 13-bit domain, magnitude
+    split into a 3-bit segment (exponent) + 4-bit mantissa, sign in
+    bit 7, whole byte XORed with 0x55."""
+    pcm = x16.astype(np.int32) >> 3
+    neg = pcm < 0
+    mask = np.where(neg, _ALAW_AMI_MASK, 0x80 | _ALAW_AMI_MASK)
+    mag = np.where(neg, -pcm - 1, pcm)  # 0..4095
+    # segment = index of first upper bound >= magnitude
+    seg = np.searchsorted(_ALAW_SEG_END, mag, side="left").astype(np.int32)
+    shift = np.where(seg < 2, 1, seg)
+    aval = (seg << 4) | ((mag >> shift) & 0x0F)
+    return ((aval ^ mask) & 0xFF).astype(np.uint8)
+
+
+def _alaw_to_linear(u8: np.ndarray) -> np.ndarray:
+    """G.711 A-law bytes -> int16 samples (exact inverse of the
+    segment table: reconstructed value sits at the quantization-cell
+    midpoint, so a second encode of the decoded sample reproduces the
+    byte — the 256-code involution property the tests assert)."""
+    a = u8.astype(np.int32) ^ _ALAW_AMI_MASK
+    t = (a & 0x0F) << 4
+    seg = (a & 0x70) >> 4
+    base = np.where(seg == 0, t + 8, t + 0x108)
+    t = base << np.maximum(seg - 1, 0)
+    return np.where(a & 0x80, t, -t).astype(np.int16)
+
+
+def _encode_alaw(pcm: np.ndarray, sr_hz: int) -> bytes:
+    x16 = np.round(np.clip(pcm, -1.0, 1.0) * 32767.0).astype(np.int16)
+    u8 = _linear_to_alaw(x16)
+    return _MAGIC_ALAW + struct.pack("<IQ", sr_hz, len(u8)) + u8.tobytes()
+
+
+def _decode_alaw(payload: bytes) -> tuple[np.ndarray, int]:
+    if len(payload) < 16 or payload[:4] != _MAGIC_ALAW:
+        raise CodecError("not an ALW0 payload")
+    sr_hz, n = struct.unpack("<IQ", payload[4:16])
+    data = payload[16 : 16 + n]
+    if len(data) != n:
+        raise CodecError("truncated ALW0 data")
+    x16 = _alaw_to_linear(np.frombuffer(data, dtype=np.uint8))
+    return (x16.astype(np.float32) / 32767.0), sr_hz
 
 
 # ---------------------------------------------------------------- flac (real)
@@ -290,6 +353,7 @@ def _decode_opus(payload: bytes) -> tuple[np.ndarray, int]:
 _ENCODERS = {
     "pcm16": _encode_wav_pcm16,
     "mulaw": _encode_mulaw,
+    "alaw": _encode_alaw,
     "flac": _encode_flac,
     "adpcm": _encode_adpcm,
     "opus": _encode_opus,
@@ -297,6 +361,7 @@ _ENCODERS = {
 _DECODERS = {
     "pcm16": _decode_wav_pcm16,
     "mulaw": _decode_mulaw,
+    "alaw": _decode_alaw,
     "flac": _decode_flac,
     "adpcm": _decode_adpcm,
     "opus": _decode_opus,

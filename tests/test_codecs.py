@@ -11,7 +11,14 @@ from data_validator_spark.audio import codecs, synth
 # gate, IMA ADPCM is REAL but slope-overloads on the 2 kHz-ish f0
 # partials (measured 17-35 dB across srs) — the engine correctly
 # quarantines it, and q64's oracle pins all_snr30=false for it
-_SNR_FLOOR = {"pcm16": 80, "flac": 80, "mulaw": 30, "opus": 30, "adpcm": 15}
+_SNR_FLOOR = {
+    "pcm16": 80,
+    "flac": 80,
+    "mulaw": 30,
+    "alaw": 30,
+    "opus": 30,
+    "adpcm": 15,
+}
 
 
 @pytest.mark.parametrize("codec", codecs.SUPPORTED_CODECS)
@@ -46,6 +53,32 @@ def test_snr_detects_wrong_signal():
     b = synth.reference_pcm("clip-b", 16000, 4000)
     assert codecs.snr_db(a, b) < 10.0
     assert codecs.snr_db(a, a) == float("inf")
+
+
+def test_alaw_involution_all_codes():
+    """G.711 property: decode places each code at its quantization-cell
+    midpoint, so re-encoding the decoded sample reproduces the byte —
+    for every one of the 256 possible A-law codes. This pins the
+    implementation to the normative integer tables bit-for-bit (any
+    off-by-one in segment bounds, mantissa shift, or the 0x55 AMI
+    mask breaks some code)."""
+    codes = np.arange(256, dtype=np.uint8)
+    lin = codecs._alaw_to_linear(codes)
+    assert lin.dtype == np.int16
+    back = codecs._linear_to_alaw(lin)
+    np.testing.assert_array_equal(back, codes)
+    # sign symmetry: code c and c^0x80 decode to negatives of each other
+    np.testing.assert_array_equal(
+        codecs._alaw_to_linear(codes ^ 0x80).astype(np.int32), -lin.astype(np.int32)
+    )
+
+
+def test_alaw_full_scale_saturates_not_wraps():
+    pcm = np.array([1.0, -1.0, 0.0], dtype=np.float32)
+    dec, sr = codecs.decode("alaw", codecs.encode("alaw", pcm, 8000))
+    assert sr == 8000
+    # top segment midpoint (32256/32767), never wrapped sign
+    assert dec[0] > 0.97 and dec[1] < -0.97 and abs(dec[2]) < 0.01
 
 
 def test_synth_deterministic():
