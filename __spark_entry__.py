@@ -2894,6 +2894,48 @@ def q81_kll_drift(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q82_asof_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Point-in-time alignment (operators/asof.asof_join): every
+    'click' event joins the LATEST 'view' event of the same user
+    at-or-before its timestamp — the union + ordered-window as-of
+    form (ONE hash Exchange on the key, zero row multiplication,
+    the work a sort-merge join would do; see asof.py's module
+    docstring for why the naive range-join form explodes). Gated
+    row-for-row against DuckDB's native ASOF LEFT JOIN. Rights are
+    pre-aggregated to one row per (user_id, ts) so tie-breaking is
+    engine-independent; unmatched clicks survive with null view
+    columns (LEFT semantics)."""
+    from data_validator_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf, "events")
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(
+            F.max("event_id").alias("view_id"),
+            F.max_by("value", "event_id").alias("view_value"),
+        )
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", "ts"
+    )
+    out = asof_join(
+        clicks,
+        views,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=["view_id", "view_value"],
+    )
+    return out.select(
+        "click_id",
+        "user_id",
+        "view_id",
+        "view_value",
+        F.col("asof_lag_us").alias("lag_us"),
+    ).orderBy("click_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2977,6 +3019,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q79_freq_drift": q79_freq_drift,
         "q80_theta_membership": q80_theta_membership,
         "q81_kll_drift": q81_kll_drift,
+        "q82_asof_join": q82_asof_join,
     }
 
 
@@ -4195,6 +4238,21 @@ _ORACLES: dict[str, str] = {
         SELECT ks.column_name, round(ks_exact, 6) AS ks_exact,
                n_base, n_cur, true AS ks_ok
         FROM ks JOIN n USING (column_name) ORDER BY 1
+    """,
+    "q82_asof_join": """
+        WITH views AS (
+          SELECT user_id, ts, max(event_id) AS view_id,
+                 max_by(value, event_id) AS view_value
+          FROM events WHERE event_type = 'view' GROUP BY user_id, ts
+        ), clicks AS (
+          SELECT event_id AS click_id, user_id, ts
+          FROM events WHERE event_type = 'click'
+        )
+        SELECT c.click_id, c.user_id, v.view_id, v.view_value,
+               epoch_us(c.ts) - epoch_us(v.ts) AS lag_us
+        FROM clicks c ASOF LEFT JOIN views v
+          ON c.user_id = v.user_id AND c.ts >= v.ts
+        ORDER BY click_id
     """,
     "q70_video_features": """
         WITH base AS (
