@@ -2936,6 +2936,24 @@ def q82_asof_join(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("click_id")
 
 
+def q83_sessionize(spark: SparkSession, sf: str) -> DataFrame:
+    """Gap-based sessionization (operators/sequences.sessionize /
+    session_stats): per-user event sessions with a 4-hour inactivity
+    gap, one stats row per session (count, span, first/last event
+    micros). Ingest-burst detection as a relational op — the batch
+    cousin of Structured Streaming's session_window, same
+    gaps-and-islands shape as the straight-lining rule (W1), ONE
+    shuffle on the key shared by both windows and the final groupBy.
+    Oracle: identical lag/cumsum window SQL in DuckDB (all-integer
+    outputs — no fp ordering hazard)."""
+    from data_validator_spark.operators.sequences import session_stats
+
+    ev = _t(spark, sf, "events")
+    return session_stats(
+        ev, "user_id", "ts", gap_us=4 * 3600 * 1_000_000, tiebreak_col="event_id"
+    ).orderBy("user_id", "session_seq")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -3020,6 +3038,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q80_theta_membership": q80_theta_membership,
         "q81_kll_drift": q81_kll_drift,
         "q82_asof_join": q82_asof_join,
+        "q83_sessionize": q83_sessionize,
     }
 
 
@@ -4253,6 +4272,30 @@ _ORACLES: dict[str, str] = {
         FROM clicks c ASOF LEFT JOIN views v
           ON c.user_id = v.user_id AND c.ts >= v.ts
         ORDER BY click_id
+    """,
+    "q83_sessionize": """
+        WITH lagged AS (
+          SELECT user_id, ts, event_id,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                        OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                           > 14400000000
+                      THEN 1 ELSE 0 END AS new_s
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), sess AS (
+          SELECT user_id, ts,
+                 sum(new_s) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                 ) AS session_seq
+          FROM lagged
+        )
+        SELECT user_id, session_seq::BIGINT AS session_seq,
+               count(*)::BIGINT AS n_events,
+               (max(epoch_us(ts)) - min(epoch_us(ts)))::BIGINT AS span_us,
+               min(epoch_us(ts))::BIGINT AS start_us,
+               max(epoch_us(ts))::BIGINT AS end_us
+        FROM sess GROUP BY 1, 2 ORDER BY 1, 2
     """,
     "q70_video_features": """
         WITH base AS (

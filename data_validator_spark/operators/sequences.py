@@ -64,3 +64,63 @@ def straightlining_flags(
         (F.col("max_run") >= min_run).alias("straightlining"),
         F.when(F.col("max_run") >= min_run, F.lit(label)).alias("straightlining_msg"),
     )
+
+
+def sessionize(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    gap_us: int,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Gap-based session assignment: within each key, ordered by
+    timestamp, a new session starts whenever the gap to the previous
+    row exceeds `gap_us` microseconds. Adds `session_seq` (1-based
+    per key). The validation-tier use: ingest-burst detection —
+    a device/user whose clips arrive in one anomalous burst (or a
+    survey run answered in a single spray) becomes one session whose
+    stats downstream rules can threshold, the batch cousin of
+    Structured Streaming's session_window.
+
+    Same gaps-and-islands shape as max_run_lengths above: lag-gap
+    flag -> running sum. ONE shuffle on the key; both windows share
+    the same partitioning so Catalyst plans a single Exchange + sort.
+    Ties on ts are ordered by `tiebreak_col` (default: input order
+    is unspecified — pass one for deterministic output).
+    """
+    order = [F.col(ts_col).asc()]
+    if tiebreak_col:
+        order.append(F.col(tiebreak_col).asc())
+    w = Window.partitionBy(key_col).orderBy(*order)
+    ts_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    prev_us = F.lag(ts_us).over(w)
+    new_session = F.when(
+        prev_us.isNull() | ((ts_us - prev_us) > F.lit(int(gap_us))), 1
+    ).otherwise(0)
+    return df.withColumn(
+        "session_seq",
+        F.sum(new_session)
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long"),
+    )
+
+
+def session_stats(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    gap_us: int,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """-> one row per (key, session_seq): event count, span in
+    microseconds, first/last event timestamps. Composes sessionize;
+    the groupBy reuses the session shuffle's partitioning on the key
+    prefix, so no second full Exchange of the event rows."""
+    s = sessionize(df, key_col, ts_col, gap_us, tiebreak_col)
+    ts_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    return s.groupBy(key_col, "session_seq").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        (F.max(ts_us) - F.min(ts_us)).cast("long").alias("span_us"),
+        F.min(ts_us).cast("long").alias("start_us"),
+        F.max(ts_us).cast("long").alias("end_us"),
+    )

@@ -63,3 +63,54 @@ def test_below_chance_flags(spark):
     assert out["bad"].bc_p_below is True  # 1/12 correct at chance .25
     assert out["good"].bc_p_below is False  # 9/12 correct
     assert out["good"].bc_p == pytest.approx(0.9998934, rel=1e-3)
+
+
+def test_sessionize_gap_semantics(spark):
+    import datetime as dt
+
+    from data_validator_spark.operators.sequences import sessionize, session_stats
+
+    t0 = dt.datetime(2024, 1, 1, 8, 0, 0)
+
+    def at(minutes):
+        return t0 + dt.timedelta(minutes=minutes)
+
+    df = spark.createDataFrame(
+        [
+            ("u1", 1, at(0)),
+            ("u1", 2, at(5)),    # 5 min gap -> same session
+            ("u1", 3, at(20)),   # 15 min gap -> new session
+            ("u1", 4, at(21)),
+            ("u2", 5, at(0)),    # other key: own numbering
+        ],
+        "k string, eid int, ts timestamp",
+    )
+    gap = 10 * 60 * 1_000_000
+    s = sessionize(df, "k", "ts", gap_us=gap, tiebreak_col="eid")
+    got = {r["eid"]: r["session_seq"] for r in s.collect()}
+    assert got == {1: 1, 2: 1, 3: 2, 4: 2, 5: 1}
+
+    stats_rows = {
+        (r["k"], r["session_seq"]): (r["n_events"], r["span_us"])
+        for r in session_stats(df, "k", "ts", gap_us=gap, tiebreak_col="eid").collect()
+    }
+    assert stats_rows[("u1", 1)] == (2, 5 * 60 * 1_000_000)
+    assert stats_rows[("u1", 2)] == (2, 1 * 60 * 1_000_000)
+    assert stats_rows[("u2", 1)] == (1, 0)
+
+
+def test_session_stats_single_exchange(spark):
+    """sessionize's two windows and the stats groupBy all share the
+    key partitioning -> exactly one hash Exchange in the plan."""
+    import datetime as dt
+
+    from data_validator_spark.operators.sequences import session_stats
+
+    df = spark.createDataFrame(
+        [("u1", 1, dt.datetime(2024, 1, 1, 8, 0, 0))],
+        "k string, eid int, ts timestamp",
+    )
+    out = session_stats(df, "k", "ts", gap_us=1_000_000, tiebreak_col="eid")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    n = sum(1 for l in plan.splitlines() if "Exchange hashpartitioning" in l)
+    assert n == 1, plan
