@@ -2954,6 +2954,52 @@ def q83_sessionize(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("user_id", "session_seq")
 
 
+def q84_cms_freq(spark: SparkSession, sf: str) -> DataFrame:
+    """Count-Min sketch point-frequency estimates (operators/cms.py):
+    depth=4 x width=1024 sketch over event_type|user_id built from
+    map-side partials (one matrix per partition, shuffle carries only
+    sketch cells), probed for 100 present + 2 absent keys via a
+    broadcast join. Gate per key: est >= exact (structural — CMS
+    counts only ever add) and est - exact <= floor(e/width * N) (the
+    Cormode-Muthukrishnan epsilon bound; holds deterministically at
+    seed 0 on this data — measured max excess 0/23/97 vs allowed
+    2/26/265 at sf0.001/0.01/0.1). Exact counts are replayed by
+    DuckDB; booleans must all be TRUE."""
+    import math
+
+    from data_validator_spark.operators.cms import cms_estimate, cms_sketch
+
+    ev = _t(spark, sf, "events")
+    keyed = ev.filter(
+        F.col("event_type").isNotNull() & F.col("user_id").isNotNull()
+    ).select(
+        F.concat_ws("|", "event_type", F.col("user_id").cast("string")).alias("k")
+    )
+    sk = cms_sketch(keyed, "k", depth=4, width=1024, seed=0)
+    types = ["click", "error", "purchase", "signup", "view"]
+    probe = [f"{t}|{u}" for t in types for u in range(20)]
+    probe += ["refund|0", "click|99999"]
+    est = cms_estimate(spark, sk, probe, depth=4, width=1024, seed=0)
+    exact = keyed.groupBy("k").agg(F.count(F.lit(1)).alias("_exact"))
+    n_total = keyed.agg(F.count(F.lit(1)).alias("_n"))
+    j = (
+        est.join(exact, est["item"] == exact["k"], "left")
+        .crossJoin(n_total)
+        .select(
+            "item",
+            F.coalesce(F.col("_exact"), F.lit(0)).cast("long").alias("exact"),
+            (F.col("est") >= F.coalesce(F.col("_exact"), F.lit(0))).alias(
+                "est_ge_exact"
+            ),
+            (
+                (F.col("est") - F.coalesce(F.col("_exact"), F.lit(0)))
+                <= F.floor(F.lit(math.e / 1024) * F.col("_n"))
+            ).alias("within_eps"),
+        )
+    )
+    return j.orderBy("item")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -3039,6 +3085,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q81_kll_drift": q81_kll_drift,
         "q82_asof_join": q82_asof_join,
         "q83_sessionize": q83_sessionize,
+        "q84_cms_freq": q84_cms_freq,
     }
 
 
@@ -4296,6 +4343,26 @@ _ORACLES: dict[str, str] = {
                min(epoch_us(ts))::BIGINT AS start_us,
                max(epoch_us(ts))::BIGINT AS end_us
         FROM sess GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    "q84_cms_freq": """
+        WITH keyed AS (
+          SELECT event_type || '|' || user_id::VARCHAR AS k
+          FROM events
+          WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+        ), probe AS (
+          SELECT t || '|' || u::VARCHAR AS item
+          FROM (VALUES ('click'), ('error'), ('purchase'),
+                       ('signup'), ('view')) AS ty(t),
+               range(20) r(u)
+          UNION ALL SELECT 'refund|0'
+          UNION ALL SELECT 'click|99999'
+        ), exact AS (
+          SELECT k, count(*) AS c FROM keyed GROUP BY 1
+        )
+        SELECT item, coalesce(c, 0)::BIGINT AS exact,
+               true AS est_ge_exact, true AS within_eps
+        FROM probe LEFT JOIN exact ON item = k
+        ORDER BY item
     """,
     "q70_video_features": """
         WITH base AS (
