@@ -3000,6 +3000,51 @@ def q84_cms_freq(spark: SparkSession, sf: str) -> DataFrame:
     return j.orderBy("item")
 
 
+def q85_interval_windows(spark: SparkSession, sf: str) -> DataFrame:
+    """Bucketized interval join (operators/intervals.interval_join):
+    30 deterministic nightly maintenance windows ([02:00, 02:45) UTC
+    each January 2024 day) joined to events by timestamp containment
+    — hash equi-join on an hour bucket + exact half-open predicate,
+    never a nested-loop/cartesian (the naive range join's fate).
+    Per-window event count, distinct users, value sum; zero-event
+    windows survive via the wins-side left join. DuckDB replays the
+    containment with a plain inequality join."""
+    from data_validator_spark.operators.intervals import interval_join
+
+    ev = _t(spark, sf, "events").select(
+        "event_id",
+        "user_id",
+        "value",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+    )
+    day_us = 86400 * 1_000_000
+    base = 1704074400000000  # 2024-01-01 02:00:00 UTC
+    wins = spark.range(30).select(
+        F.col("id").cast("long").alias("window_id"),
+        (F.lit(base) + F.col("id") * day_us).alias("w_start"),
+        (F.lit(base) + F.col("id") * day_us + 45 * 60 * 1_000_000).alias("w_end"),
+    )
+    j = interval_join(
+        ev, wins, "ts_us", "w_start", "w_end", bucket=3600 * 1_000_000, how="inner"
+    )
+    agg = j.groupBy("window_id").agg(
+        F.count(F.lit(1)).cast("long").alias("_n"),
+        F.count_distinct("user_id").cast("long").alias("_u"),
+        F.sum("value").alias("_s"),
+    )
+    return (
+        wins.select("window_id")
+        .join(agg, "window_id", "left")
+        .select(
+            "window_id",
+            F.coalesce(F.col("_n"), F.lit(0)).cast("long").alias("n_events"),
+            F.coalesce(F.col("_u"), F.lit(0)).cast("long").alias("n_users"),
+            F.round(F.coalesce(F.col("_s"), F.lit(0.0)), 4).alias("sum_value"),
+        )
+        .orderBy("window_id")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -3086,6 +3131,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q82_asof_join": q82_asof_join,
         "q83_sessionize": q83_sessionize,
         "q84_cms_freq": q84_cms_freq,
+        "q85_interval_windows": q85_interval_windows,
     }
 
 
@@ -4363,6 +4409,21 @@ _ORACLES: dict[str, str] = {
                true AS est_ge_exact, true AS within_eps
         FROM probe LEFT JOIN exact ON item = k
         ORDER BY item
+    """,
+    "q85_interval_windows": """
+        WITH wins AS (
+          SELECT i::BIGINT AS window_id,
+                 1704074400000000 + i * 86400000000 AS w_start,
+                 1704074400000000 + i * 86400000000 + 2700000000 AS w_end
+          FROM range(30) t(i)
+        )
+        SELECT w.window_id,
+               count(e.event_id)::BIGINT AS n_events,
+               count(DISTINCT e.user_id)::BIGINT AS n_users,
+               round(coalesce(sum(e.value), 0), 4) AS sum_value
+        FROM wins w LEFT JOIN events e
+          ON epoch_us(e.ts) >= w.w_start AND epoch_us(e.ts) < w.w_end
+        GROUP BY 1 ORDER BY 1
     """,
     "q70_video_features": """
         WITH base AS (
