@@ -3045,6 +3045,27 @@ def q85_interval_windows(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q86_correlation_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-column Pearson correlation analyzer
+    (stats.correlation_profile): all 6 pairs among lineitem's four
+    numeric measures in ONE fused Aggregate (single scan — the same
+    discipline as the scalar profile). Rounded to 6 dp for the
+    cross-engine compare; NULL-variance semantics match SQL corr in
+    both engines."""
+    from data_validator_spark.operators.stats import correlation_profile
+
+    li = _t(spark, sf, "lineitem")
+    out = correlation_profile(
+        li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    )
+    return out.select(
+        "col_a",
+        "col_b",
+        F.round("corr", 6).alias("corr"),
+        "n_rows",
+    ).orderBy("col_a", "col_b")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -3132,6 +3153,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q83_sessionize": q83_sessionize,
         "q84_cms_freq": q84_cms_freq,
         "q85_interval_windows": q85_interval_windows,
+        "q86_correlation_profile": q86_correlation_profile,
     }
 
 
@@ -4424,6 +4446,25 @@ _ORACLES: dict[str, str] = {
         FROM wins w LEFT JOIN events e
           ON epoch_us(e.ts) >= w.w_start AND epoch_us(e.ts) < w.w_end
         GROUP BY 1 ORDER BY 1
+    """,
+    "q86_correlation_profile": """
+        WITH pairs AS (
+          SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
+                 corr(l_quantity, l_extendedprice) AS c, count(*) AS n
+          FROM lineitem
+          UNION ALL SELECT 'l_quantity', 'l_discount',
+                 corr(l_quantity, l_discount), count(*) FROM lineitem
+          UNION ALL SELECT 'l_quantity', 'l_tax',
+                 corr(l_quantity, l_tax), count(*) FROM lineitem
+          UNION ALL SELECT 'l_extendedprice', 'l_discount',
+                 corr(l_extendedprice, l_discount), count(*) FROM lineitem
+          UNION ALL SELECT 'l_extendedprice', 'l_tax',
+                 corr(l_extendedprice, l_tax), count(*) FROM lineitem
+          UNION ALL SELECT 'l_discount', 'l_tax',
+                 corr(l_discount, l_tax), count(*) FROM lineitem
+        )
+        SELECT col_a, col_b, round(c, 6) AS corr, n::BIGINT AS n_rows
+        FROM pairs ORDER BY col_a, col_b
     """,
     "q70_video_features": """
         WITH base AS (

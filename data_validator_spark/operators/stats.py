@@ -350,3 +350,48 @@ def histogram(df: DataFrame, specs: Sequence[ColumnSpec]) -> DataFrame:
 
     w = Window.partitionBy("column_name")
     return counts.withColumn("freq", F.col("cnt") / F.sum("cnt").over(w))
+
+
+def correlation_profile(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """All pairwise Pearson correlations among `cols` in ONE
+    Aggregate: n(n-1)/2 F.corr expressions fuse into a single
+    partial+final agg, so cost is one scan regardless of table size
+    (same single-pass discipline as profile() above). The
+    cross-column analyzer of the stats surface: a correlation that
+    collapses (dur_ms suddenly independent of payload size) or
+    appears (value keyed to user id) is a schema-semantics drift no
+    per-column profile can see.
+
+    -> (col_a, col_b, corr double, n_rows long), one row per
+    unordered pair in input order; corr is NULL when either side is
+    constant (zero variance), matching SQL semantics in both engines.
+    """
+    cols = list(cols)
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1 :]]
+    aggs: list[Column] = [F.count(F.lit(1)).alias("_n")]
+    # corr = covar / (sd_a * sd_b), via try_divide: under Spark's ANSI
+    # mode the builtin corr THROWS on a zero-variance column, where
+    # SQL semantics (and DuckDB) return NULL
+    aggs += [
+        F.stddev_samp(F.col(c).cast("double")).alias(f"__sd_{c}") for c in cols
+    ]
+    aggs += [
+        F.covar_samp(F.col(a).cast("double"), F.col(b).cast("double")).alias(
+            f"__cov_{i}"
+        )
+        for i, (a, b) in enumerate(pairs)
+    ]
+    wide = df.agg(*aggs)
+    structs = [
+        F.struct(
+            F.lit(a).alias("col_a"),
+            F.lit(b).alias("col_b"),
+            F.try_divide(
+                F.col(f"__cov_{i}"),
+                F.col(f"__sd_{a}") * F.col(f"__sd_{b}"),
+            ).alias("corr"),
+            F.col("_n").cast("long").alias("n_rows"),
+        )
+        for i, (a, b) in enumerate(pairs)
+    ]
+    return wide.select(F.explode(F.array(*structs)).alias("s")).select("s.*")

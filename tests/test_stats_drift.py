@@ -231,3 +231,21 @@ def test_kll_drift_tracks_exact_ks(spark, clips):
     )
     assert est.ks == pytest.approx(exact, abs=0.02)
     assert exact > 0.1  # the shift is real drift
+
+
+def test_correlation_profile_values_and_single_scan(spark):
+    from data_validator_spark.operators.stats import correlation_profile
+
+    df = spark.createDataFrame(
+        [(float(i), float(-2 * i), 7.0, float(i * i)) for i in range(1, 50)],
+        "a double, b double, c double, d double",
+    )
+    out = correlation_profile(df, ["a", "b", "c", "d"])
+    got = {(r["col_a"], r["col_b"]): r["corr"] for r in out.collect()}
+    assert abs(got[("a", "b")] - (-1.0)) < 1e-12  # exact anti-correlation
+    assert got[("a", "c")] is None  # constant column -> NULL variance
+    assert 0.9 < got[("a", "d")] < 1.0  # monotone but nonlinear
+    assert len(got) == 6
+    # one scan: a single Aggregate pair, no join/union of per-pair jobs
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Union" not in plan and "Join" not in plan, plan
