@@ -124,3 +124,40 @@ def session_stats(
         F.min(ts_us).cast("long").alias("start_us"),
         F.max(ts_us).cast("long").alias("end_us"),
     )
+
+
+def order_violations(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    value_col: str,
+    strict: bool = False,
+) -> DataFrame:
+    """Per-key monotonicity check: ordered by `order_col`, count the
+    adjacent pairs where `value_col` goes DOWN (or fails to strictly
+    rise, with strict=True). -> (key, n_rows, n_inversions,
+    monotonic boolean).
+
+    The sequence-integrity rule family: ingest_seq must rise with
+    ingest time, event-time must rise with a log offset, a revision
+    counter must never regress. Rows with a NULL order or value are
+    excluded (they belong to the completeness rules, not ordering).
+    Same one-shuffle lag-window shape as sessionize above.
+    """
+    d = df.filter(F.col(order_col).isNotNull() & F.col(value_col).isNotNull())
+    w = Window.partitionBy(key_col).orderBy(F.col(order_col).asc())
+    prev = F.lag(value_col).over(w)
+    bad = F.when(
+        prev.isNotNull()
+        & (F.col(value_col) <= prev if strict else F.col(value_col) < prev),
+        1,
+    ).otherwise(0)
+    return (
+        d.withColumn("_bad", bad)
+        .groupBy(key_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("_bad").cast("long").alias("n_inversions"),
+        )
+        .withColumn("monotonic", F.col("n_inversions") == 0)
+    )
