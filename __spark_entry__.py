@@ -3071,6 +3071,29 @@ def q86_correlation_profile(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("col_a", "col_b")
 
 
+def q87_order_violations(spark: SparkSession, sf: str) -> DataFrame:
+    """Sequence-integrity rule (operators/sequences.order_violations):
+    per customer, ordered by o_orderkey, count adjacent pairs where
+    o_orderdate REGRESSES — the 'revision counter must not go back'
+    family (ingest_seq vs ingest time on the clips table is the
+    production shape). One lag-window shuffle shared with the
+    per-key rollup; summarized to a compact distribution (customers
+    by inversion count) so the oracle compare is tight at any SF."""
+    from data_validator_spark.operators.sequences import order_violations
+
+    o = _t(spark, sf, "orders")
+    per_key = order_violations(o, "o_custkey", "o_orderkey", "o_orderdate")
+    return (
+        per_key.groupBy("n_inversions")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.sum("n_rows").cast("long").alias("n_orders"),
+            F.sum(F.col("monotonic").cast("long")).cast("long").alias("n_monotonic"),
+        )
+        .orderBy("n_inversions")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -3159,6 +3182,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q84_cms_freq": q84_cms_freq,
         "q85_interval_windows": q85_interval_windows,
         "q86_correlation_profile": q86_correlation_profile,
+        "q87_order_violations": q87_order_violations,
     }
 
 
@@ -4470,6 +4494,27 @@ _ORACLES: dict[str, str] = {
         )
         SELECT col_a, col_b, round(c, 6) AS corr, n::BIGINT AS n_rows
         FROM pairs ORDER BY col_a, col_b
+    """,
+    "q87_order_violations": """
+        WITH d AS (
+          SELECT o_custkey, o_orderkey, o_orderdate
+          FROM orders
+          WHERE o_orderkey IS NOT NULL AND o_orderdate IS NOT NULL
+        ), lagged AS (
+          SELECT o_custkey,
+                 CASE WHEN lag(o_orderdate) OVER w IS NOT NULL
+                        AND o_orderdate < lag(o_orderdate) OVER w
+                      THEN 1 ELSE 0 END AS bad
+          FROM d WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
+        ), per_key AS (
+          SELECT o_custkey, count(*) AS n_rows, sum(bad) AS n_inversions
+          FROM lagged GROUP BY 1
+        )
+        SELECT n_inversions::BIGINT AS n_inversions,
+               count(*)::BIGINT AS n_customers,
+               sum(n_rows)::BIGINT AS n_orders,
+               sum((n_inversions = 0)::INT)::BIGINT AS n_monotonic
+        FROM per_key GROUP BY 1 ORDER BY 1
     """,
     "q70_video_features": """
         WITH base AS (

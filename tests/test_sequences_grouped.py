@@ -114,3 +114,28 @@ def test_session_stats_single_exchange(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     n = sum(1 for l in plan.splitlines() if "Exchange hashpartitioning" in l)
     assert n == 1, plan
+
+
+def test_order_violations_semantics(spark):
+    from data_validator_spark.operators.sequences import order_violations
+
+    df = spark.createDataFrame(
+        [
+            ("a", 1, 10), ("a", 2, 20), ("a", 3, 15),  # one regression
+            ("b", 1, 5), ("b", 2, 5),                   # ties: ok unless strict
+            ("c", 1, 9), ("c", 2, None),                # null value excluded
+        ],
+        "k string, seq int, v int",
+    )
+    got = {
+        r["k"]: (r["n_rows"], r["n_inversions"], r["monotonic"])
+        for r in order_violations(df, "k", "seq", "v").collect()
+    }
+    assert got["a"] == (3, 1, False)
+    assert got["b"] == (2, 0, True)
+    assert got["c"] == (1, 0, True)
+    strict = {
+        r["k"]: r["n_inversions"]
+        for r in order_violations(df, "k", "seq", "v", strict=True).collect()
+    }
+    assert strict["b"] == 1  # tie counts under strict
