@@ -3094,6 +3094,57 @@ def q87_order_violations(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q88_fd_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """Functional-dependency mining (operators/consistency.fd_profile):
+    four candidate 'A determines B' rules across the warehouse — one
+    that genuinely holds (nation key -> region key) and three that do
+    not — each summarized to (n_keys, n_violating_keys, rate,
+    max_variants) by one hash aggregate per candidate. The generic
+    form of the reference's hard-coded agreement checks (a run's
+    task_id must agree with its variant's task)."""
+    from data_validator_spark.operators.consistency import fd_profile
+
+    return fd_profile(
+        {
+            "customer.nationkey->mktsegment": (
+                _t(spark, sf, "customer"), ["c_nationkey"], "c_mktsegment"),
+            "lineitem.orderkey->returnflag": (
+                _t(spark, sf, "lineitem"), ["l_orderkey"], "l_returnflag"),
+            "nation.nationkey->regionkey": (
+                _t(spark, sf, "nation"), ["n_nationkey"], "n_regionkey"),
+            "orders.custkey->orderpriority": (
+                _t(spark, sf, "orders"), ["o_custkey"], "o_orderpriority"),
+        }
+    ).orderBy("fd_name")
+
+
+def q89_snapshot_reconcile(spark: SparkSession, sf: str) -> DataFrame:
+    """Snapshot reconciliation (operators/consistency.reconcile): the
+    post-rewrite audit — per-month order counts and exact revenue
+    cents from the full orders table vs a 'rewritten' copy that lost
+    every 97th order key. Full-outer join on the month key, one
+    verdict row per failing measure, integer-cent measures so the
+    comparison is exact in any engine."""
+    from data_validator_spark.operators.consistency import reconcile
+
+    o = _t(spark, sf, "orders")
+    def monthly(df):
+        return df.groupBy(
+            F.date_format("o_orderdate", "yyyy-MM").alias("ym")
+        ).agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("revenue_cents"),
+        )
+
+    left = monthly(o)
+    right = monthly(o.filter(F.col("o_orderkey") % 97 != 0))
+    return reconcile(left, right, ["ym"], ["n_orders", "revenue_cents"]).orderBy(
+        "ym", "measure"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -3183,6 +3234,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q85_interval_windows": q85_interval_windows,
         "q86_correlation_profile": q86_correlation_profile,
         "q87_order_violations": q87_order_violations,
+        "q88_fd_profile": q88_fd_profile,
+        "q89_snapshot_reconcile": q89_snapshot_reconcile,
     }
 
 
@@ -4515,6 +4568,81 @@ _ORACLES: dict[str, str] = {
                sum(n_rows)::BIGINT AS n_orders,
                sum((n_inversions = 0)::INT)::BIGINT AS n_monotonic
         FROM per_key GROUP BY 1 ORDER BY 1
+    """,
+    "q88_fd_profile": """
+        WITH cand AS (
+          SELECT 'customer.nationkey->mktsegment' AS fd_name,
+                 c_nationkey AS k, c_mktsegment AS v
+          FROM customer WHERE c_nationkey IS NOT NULL
+          UNION ALL
+          SELECT 'lineitem.orderkey->returnflag', l_orderkey, l_returnflag
+          FROM lineitem WHERE l_orderkey IS NOT NULL
+          UNION ALL
+          SELECT 'nation.nationkey->regionkey', n_nationkey, n_regionkey
+          FROM nation WHERE n_nationkey IS NOT NULL
+          UNION ALL
+          SELECT 'orders.custkey->orderpriority', o_custkey, o_orderpriority
+          FROM orders WHERE o_custkey IS NOT NULL
+        ), per_key AS (
+          SELECT fd_name, k, count(DISTINCT v) AS nv
+          FROM cand GROUP BY 1, 2
+        )
+        SELECT fd_name,
+               count(*)::BIGINT AS n_keys,
+               sum((nv > 1)::INT)::BIGINT AS n_violating_keys,
+               max(nv)::BIGINT AS max_variants,
+               round(sum((nv > 1)::INT) / count(*), 6) AS violation_rate
+        FROM per_key GROUP BY 1 ORDER BY 1
+    """,
+    "q89_snapshot_reconcile": """
+        WITH l AS (
+          SELECT strftime(o_orderdate, '%Y-%m') AS ym,
+                 count(*)::BIGINT AS n_orders,
+                 sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT AS revenue_cents
+          FROM orders GROUP BY 1
+        ), r AS (
+          SELECT strftime(o_orderdate, '%Y-%m') AS ym,
+                 count(*)::BIGINT AS n_orders,
+                 sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT AS revenue_cents
+          FROM orders WHERE o_orderkey % 97 <> 0 GROUP BY 1
+        ), j AS (
+          SELECT coalesce(l.ym, r.ym) AS ym,
+                 l.ym IS NOT NULL AS in_l, r.ym IS NOT NULL AS in_r,
+                 l.n_orders AS l_n, r.n_orders AS r_n,
+                 l.revenue_cents AS l_rc, r.revenue_cents AS r_rc
+          FROM l FULL JOIN r ON l.ym = r.ym
+        ), fails AS (
+          SELECT ym, in_l, in_r,
+                 [x FOR x IN [
+                   CASE WHEN (l_n IS NULL) <> (r_n IS NULL)
+                          OR abs(l_n - r_n) > 0
+                        THEN {'measure': 'n_orders',
+                              'left_value': l_n::DOUBLE,
+                              'right_value': r_n::DOUBLE,
+                              'abs_diff': abs(l_n - r_n)::DOUBLE} END,
+                   CASE WHEN (l_rc IS NULL) <> (r_rc IS NULL)
+                          OR abs(l_rc - r_rc) > 0
+                        THEN {'measure': 'revenue_cents',
+                              'left_value': l_rc::DOUBLE,
+                              'right_value': r_rc::DOUBLE,
+                              'abs_diff': abs(l_rc - r_rc)::DOUBLE} END
+                 ] IF x IS NOT NULL] AS f
+          FROM j
+        ), statused AS (
+          SELECT ym,
+                 CASE WHEN NOT in_l THEN 'missing_left'
+                      WHEN NOT in_r THEN 'missing_right'
+                      WHEN len(f) > 0 THEN 'mismatch'
+                      ELSE 'match' END AS status,
+                 CASE WHEN in_l AND in_r AND len(f) > 0 THEN f
+                      ELSE [NULL] END AS detail
+          FROM fails
+        )
+        SELECT ym, status,
+               d.measure AS measure, d.left_value AS left_value,
+               d.right_value AS right_value, d.abs_diff AS abs_diff
+        FROM statused, unnest(detail) AS t(d)
+        ORDER BY ym, measure
     """,
     "q70_video_features": """
         WITH base AS (
