@@ -3145,6 +3145,28 @@ def q89_snapshot_reconcile(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q90_sequence_gaps(spark: SparkSession, sf: str) -> DataFrame:
+    """Sequence-completeness audit (operators/sequences.gap_report):
+    line numbers per order are consecutive 1..N by construction, so a
+    quantity filter punches realistic holes — the 'which ingest_seq
+    values never arrived' rule. Per-key gap/missing/dup counts from a
+    single lag window, summarized to the (n_gaps, n_missing)
+    distribution so the oracle compare stays tight at any SF."""
+    from data_validator_spark.operators.sequences import gap_report
+
+    li = _t(spark, sf, "lineitem").filter(F.col("l_quantity") > 25)
+    per_key = gap_report(li, "l_orderkey", "l_linenumber")
+    return (
+        per_key.groupBy("n_gaps", "n_missing")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_keys"),
+            F.sum("n_rows").cast("long").alias("n_rows"),
+            F.sum(F.col("complete").cast("long")).cast("long").alias("n_complete"),
+        )
+        .orderBy("n_gaps", "n_missing")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -3236,6 +3258,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q87_order_violations": q87_order_violations,
         "q88_fd_profile": q88_fd_profile,
         "q89_snapshot_reconcile": q89_snapshot_reconcile,
+        "q90_sequence_gaps": q90_sequence_gaps,
     }
 
 
@@ -4643,6 +4666,28 @@ _ORACLES: dict[str, str] = {
                d.right_value AS right_value, d.abs_diff AS abs_diff
         FROM statused, unnest(detail) AS t(d)
         ORDER BY ym, measure
+    """,
+    "q90_sequence_gaps": """
+        WITH d AS (
+          SELECT l_orderkey AS k, l_linenumber::BIGINT AS s
+          FROM lineitem
+          WHERE l_quantity > 25 AND l_linenumber IS NOT NULL
+        ), lagged AS (
+          SELECT k, s, lag(s) OVER w AS p
+          FROM d WINDOW w AS (PARTITION BY k ORDER BY s)
+        ), per_key AS (
+          SELECT k,
+                 count(*) AS n_rows,
+                 sum((p IS NULL OR s <> p)::INT) AS n_distinct,
+                 sum((p IS NOT NULL AND s - p > 1)::INT) AS n_gaps,
+                 sum(greatest(0, s - p - 1)) AS n_missing
+          FROM lagged GROUP BY 1
+        )
+        SELECT n_gaps::BIGINT AS n_gaps, n_missing::BIGINT AS n_missing,
+               count(*)::BIGINT AS n_keys,
+               sum(n_rows)::BIGINT AS n_rows,
+               sum((n_missing = 0 AND n_rows = n_distinct)::INT)::BIGINT AS n_complete
+        FROM per_key GROUP BY 1, 2 ORDER BY 1, 2
     """,
     "q70_video_features": """
         WITH base AS (

@@ -161,3 +161,54 @@ def order_violations(
         )
         .withColumn("monotonic", F.col("n_inversions") == 0)
     )
+
+
+def gap_report(
+    df: DataFrame,
+    key_col: str,
+    seq_col: str,
+) -> DataFrame:
+    """Per-key completeness of an integer sequence: -> (key, n_rows,
+    n_distinct, min_seq, max_seq, n_gaps, n_missing, n_dups,
+    complete boolean).
+
+    The 'did every ingest_seq arrive exactly once' rule: a key is
+    complete when its distinct seq values form the full consecutive
+    range [min_seq, max_seq] with no duplicates. n_gaps counts gap
+    RUNS (adjacent distinct values more than 1 apart), n_missing the
+    total absent values, n_dups the surplus rows beyond one per value.
+    NULL seq rows are excluded (completeness-of-presence is the null
+    rules' job). ONE shuffle: a single lag window on the key computes
+    distinct/gap/missing in the same pass as min/max — no separate
+    distinct aggregation.
+    """
+    d = df.filter(F.col(seq_col).isNotNull()).select(
+        F.col(key_col).alias("_k"), F.col(seq_col).cast("long").alias("_s")
+    )
+    w = Window.partitionBy("_k").orderBy(F.col("_s").asc())
+    prev = F.lag("_s").over(w)
+    is_new = prev.isNull() | (F.col("_s") != prev)
+    gap = (prev.isNotNull() & (F.col("_s") - prev > 1)).cast("long")
+    missing = F.greatest(F.lit(0), F.col("_s") - prev - 1)
+    return (
+        d.select(
+            "_k",
+            "_s",
+            is_new.cast("long").alias("_new"),
+            gap.alias("_gap"),
+            missing.alias("_miss"),
+        )
+        .groupBy(F.col("_k").alias(key_col))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("_new").cast("long").alias("n_distinct"),
+            F.min("_s").cast("long").alias("min_seq"),
+            F.max("_s").cast("long").alias("max_seq"),
+            F.sum("_gap").cast("long").alias("n_gaps"),
+            F.sum("_miss").cast("long").alias("n_missing"),
+        )
+        .withColumn("n_dups", F.col("n_rows") - F.col("n_distinct"))
+        .withColumn(
+            "complete", (F.col("n_missing") == 0) & (F.col("n_dups") == 0)
+        )
+    )

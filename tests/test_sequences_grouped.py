@@ -139,3 +139,33 @@ def test_order_violations_semantics(spark):
         for r in order_violations(df, "k", "seq", "v", strict=True).collect()
     }
     assert strict["b"] == 1  # tie counts under strict
+
+
+def test_gap_report_semantics(spark):
+    from data_validator_spark.operators.sequences import gap_report
+
+    df = spark.createDataFrame(
+        [
+            ("a", 1), ("a", 2), ("a", 3),   # complete
+            ("b", 1), ("b", 3), ("b", 7),   # 2 gap runs, 4 missing
+            ("c", 5), ("c", 5), ("c", 6),   # one dup
+            ("d", None),                    # null seq excluded entirely
+        ],
+        "k string, s int",
+    )
+    got = {r["k"]: r for r in gap_report(df, "k", "s").collect()}
+    assert set(got) == {"a", "b", "c"}
+    a, b, c = got["a"], got["b"], got["c"]
+    assert (a["n_gaps"], a["n_missing"], a["n_dups"], a["complete"]) == (0, 0, 0, True)
+    assert (b["n_gaps"], b["n_missing"], b["complete"]) == (2, 4, False)
+    assert (b["min_seq"], b["max_seq"], b["n_distinct"]) == (1, 7, 3)
+    assert (c["n_dups"], c["n_missing"], c["complete"]) == (1, 0, False)
+
+
+def test_gap_report_single_exchange(spark):
+    from data_validator_spark.operators.sequences import gap_report
+
+    df = spark.createDataFrame([("a", 1)], "k string, s int")
+    plan = gap_report(df, "k", "s")._jdf.queryExecution().executedPlan().toString()
+    n = sum(1 for l in plan.splitlines() if "Exchange hashpartitioning" in l)
+    assert n == 1, plan
