@@ -3167,6 +3167,31 @@ def q90_sequence_gaps(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q91_benford(spark: SparkSession, sf: str) -> DataFrame:
+    """Benford first-digit conformance (operators/drift.benford_test):
+    the fabricated-amounts screen over four monetary/quantity columns
+    — multi-magnitude prices conform, the 1..50 quantity column
+    cannot. Digit extraction is integer-string based (no float log10)
+    so any engine replays it bit-for-bit; all columns share one
+    unpivot + one (column, digit) aggregate."""
+    from data_validator_spark.operators.drift import benford_test
+
+    o = _t(spark, sf, "orders").select(F.col("o_totalprice").alias("total_price"))
+    li = _t(spark, sf, "lineitem").select(
+        F.col("l_extendedprice").alias("extended_price"),
+        F.col("l_quantity").alias("quantity"),
+    )
+    c = _t(spark, sf, "customer").select(F.col("c_acctbal").alias("acctbal"))
+    parts = [
+        benford_test(o, ["total_price"]),
+        benford_test(li, ["extended_price", "quantity"]),
+        benford_test(c, ["acctbal"]),
+    ]
+    from functools import reduce
+
+    return reduce(DataFrame.unionByName, parts).orderBy("column_name")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -3259,6 +3284,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q88_fd_profile": q88_fd_profile,
         "q89_snapshot_reconcile": q89_snapshot_reconcile,
         "q90_sequence_gaps": q90_sequence_gaps,
+        "q91_benford": q91_benford,
     }
 
 
@@ -4688,6 +4714,43 @@ _ORACLES: dict[str, str] = {
                sum(n_rows)::BIGINT AS n_rows,
                sum((n_missing = 0 AND n_rows = n_distinct)::INT)::BIGINT AS n_complete
         FROM per_key GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    "q91_benford": """
+        WITH vals AS (
+          SELECT 'total_price' AS column_name, o_totalprice AS v FROM orders
+          UNION ALL
+          SELECT 'extended_price', l_extendedprice FROM lineitem
+          UNION ALL
+          SELECT 'quantity', l_quantity FROM lineitem
+          UNION ALL
+          SELECT 'acctbal', c_acctbal FROM customer
+        ), digits AS (
+          SELECT column_name,
+                 substr(CAST(CAST(trunc(abs(v)) AS BIGINT) AS VARCHAR), 1, 1)::INT AS digit
+          FROM vals WHERE v IS NOT NULL AND trunc(abs(v)) >= 1
+        ), obs AS (
+          SELECT column_name, digit, count(*)::BIGINT AS obs
+          FROM digits GROUP BY 1, 2
+        ), dense AS (
+          SELECT c.column_name, d.digit, coalesce(o.obs, 0) AS obs,
+                 log10(1.0 + 1.0 / d.digit) AS p
+          FROM (SELECT DISTINCT column_name FROM obs) c
+          CROSS JOIN (SELECT unnest(generate_series(1, 9)) AS digit) d
+          LEFT JOIN obs o ON o.column_name = c.column_name AND o.digit = d.digit
+        ), totals AS (
+          SELECT column_name, digit, obs, p,
+                 sum(obs) OVER (PARTITION BY column_name) AS n
+          FROM dense
+        )
+        SELECT column_name,
+               max(n)::BIGINT AS n,
+               round(sum(pow(obs - n * p, 2) / (n * p)), 6) AS chi2,
+               round(avg(abs(obs / n - p)), 6) AS mad,
+               CASE WHEN round(avg(abs(obs / n - p)), 6) <= 0.006 THEN 'close'
+                    WHEN round(avg(abs(obs / n - p)), 6) <= 0.012 THEN 'acceptable'
+                    WHEN round(avg(abs(obs / n - p)), 6) <= 0.015 THEN 'marginal'
+                    ELSE 'nonconforming' END AS verdict
+        FROM totals GROUP BY 1 ORDER BY 1
     """,
     "q70_video_features": """
         WITH base AS (

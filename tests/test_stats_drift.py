@@ -249,3 +249,45 @@ def test_correlation_profile_values_and_single_scan(spark):
     # one scan: a single Aggregate pair, no join/union of per-pair jobs
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Union" not in plan and "Join" not in plan, plan
+
+
+def test_benford_discriminates(spark):
+    import numpy as np
+
+    from data_validator_spark.operators.drift import benford_test
+
+    rng = np.random.RandomState(7)
+    rows = [
+        (float(b), float(u))
+        for b, u in zip(
+            np.exp(rng.uniform(0, 14, 5000)),   # log-uniform: Benford-natural
+            rng.uniform(100, 999, 5000),        # uniform 3-digit: fabricated
+        )
+    ]
+    df = spark.createDataFrame(rows, "nat double, fab double")
+    got = {r["column_name"]: r for r in benford_test(df, ["nat", "fab"]).collect()}
+    assert got["nat"]["verdict"] in ("close", "acceptable")
+    assert got["fab"]["verdict"] == "nonconforming"
+    assert got["fab"]["chi2"] > got["nat"]["chi2"]
+    assert got["nat"]["n"] == 5000
+
+
+def test_benford_excludes_sub_unit_and_null(spark):
+    from data_validator_spark.operators.drift import benford_test
+
+    df = spark.createDataFrame(
+        [(0.5,), (0.0,), (None,), (123.0,), (-456.0,)], "v double"
+    )
+    row = benford_test(df, ["v"]).collect()[0]
+    assert row["n"] == 2  # only 123 and -456 qualify; sign ignored
+
+
+def test_benford_missing_digit_counted(spark):
+    # a column whose values all start with 1 must still pay the
+    # (0 - n*p)^2 penalty for digits 2..9
+    from data_validator_spark.operators.drift import benford_test
+
+    df = spark.createDataFrame([(float(v),) for v in [10, 11, 12, 150, 1999]], "v double")
+    row = benford_test(df, ["v"]).collect()[0]
+    assert row["verdict"] == "nonconforming"
+    assert row["chi2"] > 0
