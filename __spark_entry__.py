@@ -3192,6 +3192,21 @@ def q91_benford(spark: SparkSession, sf: str) -> DataFrame:
     return reduce(DataFrame.unionByName, parts).orderBy("column_name")
 
 
+def q92_robust_outliers(spark: SparkSession, sf: str) -> DataFrame:
+    """Median/MAD modified-z outlier rule (operators/stats.
+    robust_outliers): heavy-tail-immune complement of the IQR rule —
+    per order priority, how many order totals sit beyond 3.5 robust
+    z-scores. Exact-median mode here so DuckDB replays it bit-for-bit
+    (the approx sketch path is the scale default, tolerance-gated by
+    the q49 pattern)."""
+    from data_validator_spark.operators.stats import robust_outliers
+
+    o = _t(spark, sf, "orders")
+    return robust_outliers(
+        o, "o_orderpriority", "o_totalprice", approx=False
+    ).orderBy("o_orderpriority")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -3285,6 +3300,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q89_snapshot_reconcile": q89_snapshot_reconcile,
         "q90_sequence_gaps": q90_sequence_gaps,
         "q91_benford": q91_benford,
+        "q92_robust_outliers": q92_robust_outliers,
     }
 
 
@@ -4751,6 +4767,31 @@ _ORACLES: dict[str, str] = {
                     WHEN round(avg(abs(obs / n - p)), 6) <= 0.015 THEN 'marginal'
                     ELSE 'nonconforming' END AS verdict
         FROM totals GROUP BY 1 ORDER BY 1
+    """,
+    "q92_robust_outliers": """
+        WITH d AS (
+          SELECT o_orderpriority AS g, o_totalprice::DOUBLE AS v
+          FROM orders WHERE o_totalprice IS NOT NULL
+        ), med AS (
+          SELECT g, median(v) AS m FROM d GROUP BY 1
+        ), dev AS (
+          SELECT d.g, abs(v - m) AS dv, m FROM d JOIN med USING (g)
+        ), mad AS (
+          SELECT g, median(dv) AS md FROM dev GROUP BY 1
+        ), scored AS (
+          SELECT dev.g, dev.m, mad.md,
+                 CASE WHEN mad.md > 0
+                      THEN abs(0.6745 * dev.dv / mad.md) > 3.5
+                      ELSE dev.dv > 0 END AS is_out
+          FROM dev JOIN mad USING (g)
+        )
+        SELECT g AS o_orderpriority,
+               count(*)::BIGINT AS n,
+               round(max(m), 6) AS median,
+               round(max(md), 6) AS mad,
+               sum(is_out::INT)::BIGINT AS n_outliers,
+               round(sum(is_out::INT) / count(*), 6) AS outlier_rate
+        FROM scored GROUP BY 1 ORDER BY 1
     """,
     "q70_video_features": """
         WITH base AS (

@@ -395,3 +395,63 @@ def correlation_profile(df: DataFrame, cols: Sequence[str]) -> DataFrame:
         for i, (a, b) in enumerate(pairs)
     ]
     return wide.select(F.explode(F.array(*structs)).alias("s")).select("s.*")
+
+
+def robust_outliers(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    z_thresh: float = 3.5,
+    approx: bool = True,
+    accuracy: int = 10000,
+) -> DataFrame:
+    """Median/MAD outlier detection per group: -> (group, n, median,
+    mad, n_outliers, outlier_rate).
+
+    The robust complement of the IQR rule (grouped.py / q19): modified
+    z-score 0.6745*(x - median)/MAD with the standard 3.5 threshold —
+    immune to the outliers themselves inflating the spread, which is
+    exactly the failure mode of stddev-based rules on heavy-tailed
+    duration/price columns. Degenerate groups (MAD = 0, i.e. >50% of
+    values identical) fall back to flagging ANY deviation from the
+    median, which is the right reading when a column is supposed to be
+    constant per group.
+
+    approx=True (the scale path) uses percentile_approx sketches for
+    both medians — mergeable, bounded memory, one pass each.
+    approx=False computes exact medians for small groups or oracle
+    probes. Either way the shape is: per-group median (agg) ->
+    broadcast back -> per-group MAD (agg) -> broadcast back -> count;
+    the per-group tables are tiny relative to the fact table, so AQE
+    broadcasts them and the fact table is scanned twice but SHUFFLED
+    zero times on the value column.
+    """
+    def _median_of(col: str) -> Column:
+        return (
+            F.percentile_approx(col, 0.5, accuracy) if approx else F.median(col)
+        )
+
+    d = df.filter(F.col(value_col).isNotNull()).select(
+        F.col(group_col).alias("_g"), F.col(value_col).cast("double").alias("_v")
+    )
+    med = d.groupBy("_g").agg(_median_of("_v").cast("double").alias("median"))
+    with_med = d.join(F.broadcast(med), "_g")
+    dev = with_med.withColumn("_dev", F.abs(F.col("_v") - F.col("median")))
+    mad = dev.groupBy("_g").agg(_median_of("_dev").cast("double").alias("mad"))
+    scored = dev.join(F.broadcast(mad), "_g").withColumn(
+        "_out",
+        F.when(
+            F.col("mad") > 0,
+            F.abs(F.lit(0.6745) * F.col("_dev") / F.col("mad")) > z_thresh,
+        ).otherwise(F.col("_dev") > 0),
+    )
+    return (
+        scored.groupBy(F.col("_g").alias(group_col))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.first("median"), 6).alias("median"),
+            F.round(F.first("mad"), 6).alias("mad"),
+            F.sum(F.col("_out").cast("long")).cast("long").alias("n_outliers"),
+        )
+        .withColumn("outlier_rate", F.round(F.col("n_outliers") / F.col("n"), 6))
+    )

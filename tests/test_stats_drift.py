@@ -291,3 +291,33 @@ def test_benford_missing_digit_counted(spark):
     row = benford_test(df, ["v"]).collect()[0]
     assert row["verdict"] == "nonconforming"
     assert row["chi2"] > 0
+
+
+def test_robust_outliers_exact_and_degenerate(spark):
+    from data_validator_spark.operators.stats import robust_outliers
+
+    rows = [("a", float(v)) for v in [10, 11, 12, 13, 14, 9, 8, 10, 11, 1000]] + [
+        ("b", 5.0)
+    ] * 10 + [("b", 99.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = {r["g"]: r for r in robust_outliers(df, "g", "v", approx=False).collect()}
+    a = got["a"]
+    # deviations from median 11 sorted: [0,0,1,1,1,2,2,3,3,989] -> MAD 1.5
+    assert (a["median"], a["mad"], a["n_outliers"]) == (11.0, 1.5, 1)
+    b = got["b"]  # MAD=0 degenerate group: any deviation flagged
+    assert (b["mad"], b["n_outliers"]) == (0.0, 1)
+
+
+def test_robust_outliers_approx_close_to_exact(spark):
+    import numpy as np
+
+    from data_validator_spark.operators.stats import robust_outliers
+
+    rng = np.random.RandomState(3)
+    vals = list(rng.normal(100, 10, 4000)) + [500.0, -300.0]
+    df = spark.createDataFrame([("g", float(v)) for v in vals], "g string, v double")
+    exact = robust_outliers(df, "g", "v", approx=False).collect()[0]
+    approx = robust_outliers(df, "g", "v", approx=True).collect()[0]
+    assert abs(exact["median"] - approx["median"]) < 1.0
+    assert abs(exact["n_outliers"] - approx["n_outliers"]) <= 2
+    assert exact["n_outliers"] >= 2  # the two planted extremes
