@@ -3207,6 +3207,23 @@ def q92_robust_outliers(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("o_orderpriority")
 
 
+def q93_suggest_constraints(spark: SparkSession, sf: str) -> DataFrame:
+    """Constraint suggestion (operators/suggest.suggest_constraints,
+    Deequ's ConstraintSuggestionRunner shape): profile the customer
+    table in ONE fused aggregate and propose the rules a validator
+    should enforce — key candidates, null contracts, numeric
+    envelopes, low-cardinality value sets. Exact-distinct mode so the
+    oracle replays every suggestion decision."""
+    from data_validator_spark.operators.suggest import suggest_constraints
+
+    c = _t(spark, sf, "customer")
+    return suggest_constraints(
+        c,
+        cols=["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"],
+        exact=True,
+    ).orderBy("column_name", "constraint")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -3301,6 +3318,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q90_sequence_gaps": q90_sequence_gaps,
         "q91_benford": q91_benford,
         "q92_robust_outliers": q92_robust_outliers,
+        "q93_suggest_constraints": q93_suggest_constraints,
     }
 
 
@@ -4792,6 +4810,50 @@ _ORACLES: dict[str, str] = {
                sum(is_out::INT)::BIGINT AS n_outliers,
                round(sum(is_out::INT) / count(*), 6) AS outlier_rate
         FROM scored GROUP BY 1 ORDER BY 1
+    """,
+    "q93_suggest_constraints": """
+        WITH s AS (
+          SELECT count(*) AS n,
+                 count(c_custkey) AS nn1, count(DISTINCT c_custkey) AS nd1,
+                 min(c_custkey)::DOUBLE AS lo1, max(c_custkey)::DOUBLE AS hi1,
+                 count(c_name) AS nn2, count(DISTINCT c_name) AS nd2,
+                 count(c_nationkey) AS nn3, count(DISTINCT c_nationkey) AS nd3,
+                 min(c_nationkey)::DOUBLE AS lo3, max(c_nationkey)::DOUBLE AS hi3,
+                 count(c_acctbal) AS nn4, count(DISTINCT c_acctbal) AS nd4,
+                 min(c_acctbal)::DOUBLE AS lo4, max(c_acctbal)::DOUBLE AS hi4,
+                 count(c_mktsegment) AS nn5, count(DISTINCT c_mktsegment) AS nd5
+          FROM customer
+        ), seg AS (
+          SELECT string_agg(v, ',' ORDER BY v) AS allowed
+          FROM (SELECT DISTINCT c_mktsegment AS v FROM customer
+                WHERE c_mktsegment IS NOT NULL)
+        )
+        SELECT * FROM (
+          SELECT 'c_custkey' AS column_name, 'not_null' AS "constraint",
+                 NULL::DOUBLE AS lo, NULL::DOUBLE AS hi, NULL::VARCHAR AS allowed
+          FROM s WHERE nn1 = n
+          UNION ALL SELECT 'c_custkey', 'unique', NULL, NULL, NULL FROM s WHERE nn1 > 0 AND nd1 = nn1
+          UNION ALL SELECT 'c_custkey', 'range', round(lo1, 6), round(hi1, 6), NULL FROM s WHERE nn1 > 0
+          UNION ALL SELECT 'c_custkey', 'non_negative', NULL, NULL, NULL FROM s WHERE nn1 > 0 AND lo1 >= 0
+          UNION ALL SELECT 'c_name', 'not_null', NULL, NULL, NULL FROM s WHERE nn2 = n
+          UNION ALL SELECT 'c_name', 'unique', NULL, NULL, NULL FROM s WHERE nn2 > 0 AND nd2 = nn2
+          UNION ALL SELECT 'c_name', 'is_in', NULL, NULL,
+                 (SELECT string_agg(v, ',' ORDER BY v)
+                  FROM (SELECT DISTINCT c_name AS v FROM customer WHERE c_name IS NOT NULL))
+                 FROM s WHERE nn2 > 0 AND nd2 <= 12 AND nd2 > 0
+          UNION ALL SELECT 'c_nationkey', 'not_null', NULL, NULL, NULL FROM s WHERE nn3 = n
+          UNION ALL SELECT 'c_nationkey', 'unique', NULL, NULL, NULL FROM s WHERE nn3 > 0 AND nd3 = nn3
+          UNION ALL SELECT 'c_nationkey', 'range', round(lo3, 6), round(hi3, 6), NULL FROM s WHERE nn3 > 0
+          UNION ALL SELECT 'c_nationkey', 'non_negative', NULL, NULL, NULL FROM s WHERE nn3 > 0 AND lo3 >= 0
+          UNION ALL SELECT 'c_acctbal', 'not_null', NULL, NULL, NULL FROM s WHERE nn4 = n
+          UNION ALL SELECT 'c_acctbal', 'unique', NULL, NULL, NULL FROM s WHERE nn4 > 0 AND nd4 = nn4
+          UNION ALL SELECT 'c_acctbal', 'range', round(lo4, 6), round(hi4, 6), NULL FROM s WHERE nn4 > 0
+          UNION ALL SELECT 'c_acctbal', 'non_negative', NULL, NULL, NULL FROM s WHERE nn4 > 0 AND lo4 >= 0
+          UNION ALL SELECT 'c_mktsegment', 'not_null', NULL, NULL, NULL FROM s WHERE nn5 = n
+          UNION ALL SELECT 'c_mktsegment', 'unique', NULL, NULL, NULL FROM s WHERE nn5 > 0 AND nd5 = nn5
+          UNION ALL SELECT 'c_mktsegment', 'is_in', NULL, NULL, (SELECT allowed FROM seg)
+                 FROM s WHERE nn5 > 0 AND nd5 <= 12
+        ) ORDER BY column_name, "constraint"
     """,
     "q70_video_features": """
         WITH base AS (

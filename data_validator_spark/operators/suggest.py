@@ -1,0 +1,114 @@
+"""Constraint suggestion: profile a table once and propose the rules
+a validator should enforce on it.
+
+The bootstrap step of a validation engine (Deequ's
+ConstraintSuggestionRunner is the public prior art): instead of a
+human writing `clip_id is unique, sr_hz in {8000..48000}` by hand,
+profile the current snapshot and emit candidate constraints the
+reference's rule families (rules/spec.py) can then enforce and the
+drift suite can watch. Suggested families:
+
+  not_null       zero NULLs observed
+  unique         distinct count == non-null count (key candidate)
+  non_negative   numeric min >= 0
+  range          numeric [min, max] envelope
+  is_in          string column with <= low_card_max distinct values,
+                 the sorted value set attached
+
+Execution shape: ONE fused Aggregate computes every column's
+null/distinct/min/max in a single scan (Catalyst merges the
+expressions; map-side partial aggregation applies). The single stats
+row comes to the driver — one row, not a collect() loop — and only
+the columns that profiled as low-cardinality strings pay a second
+tiny aggregate to fetch their value sets. exact=False (the 10^12-row
+path) swaps count_distinct for the HLL sketch and widens the unique
+test by the sketch's error bound.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_NUMERIC = (
+    T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+    T.FloatType, T.DoubleType, T.DecimalType,
+)
+
+_SCHEMA = (
+    "column_name string, constraint string, lo double, hi double, "
+    "allowed string"
+)
+
+
+def suggest_constraints(
+    df: DataFrame,
+    cols: list[str] | None = None,
+    exact: bool = True,
+    low_card_max: int = 12,
+    hll_rsd: float = 0.02,
+) -> DataFrame:
+    """-> (column_name, constraint, lo, hi, allowed) — one row per
+    suggested constraint, deterministic given the input.
+
+    exact=True uses exact count_distinct (small/medium tables, oracle
+    replays); exact=False uses approx_count_distinct and only claims
+    `unique` when the sketch estimate is within its relative error of
+    the non-null count (a key candidate to CONFIRM with the exact
+    uniqueness operator, not a proof).
+    """
+    spark = df.sparkSession
+    if cols is None:
+        cols = [f.name for f in df.schema.fields]
+    fields = {f.name: f.dataType for f in df.schema.fields}
+
+    aggs = [F.count(F.lit(1)).cast("long").alias("_n")]
+    for c in cols:
+        aggs.append(F.count(F.col(c)).cast("long").alias(f"nn_{c}"))
+        aggs.append(
+            (
+                F.count_distinct(F.col(c))
+                if exact
+                else F.approx_count_distinct(c, hll_rsd)
+            ).cast("long").alias(f"nd_{c}")
+        )
+        if isinstance(fields[c], _NUMERIC):
+            aggs.append(F.min(F.col(c)).cast("double").alias(f"lo_{c}"))
+            aggs.append(F.max(F.col(c)).cast("double").alias(f"hi_{c}"))
+    stats = df.agg(*aggs).collect()[0]
+
+    out: list[tuple] = []
+    low_card_strings: list[str] = []
+    n = stats["_n"]
+    for c in cols:
+        nn, nd = stats[f"nn_{c}"], stats[f"nd_{c}"]
+        if n > 0 and nn == n:
+            out.append((c, "not_null", None, None, None))
+        if nn > 0:
+            unique = (
+                nd == nn if exact else abs(nd - nn) <= 3 * hll_rsd * nn
+            )
+            if unique:
+                out.append((c, "unique", None, None, None))
+        if isinstance(fields[c], _NUMERIC) and nn > 0:
+            lo, hi = stats[f"lo_{c}"], stats[f"hi_{c}"]
+            out.append((c, "range", round(lo, 6), round(hi, 6), None))
+            if lo >= 0:
+                out.append((c, "non_negative", None, None, None))
+        if isinstance(fields[c], T.StringType) and 0 < nd <= low_card_max:
+            low_card_strings.append(c)
+
+    if low_card_strings:
+        sets = df.agg(
+            *[
+                F.array_join(
+                    F.sort_array(F.collect_set(F.col(c).cast("string"))), ","
+                ).alias(c)
+                for c in low_card_strings
+            ]
+        ).collect()[0]
+        for c in low_card_strings:
+            out.append((c, "is_in", None, None, sets[c]))
+
+    return spark.createDataFrame(out, _SCHEMA)

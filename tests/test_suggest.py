@@ -1,0 +1,46 @@
+from data_validator_spark.operators.suggest import suggest_constraints
+
+
+def _by_col(rows):
+    out = {}
+    for r in rows:
+        out.setdefault(r["column_name"], {})[r["constraint"]] = r
+    return out
+
+
+def test_suggest_families(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a", "RED", 5.0),
+            (2, "b", "BLUE", -1.0),
+            (3, "c", "RED", 7.5),
+            (4, None, "BLUE", 2.0),
+        ],
+        "id int, name string, color string, bal double",
+    )
+    got = _by_col(suggest_constraints(df).collect())
+    assert set(got["id"]) == {"not_null", "unique", "range", "non_negative"}
+    assert (got["id"]["range"]["lo"], got["id"]["range"]["hi"]) == (1.0, 4.0)
+    # name: has a null -> no not_null; 3 distinct of 3 non-null -> unique;
+    # low-card string -> is_in over the NON-NULL value set
+    assert set(got["name"]) == {"unique", "is_in"}
+    assert got["name"]["is_in"]["allowed"] == "a,b,c"
+    assert set(got["color"]) == {"not_null", "is_in"}
+    assert got["color"]["is_in"]["allowed"] == "BLUE,RED"
+    # bal: negative min -> range but no non_negative
+    assert set(got["bal"]) == {"not_null", "unique", "range"}
+    assert got["bal"]["range"]["lo"] == -1.0
+
+
+def test_suggest_low_card_threshold(spark):
+    df = spark.createDataFrame([(str(i % 20),) for i in range(100)], "v string")
+    got = _by_col(suggest_constraints(df, low_card_max=12).collect())
+    assert "is_in" not in got.get("v", {})
+    got_wide = _by_col(suggest_constraints(df, low_card_max=25).collect())
+    assert len(got_wide["v"]["is_in"]["allowed"].split(",")) == 20
+
+
+def test_suggest_approx_mode_flags_key_candidate(spark):
+    df = spark.createDataFrame([(i,) for i in range(5000)], "id int")
+    got = _by_col(suggest_constraints(df, exact=False).collect())
+    assert "unique" in got["id"]
