@@ -3224,6 +3224,83 @@ def q93_suggest_constraints(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("column_name", "constraint")
 
 
+def q94_upsample_detection(spark: SparkSession, sf: str) -> DataFrame:
+    """Upsample/bandwidth audit (audio/quality.py bandwidth_hz +
+    audio_upsampled rule): 120 deterministic noise clips — half
+    genuinely full-band, half synthesized at rate/8 and linearly
+    interpolated up (the classic '8 kHz telephony shipped in a 48 kHz
+    container' defect) — through the SHIPPED fused quality pass with
+    the opt-in upsample rule at 0.25x Nyquist. Planted counts are
+    config-determined, so the oracle is literal; bandwidth ratios are
+    additionally bounded per class (fullband > 0.9, upsampled <
+    0.25) to pin the feature itself, not just the flag."""
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        from data_validator_spark.audio import codecs
+
+        srs = [16000, 44100, 48000]
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                planted = ["fullband", "upsampled"][i % 2]
+                sr = srs[(i // 2) % 3]
+                n = sr // 3 + (i * 53) % 1600
+                rng = np.random.RandomState(1000 + i)
+                if planted == "fullband":
+                    pcm = (rng.standard_normal(n) * 0.2).astype(np.float32)
+                else:
+                    low = rng.standard_normal(max(2, n // 8)) * 0.2
+                    pcm = np.interp(
+                        np.arange(n) / 8.0, np.arange(len(low)), low
+                    ).astype(np.float32)
+                pcm = np.clip(pcm, -1, 1)
+                codec = ["pcm16", "flac"][(i // 6) % 2]
+                rows.append(
+                    (f"q94-{i:05d}", codec, sr, codecs.encode(codec, pcm, sr), planted)
+                )
+            yield pd.DataFrame(
+                rows, columns=["clip_id", "codec", "sr_hz", "bytes", "planted"]
+            )
+
+    from data_validator_spark.audio.quality import run_quality_checks
+
+    clips = spark.range(0, 120, numPartitions=8).mapInPandas(
+        gen,
+        "clip_id string, codec string, sr_hz int, bytes binary, planted string",
+    )
+    q = run_quality_checks(clips, upsample_min_ratio=0.25)
+    ratio = F.col("bandwidth_hz") / (F.col("sr_hz") / 2.0)
+    return (
+        q.groupBy("planted")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(
+                F.when(
+                    F.coalesce(F.col("_quality_labels"), F.lit("")).contains(
+                        "audio_upsampled("
+                    ),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_upsample_flag"),
+            F.min(
+                F.when(F.col("planted") == "fullband", ratio > 0.9).otherwise(
+                    ratio < 0.25
+                )
+            ).alias("all_bw_in_class_bounds"),
+            (F.sum(F.col("audio_decode_error").isNotNull().cast("long")) == 0).alias(
+                "all_decoded"
+            ),
+        )
+        .orderBy("planted")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -3319,6 +3396,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q91_benford": q91_benford,
         "q92_robust_outliers": q92_robust_outliers,
         "q93_suggest_constraints": q93_suggest_constraints,
+        "q94_upsample_detection": q94_upsample_detection,
     }
 
 
@@ -4854,6 +4932,14 @@ _ORACLES: dict[str, str] = {
           UNION ALL SELECT 'c_mktsegment', 'is_in', NULL, NULL, (SELECT allowed FROM seg)
                  FROM s WHERE nn5 > 0 AND nd5 <= 12
         ) ORDER BY column_name, "constraint"
+    """,
+    "q94_upsample_detection": """
+        SELECT * FROM (VALUES
+          ('fullband',  60::BIGINT, 0::BIGINT,  true, true),
+          ('upsampled', 60::BIGINT, 60::BIGINT, true, true)
+        ) AS t(planted, n, n_upsample_flag, all_bw_in_class_bounds,
+               all_decoded)
+        ORDER BY planted
     """,
     "q70_video_features": """
         WITH base AS (

@@ -99,6 +99,7 @@ def run_audio_checks(
     clipping_max: float | None = None,
     dc_max: float | None = None,
     silence_max: float | None = None,
+    upsample_min_ratio: float | None = None,
 ) -> DataFrame:
     """Append audio-check outcome columns:
 
@@ -158,6 +159,7 @@ def run_audio_checks(
                 clipping_max if clipping_max is not None else CLIPPING_MAX_RATIO,
                 dc_max if dc_max is not None else DC_OFFSET_MAX,
                 silence_max if silence_max is not None else SILENCE_MAX_RATIO,
+                upsample_min_ratio=upsample_min_ratio,
             ),
         )
     snr_name = f"audio_snr_below_{int(snr_min)}db"

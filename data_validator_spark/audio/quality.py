@@ -53,6 +53,8 @@ SILENCE_FRAME_MS = 20
 SILENCE_RMS_DBFS = -60.0
 SILENCE_MAX_RATIO = 0.5
 
+BANDWIDTH_ENERGY_FRAC = 0.995
+
 _FEATURE_FIELDS = [
     ("clipping_ratio", T.DoubleType()),
     ("dc_offset", T.DoubleType()),
@@ -60,6 +62,7 @@ _FEATURE_FIELDS = [
     ("silence_ratio", T.DoubleType()),
     ("dominant_freq_hz", T.DoubleType()),
     ("spectral_flatness", T.DoubleType()),
+    ("bandwidth_hz", T.DoubleType()),
 ]
 
 _RESULT_SCHEMA = T.StructType(
@@ -99,7 +102,7 @@ def analyze_pcm(pcm: np.ndarray, sr_hz: int) -> dict[str, float]:
     spec = np.abs(np.fft.rfft(x.astype(np.float64)))
     power = spec * spec
     if len(power) > 1:
-        body = power[1:]  # exclude DC from both features
+        body = power[1:]  # exclude DC from all spectral features
         k = int(np.argmax(body)) + 1
         dom = k * sr_hz / n
         am = float(body.mean())
@@ -108,8 +111,18 @@ def analyze_pcm(pcm: np.ndarray, sr_hz: int) -> dict[str, float]:
             if am > 0
             else 1.0
         )
+        total = float(body.sum())
+        if total > 0:
+            # effective bandwidth: lowest frequency below which
+            # BANDWIDTH_ENERGY_FRAC of the (non-DC) energy lies — the
+            # upsample detector's raw material (8 kHz content shipped
+            # in a 48 kHz container rolls off at ~4 kHz, not ~24 kHz)
+            k_bw = int(np.searchsorted(np.cumsum(body), BANDWIDTH_ENERGY_FRAC * total)) + 1
+            bw = k_bw * sr_hz / n
+        else:
+            bw = 0.0
     else:
-        dom, flatness = 0.0, 1.0
+        dom, flatness, bw = 0.0, 1.0, 0.0
     return {
         "clipping_ratio": clipping,
         "dc_offset": dc,
@@ -117,6 +130,7 @@ def analyze_pcm(pcm: np.ndarray, sr_hz: int) -> dict[str, float]:
         "silence_ratio": silence,
         "dominant_freq_hz": float(dom),
         "spectral_flatness": flatness,
+        "bandwidth_hz": float(bw),
     }
 
 
@@ -166,6 +180,7 @@ def quality_labels_expr(
     clipping_max: float = CLIPPING_MAX_RATIO,
     dc_max: float = DC_OFFSET_MAX,
     silence_max: float = SILENCE_MAX_RATIO,
+    upsample_min_ratio: float | None = None,
 ) -> Column:
     """';'-joined soft-tier quality labels (NULL when clean) over the
     named decode-result struct column — the same value-echoing shape
@@ -174,7 +189,37 @@ def quality_labels_expr(
     checks.run_audio_checks(quality=True) path."""
     s = F.col(struct_name)
     decoded = s.getField("decode_error").isNull()
+    # upsample detection is OPT-IN (upsample_min_ratio=None disables):
+    # legitimate narrowband content (a tone, a sine-sweep fixture)
+    # is spectrally indistinguishable from an upsample artifact, so
+    # the threshold is a per-dataset policy, not a universal default.
+    # bandwidth is measured vs the DECODED container rate — a clip
+    # whose content fills its claimed sr_hz but not its real one is
+    # precisely the defect.
+    upsample = (
+        F.when(
+            decoded
+            & (s.getField("container_sr") > 0)
+            & (s.getField("silence_ratio") < 1.0)
+            & (
+                s.getField("bandwidth_hz")
+                < F.lit(upsample_min_ratio) * s.getField("container_sr") / 2.0
+            ),
+            F.concat(
+                F.lit("audio_upsampled("),
+                F.round(
+                    s.getField("bandwidth_hz")
+                    / (s.getField("container_sr") / 2.0),
+                    3,
+                ).cast("string"),
+                F.lit(")"),
+            ),
+        )
+        if upsample_min_ratio is not None
+        else F.lit(None).cast("string")
+    )
     labels = F.array(
+        upsample,
         F.when(
             decoded & (s.getField("clipping_ratio") > clipping_max),
             F.concat(
@@ -210,6 +255,7 @@ def run_quality_checks(
     clipping_max: float = CLIPPING_MAX_RATIO,
     dc_max: float = DC_OFFSET_MAX,
     silence_max: float = SILENCE_MAX_RATIO,
+    upsample_min_ratio: float | None = None,
 ) -> DataFrame:
     """Append quality feature columns + soft-tier labels. Input needs
     (clip_id, codec, sr_hz, bytes); output adds every feature column
@@ -225,4 +271,5 @@ def run_quality_checks(
         clipping_max=clipping_max,
         dc_max=dc_max,
         silence_max=silence_max,
+        upsample_min_ratio=upsample_min_ratio,
     )

@@ -205,3 +205,45 @@ def test_pipeline_check_quality_stage(spark, fixture_paths):
     assert n_b - n_q == (1 if base.validated.filter(
         (F.col("clip_id") == victim["clip_id"]) & F.col("valid_clip")
     ).count() else 0)
+
+
+def test_bandwidth_feature_pure():
+    import numpy as np
+
+    from data_validator_spark.audio.quality import analyze_pcm
+
+    rng = np.random.RandomState(7)
+    sr, n = 48000, 24000
+    full = (rng.standard_normal(n) * 0.2).astype(np.float32)
+    low = rng.standard_normal(n // 8) * 0.2
+    up = np.interp(np.arange(n) / 8.0, np.arange(n // 8), low).astype(np.float32)
+    assert analyze_pcm(full, sr)["bandwidth_hz"] / (sr / 2) > 0.9
+    assert analyze_pcm(up, sr)["bandwidth_hz"] / (sr / 2) < 0.25
+    assert analyze_pcm(np.zeros(n, np.float32), sr)["bandwidth_hz"] == 0.0
+
+
+def test_upsample_rule_opt_in(spark):
+    import numpy as np
+
+    from data_validator_spark.audio import codecs
+    from data_validator_spark.audio.quality import run_quality_checks
+
+    rng = np.random.RandomState(11)
+    sr, n = 16000, 8000
+    full = (rng.standard_normal(n) * 0.2).astype(np.float32)
+    low = rng.standard_normal(n // 8) * 0.2
+    up = np.interp(np.arange(n) / 8.0, np.arange(n // 8), low).astype(np.float32)
+    rows = [
+        ("full-0", "pcm16", sr, codecs.encode("pcm16", full, sr)),
+        ("up-0", "pcm16", sr, codecs.encode("pcm16", up, sr)),
+    ]
+    df = spark.createDataFrame(rows, "clip_id string, codec string, sr_hz int, bytes binary")
+    # default: rule disabled, labels don't mention upsampling
+    off = {r["clip_id"]: r["_quality_labels"] for r in run_quality_checks(df).collect()}
+    assert all(lbl is None or "upsampled" not in lbl for lbl in off.values())
+    on = {
+        r["clip_id"]: r["_quality_labels"]
+        for r in run_quality_checks(df, upsample_min_ratio=0.25).collect()
+    }
+    assert on["up-0"] is not None and "audio_upsampled(" in on["up-0"]
+    assert on["full-0"] is None or "audio_upsampled" not in on["full-0"]
