@@ -3301,6 +3301,67 @@ def q94_upsample_detection(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q95_suggest_enforce(spark: SparkSession, sf: str) -> DataFrame:
+    """Profile -> enforce round trip (rules/derive.
+    rules_from_suggestions): constraints suggested from the CLEAN
+    customer snapshot (q93's operator) are compiled into the standard
+    Rule objects and applied to a deliberately corrupted copy —
+    planted bogus segment labels, decade-shifted balances, nulled
+    names, duplicated keys. Returns per-rule violation counts read
+    back from the compiled validation_msg column, plus the
+    dataset-level uniqueness checks the suggester routed to the
+    global-aggregate tier. The oracle replays the whole loop:
+    thresholds FROM the clean data, counts ON the dirty data."""
+    from data_validator_spark.operators.suggest import suggest_constraints
+    from data_validator_spark.rules import apply_rules
+    from data_validator_spark.rules.derive import rules_from_suggestions
+
+    cols = ["c_custkey", "c_name", "c_acctbal", "c_mktsegment"]
+    clean = _t(spark, sf, "customer").select(cols)
+    rules, checks = rules_from_suggestions(
+        suggest_constraints(clean, cols=cols, exact=True)
+    )
+    k = F.col("c_custkey")
+    base = (
+        clean.withColumn(
+            "c_mktsegment",
+            F.when(k % 50 == 0, F.lit("BOGUS")).otherwise(F.col("c_mktsegment")),
+        )
+        .withColumn(
+            "c_acctbal",
+            F.when(k % 77 == 0, F.col("c_acctbal") + F.lit(10000000.0)).otherwise(
+                F.col("c_acctbal")
+            ),
+        )
+        .withColumn(
+            "c_name",
+            F.when(k % 97 == 0, F.lit(None).cast("string")).otherwise(
+                F.col("c_name")
+            ),
+        )
+    )
+    dirty = base.unionByName(base.filter(k % 113 == 0))
+    v = apply_rules(dirty, rules, "cust")
+    row_counts = v.agg(
+        *[
+            F.sum(F.col("validation_msg_cust").contains(r.name).cast("long"))
+            .cast("long")
+            .alias(r.name)
+            for r in rules
+        ]
+    ).unpivot([], [r.name for r in rules], "rule", "n_violations")
+    uniq_names = [f"unique:{c['column']}" for c in checks]
+    uniq = dirty.agg(
+        *[
+            (F.count(F.col(c["column"])) - F.count_distinct(F.col(c["column"])))
+            .cast("long")
+            .alias(f"unique:{c['column']}")
+            for c in checks
+        ]
+    ).unpivot([], uniq_names, "rule", "n_violations")
+    return row_counts.unionByName(uniq).orderBy("rule")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -3397,6 +3458,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q92_robust_outliers": q92_robust_outliers,
         "q93_suggest_constraints": q93_suggest_constraints,
         "q94_upsample_detection": q94_upsample_detection,
+        "q95_suggest_enforce": q95_suggest_enforce,
     }
 
 
@@ -4940,6 +5002,57 @@ _ORACLES: dict[str, str] = {
         ) AS t(planted, n, n_upsample_flag, all_bw_in_class_bounds,
                all_decoded)
         ORDER BY planted
+    """,
+    "q95_suggest_enforce": """
+        WITH cols AS (
+          SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer
+        ), stats AS (
+          SELECT min(c_acctbal) AS lo_b, max(c_acctbal) AS hi_b,
+                 min(c_custkey) AS lo_k, max(c_custkey) AS hi_k,
+                 count(c_acctbal) AS nn_b, count(DISTINCT c_acctbal) AS nd_b
+          FROM cols
+        ), base AS (
+          SELECT c_custkey,
+                 CASE WHEN c_custkey % 97 = 0 THEN NULL ELSE c_name END AS c_name,
+                 CASE WHEN c_custkey % 77 = 0 THEN c_acctbal + 10000000.0
+                      ELSE c_acctbal END AS c_acctbal,
+                 CASE WHEN c_custkey % 50 = 0 THEN 'BOGUS'
+                      ELSE c_mktsegment END AS c_mktsegment
+          FROM cols
+        ), dirty AS (
+          SELECT * FROM base
+          UNION ALL SELECT * FROM base WHERE c_custkey % 113 = 0
+        )
+        SELECT * FROM (
+          SELECT 'c_acctbal_missing' AS rule,
+                 sum((c_acctbal IS NULL)::INT)::BIGINT AS n_violations FROM dirty
+          UNION ALL SELECT 'c_acctbal_under_min',
+                 sum((c_acctbal IS NOT NULL AND c_acctbal < (SELECT lo_b FROM stats))::INT)::BIGINT FROM dirty
+          UNION ALL SELECT 'c_acctbal_over_max',
+                 sum((c_acctbal IS NOT NULL AND c_acctbal > (SELECT hi_b FROM stats))::INT)::BIGINT FROM dirty
+          UNION ALL SELECT 'c_custkey_missing',
+                 sum((c_custkey IS NULL)::INT)::BIGINT FROM dirty
+          UNION ALL SELECT 'c_custkey_under_min',
+                 sum((c_custkey IS NOT NULL AND c_custkey < (SELECT lo_k FROM stats))::INT)::BIGINT FROM dirty
+          UNION ALL SELECT 'c_custkey_over_max',
+                 sum((c_custkey IS NOT NULL AND c_custkey > (SELECT hi_k FROM stats))::INT)::BIGINT FROM dirty
+          UNION ALL SELECT 'c_name_missing',
+                 sum((c_name IS NULL)::INT)::BIGINT FROM dirty
+          UNION ALL SELECT 'c_mktsegment_missing',
+                 sum((c_mktsegment IS NULL)::INT)::BIGINT FROM dirty
+          UNION ALL SELECT 'c_mktsegment_invalid',
+                 sum((c_mktsegment IS NOT NULL AND c_mktsegment NOT IN
+                      (SELECT DISTINCT c_mktsegment FROM cols WHERE c_mktsegment IS NOT NULL))::INT)::BIGINT FROM dirty
+          UNION ALL SELECT 'unique:c_custkey',
+                 (count(c_custkey) - count(DISTINCT c_custkey))::BIGINT FROM dirty
+          UNION ALL SELECT 'unique:c_name',
+                 (count(c_name) - count(DISTINCT c_name))::BIGINT FROM dirty
+          UNION ALL SELECT * FROM (
+                 SELECT 'unique:c_acctbal',
+                        (count(c_acctbal) - count(DISTINCT c_acctbal))::BIGINT
+                 FROM dirty
+          ) WHERE (SELECT nd_b = nn_b FROM stats)
+        ) ORDER BY rule
     """,
     "q70_video_features": """
         WITH base AS (
