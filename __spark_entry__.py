@@ -3362,6 +3362,37 @@ def q95_suggest_enforce(spark: SparkSession, sf: str) -> DataFrame:
     return row_counts.unionByName(uniq).orderBy("rule")
 
 
+def q96_ewma_monitor(spark: SparkSession, sf: str) -> DataFrame:
+    """EWMA control chart (operators/control.ewma_chart) over monthly
+    order-count series per priority — the monitoring tier that
+    watches metric HISTORY rather than two snapshots. The truncated-
+    convolution EWMA is pure window arithmetic, so DuckDB replays the
+    identical expression (weights, time-varying limits and all);
+    summarized per series to counts plus rounded EWMA aggregates."""
+    from data_validator_spark.operators.control import ewma_chart
+
+    s = (
+        _t(spark, sf, "orders")
+        .groupBy(
+            F.col("o_orderpriority").alias("g"),
+            F.date_format("o_orderdate", "yyyy-MM").alias("ym"),
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("x"))
+    )
+    chart = ewma_chart(s, "g", "ym", "x")
+    return (
+        chart.groupBy(F.col("g").alias("o_orderpriority"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_points"),
+            F.sum(F.col("out_of_control").cast("long")).cast("long").alias("n_out"),
+            F.round(F.avg("ewma"), 6).alias("avg_ewma"),
+            F.round(F.max("ewma"), 6).alias("max_ewma"),
+            F.round(F.max("ucl"), 6).alias("max_ucl"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -3459,6 +3490,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q93_suggest_constraints": q93_suggest_constraints,
         "q94_upsample_detection": q94_upsample_detection,
         "q95_suggest_enforce": q95_suggest_enforce,
+        "q96_ewma_monitor": q96_ewma_monitor,
     }
 
 
@@ -5053,6 +5085,40 @@ _ORACLES: dict[str, str] = {
                  FROM dirty
           ) WHERE (SELECT nd_b = nn_b FROM stats)
         ) ORDER BY rule
+    """,
+    "q96_ewma_monitor": """
+        WITH s AS (
+          SELECT o_orderpriority AS g, strftime(o_orderdate, '%Y-%m') AS ym,
+                 count(*)::DOUBLE AS x
+          FROM orders GROUP BY 1, 2
+        ), o AS (
+          SELECT g, ym, x,
+                 row_number() OVER w - 1 AS t,
+                 list(x) OVER (PARTITION BY g ORDER BY ym
+                               ROWS BETWEEN 64 PRECEDING AND CURRENT ROW) AS arr,
+                 avg(x) OVER (PARTITION BY g) AS mu,
+                 stddev_samp(x) OVER (PARTITION BY g) AS sigma
+          FROM s WINDOW w AS (PARTITION BY g ORDER BY ym)
+        ), e AS (
+          SELECT g, t, mu, sigma,
+                 (SELECT sum(CASE
+                    WHEN i = 1 AND t + 1 = len(arr)
+                      THEN v * pow(0.8, len(arr) - 1)
+                    WHEN i = 1
+                      THEN v * 0.2 * pow(0.8, len(arr) - 1)
+                    ELSE v * 0.2 * pow(0.8, len(arr) - i) END)
+                  FROM (SELECT unnest(arr) AS v,
+                               generate_subscripts(arr, 1) AS i)) AS ewma,
+                 3.0 * sigma * sqrt(0.2 / 1.8 * (1 - pow(0.64, t + 1))) AS hw
+          FROM o
+        )
+        SELECT g AS o_orderpriority,
+               count(*)::BIGINT AS n_points,
+               sum((sigma > 0 AND (ewma > mu + hw OR ewma < mu - hw))::INT)::BIGINT AS n_out,
+               round(avg(ewma), 6) AS avg_ewma,
+               round(max(ewma), 6) AS max_ewma,
+               round(max(mu + hw), 6) AS max_ucl
+        FROM e GROUP BY 1 ORDER BY 1
     """,
     "q70_video_features": """
         WITH base AS (
