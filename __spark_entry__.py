@@ -3393,6 +3393,43 @@ def q96_ewma_monitor(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q97_schema_compat(spark: SparkSession, sf: str) -> DataFrame:
+    """Schema-evolution verdicts (operators/schema_evolution.
+    schema_compat, Iceberg promotion rules): a v1 -> v2 migration of
+    the clips table itself — sr_hz widened int->bigint (safe), dur_ms
+    dropped (breaking), transcript made required (breaking), optional
+    loudness added (safe), required ingest_seq added (breaking). The
+    oracle replays the full classification CASE tree over the same
+    schema rows."""
+    from data_validator_spark.operators.schema_evolution import schema_compat
+
+    _s = "field string, dtype string, nullable boolean"
+    base = spark.createDataFrame(
+        [
+            ("clip_id", "string", False),
+            ("bytes", "binary", True),
+            ("sr_hz", "int", True),
+            ("dur_ms", "int", True),
+            ("codec", "string", True),
+            ("transcript", "string", True),
+        ],
+        _s,
+    )
+    cur = spark.createDataFrame(
+        [
+            ("clip_id", "string", False),
+            ("bytes", "binary", True),
+            ("sr_hz", "bigint", True),
+            ("codec", "string", True),
+            ("transcript", "string", False),
+            ("loudness_db", "double", True),
+            ("ingest_seq", "bigint", False),
+        ],
+        _s,
+    )
+    return schema_compat(base, cur).orderBy("field")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -3491,6 +3528,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q94_upsample_detection": q94_upsample_detection,
         "q95_suggest_enforce": q95_suggest_enforce,
         "q96_ewma_monitor": q96_ewma_monitor,
+        "q97_schema_compat": q97_schema_compat,
     }
 
 
@@ -5119,6 +5157,51 @@ _ORACLES: dict[str, str] = {
                round(max(ewma), 6) AS max_ewma,
                round(max(mu + hw), 6) AS max_ucl
         FROM e GROUP BY 1 ORDER BY 1
+    """,
+    "q97_schema_compat": """
+        WITH b AS (
+          SELECT * FROM (VALUES
+            ('clip_id', 'string', false), ('bytes', 'binary', true),
+            ('sr_hz', 'int', true), ('dur_ms', 'int', true),
+            ('codec', 'string', true), ('transcript', 'string', true)
+          ) AS t(field, b_type, b_null)
+        ), c AS (
+          SELECT * FROM (VALUES
+            ('clip_id', 'string', false), ('bytes', 'binary', true),
+            ('sr_hz', 'bigint', true), ('codec', 'string', true),
+            ('transcript', 'string', false), ('loudness_db', 'double', true),
+            ('ingest_seq', 'bigint', false)
+          ) AS t(field, c_type, c_null)
+        ), j AS (
+          SELECT coalesce(b.field, c.field) AS field,
+                 b_type, b_null, c_type, c_null
+          FROM b FULL JOIN c ON b.field = c.field
+        ), cls AS (
+          SELECT field, b_type, c_type, c_null,
+                 CASE
+                   WHEN c_type IS NULL THEN 'removed'
+                   WHEN b_type IS NULL THEN 'added'
+                   WHEN b_type <> c_type THEN
+                     CASE WHEN (b_type || '->' || c_type) IN
+                       ('int->bigint', 'float->double', 'tinyint->smallint',
+                        'tinyint->int', 'tinyint->bigint', 'smallint->int',
+                        'smallint->bigint')
+                       THEN 'type_widened' ELSE 'type_changed' END
+                   WHEN NOT b_null AND c_null THEN 'nullability_relaxed'
+                   WHEN b_null AND NOT c_null THEN 'nullability_tightened'
+                   ELSE 'unchanged' END AS change
+          FROM j
+        )
+        SELECT field, change,
+               CASE WHEN c_type IS NULL THEN b_type
+                    WHEN b_type IS NULL THEN c_type
+                    WHEN b_type <> c_type THEN b_type || '->' || c_type
+                    ELSE b_type END AS detail,
+               CASE WHEN change IN ('removed', 'type_changed',
+                                    'nullability_tightened') THEN 'breaking'
+                    WHEN change = 'added' AND NOT c_null THEN 'breaking'
+                    ELSE 'compatible' END AS verdict
+        FROM cls ORDER BY field
     """,
     "q70_video_features": """
         WITH base AS (
