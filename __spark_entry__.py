@@ -3430,6 +3430,23 @@ def q97_schema_compat(spark: SparkSession, sf: str) -> DataFrame:
     return schema_compat(base, cur).orderBy("field")
 
 
+def q98_entropy_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """Shannon-entropy profiling (operators/stats.entropy_profile):
+    usage-evenness per column — the signal that catches a loader
+    collapsing onto a default value while cardinality still looks
+    healthy. Order priority/status plus the documents corpus's
+    language and source mix."""
+    from data_validator_spark.operators.stats import entropy_profile
+
+    o = _t(spark, sf, "orders")
+    d = _t(spark, sf, "documents")
+    return (
+        entropy_profile(o, ["o_orderpriority", "o_orderstatus"])
+        .unionByName(entropy_profile(d, ["lang", "source"]))
+        .orderBy("column_name")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -3529,6 +3546,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q95_suggest_enforce": q95_suggest_enforce,
         "q96_ewma_monitor": q96_ewma_monitor,
         "q97_schema_compat": q97_schema_compat,
+        "q98_entropy_profile": q98_entropy_profile,
     }
 
 
@@ -5202,6 +5220,36 @@ _ORACLES: dict[str, str] = {
                     WHEN change = 'added' AND NOT c_null THEN 'breaking'
                     ELSE 'compatible' END AS verdict
         FROM cls ORDER BY field
+    """,
+    "q98_entropy_profile": """
+        WITH vals AS (
+          SELECT 'o_orderpriority' AS column_name,
+                 o_orderpriority::VARCHAR AS value FROM orders
+          UNION ALL
+          SELECT 'o_orderstatus', o_orderstatus::VARCHAR FROM orders
+          UNION ALL
+          SELECT 'lang', lang::VARCHAR FROM documents
+          UNION ALL
+          SELECT 'source', source::VARCHAR FROM documents
+        ), freqs AS (
+          SELECT column_name, value, count(*)::BIGINT AS cnt
+          FROM vals GROUP BY 1, 2
+        ), scored AS (
+          SELECT column_name, cnt,
+                 sum(cnt) OVER (PARTITION BY column_name) AS n
+          FROM freqs
+        ), agg AS (
+          SELECT column_name,
+                 max(n)::BIGINT AS n,
+                 count(*)::BIGINT AS n_distinct,
+                 round(-sum((cnt / n) * log2(cnt / n)), 6) AS entropy_bits
+          FROM scored GROUP BY 1
+        )
+        SELECT column_name, n, n_distinct, entropy_bits,
+               CASE WHEN n_distinct > 1
+                    THEN round(entropy_bits / log2(n_distinct), 6)
+                    ELSE 0.0 END AS norm_entropy
+        FROM agg ORDER BY column_name
     """,
     "q70_video_features": """
         WITH base AS (

@@ -455,3 +455,47 @@ def robust_outliers(
         )
         .withColumn("outlier_rate", F.round(F.col("n_outliers") / F.col("n"), 6))
     )
+
+
+def entropy_profile(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """Shannon entropy per column: -> (column_name, n, n_distinct,
+    entropy_bits, norm_entropy).
+
+    The information complement of the cardinality sketch: distinct
+    count says how many values, entropy says how evenly they're used —
+    a column drifting from uniform codes toward one dominant default
+    value keeps its cardinality long after it has lost its
+    information (the 'loader started writing the fallback' defect).
+    norm_entropy = H / log2(n_distinct) in [0, 1]; a constant column
+    (n_distinct = 1) reports 0 by convention.
+
+    All columns ride ONE unpivot + one (column, value) aggregate; the
+    per-column reduction over value frequencies is a second aggregate
+    on rows already shrunk to distinct values. NULL is treated as a
+    regular category (its frequency is information too — the null
+    RATE lives in profile()).
+    """
+    unpivoted = df.select(
+        [F.col(c).cast("string").alias(c) for c in cols]
+    ).unpivot([], list(cols), "column_name", "value")
+    freqs = unpivoted.groupBy("column_name", "value").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    from pyspark.sql import Window
+
+    totals = F.sum("cnt").over(Window.partitionBy("column_name"))
+    scored = freqs.withColumn("_n", totals).withColumn(
+        "_p", F.col("cnt") / F.col("_n")
+    )
+    out = scored.groupBy("column_name").agg(
+        F.max("_n").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+        F.round(-F.sum(F.col("_p") * F.log2("_p")), 6).alias("entropy_bits"),
+    )
+    return out.withColumn(
+        "norm_entropy",
+        F.when(
+            F.col("n_distinct") > 1,
+            F.round(F.col("entropy_bits") / F.log2(F.col("n_distinct")), 6),
+        ).otherwise(F.lit(0.0)),
+    )

@@ -321,3 +321,26 @@ def test_robust_outliers_approx_close_to_exact(spark):
     assert abs(exact["median"] - approx["median"]) < 1.0
     assert abs(exact["n_outliers"] - approx["n_outliers"]) <= 2
     assert exact["n_outliers"] >= 2  # the two planted extremes
+
+
+def test_entropy_profile(spark):
+    from data_validator_spark.operators.stats import entropy_profile
+
+    df = spark.createDataFrame(
+        [("a", "x", "k"), ("b", "x", "k"), ("a", "x", "k"), ("b", "x", "k")],
+        "even string, const string, konst string",
+    )
+    got = {r["column_name"]: r for r in entropy_profile(df, ["even", "const"]).collect()}
+    # two equally likely values -> exactly 1 bit, norm 1.0
+    assert got["even"]["entropy_bits"] == 1.0
+    assert got["even"]["norm_entropy"] == 1.0
+    assert (got["const"]["entropy_bits"], got["const"]["norm_entropy"]) == (0.0, 0.0)
+    assert got["const"]["n_distinct"] == 1
+
+
+def test_entropy_counts_null_as_category(spark):
+    from data_validator_spark.operators.stats import entropy_profile
+
+    df = spark.createDataFrame([("a",), (None,)], "v string")
+    row = entropy_profile(df, ["v"]).collect()[0]
+    assert row["n_distinct"] == 2 and row["entropy_bits"] == 1.0
