@@ -481,10 +481,14 @@ def entropy_profile(df: DataFrame, cols: Sequence[str]) -> DataFrame:
     freqs = unpivoted.groupBy("column_name", "value").agg(
         F.count(F.lit(1)).cast("long").alias("cnt")
     )
-    from pyspark.sql import Window
-
-    totals = F.sum("cnt").over(Window.partitionBy("column_name"))
-    scored = freqs.withColumn("_n", totals).withColumn(
+    # per-column totals come from a tiny aggregate + broadcast join,
+    # NOT a Window.partitionBy(column_name): with a handful of columns
+    # that window would funnel every distinct value of a huge column
+    # through a handful of reducers.
+    totals = freqs.groupBy("column_name").agg(
+        F.sum("cnt").cast("long").alias("_n")
+    )
+    scored = freqs.join(F.broadcast(totals), "column_name").withColumn(
         "_p", F.col("cnt") / F.col("_n")
     )
     out = scored.groupBy("column_name").agg(
