@@ -3447,6 +3447,85 @@ def q98_entropy_profile(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q99_bitdepth_detection(spark: SparkSession, sf: str) -> DataFrame:
+    """Effective-bit-depth audit (audio/quality.py effective_bits +
+    audio_low_bitdepth rule): 120 deterministic clips, half genuine
+    16-bit synth, half quantized to the 8-bit grid before encoding
+    (the 'telephony provenance in a studio container' defect) —
+    through the SHIPPED fused quality pass with the opt-in rule at
+    min 12 bits. Lossless codecs (pcm16 / real FLAC) preserve the
+    grid, so the planted counts are exact and the oracle literal."""
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        from data_validator_spark.audio import codecs, synth
+
+        srs = [16000, 44100, 48000]
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                planted = ["full16", "quant8"][i % 2]
+                sr = srs[(i // 2) % 3]
+                n = sr // 4 + (i * 41) % 1500
+                pcm = synth.reference_pcm(f"q99-{i:05d}", sr, n)
+                if planted == "quant8":
+                    ints = (
+                        np.round(pcm.astype(np.float64) * 32767)
+                        .clip(-32768, 32767)
+                        .astype(np.int32)
+                    )
+                    pcm = (((ints >> 8) << 8) / 32767.0).astype(np.float32)
+                codec = ["pcm16", "flac"][(i // 6) % 2]
+                rows.append(
+                    (
+                        f"q99-{i:05d}",
+                        codec,
+                        sr,
+                        codecs.encode(codec, np.clip(pcm, -1, 1), sr),
+                        planted,
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["clip_id", "codec", "sr_hz", "bytes", "planted"]
+            )
+
+    from data_validator_spark.audio.quality import run_quality_checks
+
+    clips = spark.range(0, 120, numPartitions=8).mapInPandas(
+        gen,
+        "clip_id string, codec string, sr_hz int, bytes binary, planted string",
+    )
+    q = run_quality_checks(clips, min_effective_bits=12)
+    return (
+        q.groupBy("planted")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(
+                F.when(
+                    F.coalesce(F.col("_quality_labels"), F.lit("")).contains(
+                        "audio_low_bitdepth("
+                    ),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_lowdepth_flag"),
+            F.min(
+                F.when(
+                    F.col("planted") == "full16", F.col("effective_bits") == 16.0
+                ).otherwise(F.col("effective_bits") == 8.0)
+            ).alias("all_bits_exact"),
+            (F.sum(F.col("audio_decode_error").isNotNull().cast("long")) == 0).alias(
+                "all_decoded"
+            ),
+        )
+        .orderBy("planted")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -3547,6 +3626,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q96_ewma_monitor": q96_ewma_monitor,
         "q97_schema_compat": q97_schema_compat,
         "q98_entropy_profile": q98_entropy_profile,
+        "q99_bitdepth_detection": q99_bitdepth_detection,
     }
 
 
@@ -5250,6 +5330,13 @@ _ORACLES: dict[str, str] = {
                     THEN round(entropy_bits / log2(n_distinct), 6)
                     ELSE 0.0 END AS norm_entropy
         FROM agg ORDER BY column_name
+    """,
+    "q99_bitdepth_detection": """
+        SELECT * FROM (VALUES
+          ('full16', 60::BIGINT, 0::BIGINT,  true, true),
+          ('quant8', 60::BIGINT, 60::BIGINT, true, true)
+        ) AS t(planted, n, n_lowdepth_flag, all_bits_exact, all_decoded)
+        ORDER BY planted
     """,
     "q70_video_features": """
         WITH base AS (

@@ -100,6 +100,7 @@ def run_audio_checks(
     dc_max: float | None = None,
     silence_max: float | None = None,
     upsample_min_ratio: float | None = None,
+    min_effective_bits: int | None = None,
 ) -> DataFrame:
     """Append audio-check outcome columns:
 
@@ -160,6 +161,7 @@ def run_audio_checks(
                 dc_max if dc_max is not None else DC_OFFSET_MAX,
                 silence_max if silence_max is not None else SILENCE_MAX_RATIO,
                 upsample_min_ratio=upsample_min_ratio,
+                min_effective_bits=min_effective_bits,
             ),
         )
     snr_name = f"audio_snr_below_{int(snr_min)}db"

@@ -63,6 +63,7 @@ _FEATURE_FIELDS = [
     ("dominant_freq_hz", T.DoubleType()),
     ("spectral_flatness", T.DoubleType()),
     ("bandwidth_hz", T.DoubleType()),
+    ("effective_bits", T.DoubleType()),
 ]
 
 _RESULT_SCHEMA = T.StructType(
@@ -99,6 +100,21 @@ def analyze_pcm(pcm: np.ndarray, sr_hz: int) -> dict[str, float]:
     else:
         silence = float(rms < 10.0 ** (SILENCE_RMS_DBFS / 20.0))
 
+    # effective bit depth: snap to the 16-bit grid and count the
+    # trailing zero bits common to every nonzero sample — content
+    # quantized to b bits then upconverted lands on multiples of
+    # 2^(16-b), the classic bit-depth probe (ffprobe/sox behavior).
+    # Properly dithered real 16-bit audio reports 16; digital silence
+    # reports 0 by convention. Scale is 32767: every codec in this
+    # engine maps int16 <-> float as v/32767 (codecs.py, flac.py).
+    ints = np.round(x.astype(np.float64) * 32767.0).clip(-32768, 32767).astype(np.int32)
+    nz = ints[ints != 0]
+    if len(nz):
+        min_tz = int(np.log2(np.min(nz & -nz)))
+        eff_bits = 16 - min_tz
+    else:
+        eff_bits = 0
+
     spec = np.abs(np.fft.rfft(x.astype(np.float64)))
     power = spec * spec
     if len(power) > 1:
@@ -131,6 +147,7 @@ def analyze_pcm(pcm: np.ndarray, sr_hz: int) -> dict[str, float]:
         "dominant_freq_hz": float(dom),
         "spectral_flatness": flatness,
         "bandwidth_hz": float(bw),
+        "effective_bits": float(eff_bits),
     }
 
 
@@ -181,6 +198,7 @@ def quality_labels_expr(
     dc_max: float = DC_OFFSET_MAX,
     silence_max: float = SILENCE_MAX_RATIO,
     upsample_min_ratio: float | None = None,
+    min_effective_bits: int | None = None,
 ) -> Column:
     """';'-joined soft-tier quality labels (NULL when clean) over the
     named decode-result struct column — the same value-echoing shape
@@ -218,8 +236,26 @@ def quality_labels_expr(
         if upsample_min_ratio is not None
         else F.lit(None).cast("string")
     )
+    # low-bitdepth is opt-in for the same reason as upsample: whether
+    # 8-bit provenance is a defect is a dataset policy. Silence
+    # (effective_bits = 0 by convention) is the silence rule's job.
+    low_depth = (
+        F.when(
+            decoded
+            & (s.getField("effective_bits") > 0)
+            & (s.getField("effective_bits") < F.lit(min_effective_bits)),
+            F.concat(
+                F.lit("audio_low_bitdepth("),
+                s.getField("effective_bits").cast("int").cast("string"),
+                F.lit(")"),
+            ),
+        )
+        if min_effective_bits is not None
+        else F.lit(None).cast("string")
+    )
     labels = F.array(
         upsample,
+        low_depth,
         F.when(
             decoded & (s.getField("clipping_ratio") > clipping_max),
             F.concat(
@@ -256,6 +292,7 @@ def run_quality_checks(
     dc_max: float = DC_OFFSET_MAX,
     silence_max: float = SILENCE_MAX_RATIO,
     upsample_min_ratio: float | None = None,
+    min_effective_bits: int | None = None,
 ) -> DataFrame:
     """Append quality feature columns + soft-tier labels. Input needs
     (clip_id, codec, sr_hz, bytes); output adds every feature column
@@ -272,4 +309,5 @@ def run_quality_checks(
         dc_max=dc_max,
         silence_max=silence_max,
         upsample_min_ratio=upsample_min_ratio,
+        min_effective_bits=min_effective_bits,
     )

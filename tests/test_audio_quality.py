@@ -247,3 +247,33 @@ def test_upsample_rule_opt_in(spark):
     }
     assert on["up-0"] is not None and "audio_upsampled(" in on["up-0"]
     assert on["full-0"] is None or "audio_upsampled" not in on["full-0"]
+
+
+def test_effective_bits_rule(spark):
+    import numpy as np
+
+    from data_validator_spark.audio import codecs, synth
+    from data_validator_spark.audio.quality import run_quality_checks
+
+    sr, n = 16000, 8000
+    full = synth.reference_pcm("eb-full", sr, n)
+    ints = (
+        np.round(full.astype(np.float64) * 32767).clip(-32768, 32767).astype(np.int32)
+    )
+    q8 = (((ints >> 8) << 8).astype(np.float64) / 32767.0).astype(np.float32)
+    rows = [
+        ("eb-full", "pcm16", sr, codecs.encode("pcm16", full, sr)),
+        ("eb-q8", "pcm16", sr, codecs.encode("pcm16", q8, sr)),
+    ]
+    df = spark.createDataFrame(rows, "clip_id string, codec string, sr_hz int, bytes binary")
+    got = {
+        r["clip_id"]: r
+        for r in run_quality_checks(df, min_effective_bits=12).collect()
+    }
+    assert got["eb-full"]["effective_bits"] == 16.0
+    assert got["eb-q8"]["effective_bits"] == 8.0
+    assert "audio_low_bitdepth(8)" in (got["eb-q8"]["_quality_labels"] or "")
+    assert "low_bitdepth" not in (got["eb-full"]["_quality_labels"] or "")
+    # default: rule off
+    off = {r["clip_id"]: r["_quality_labels"] for r in run_quality_checks(df).collect()}
+    assert all(lbl is None or "low_bitdepth" not in lbl for lbl in off.values())
