@@ -3526,6 +3526,21 @@ def q99_bitdepth_detection(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q100_candidate_keys(spark: SparkSession, sf: str) -> DataFrame:
+    """Composite-key mining (operators/suggest.candidate_keys): the
+    multi-column extension of the unique suggestion over lineitem —
+    no single column identifies a line item, the classic
+    (orderkey, linenumber) pair does, and supersets are keys but not
+    minimal. One aggregate computes every combo's exact distinct
+    count; the oracle replays each combo with DISTINCT subqueries."""
+    from data_validator_spark.operators.suggest import candidate_keys
+
+    li = _t(spark, sf, "lineitem")
+    return candidate_keys(
+        li, ["l_orderkey", "l_linenumber", "l_partkey"], max_width=2
+    ).orderBy("key")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -3627,6 +3642,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q97_schema_compat": q97_schema_compat,
         "q98_entropy_profile": q98_entropy_profile,
         "q99_bitdepth_detection": q99_bitdepth_detection,
+        "q100_candidate_keys": q100_candidate_keys,
     }
 
 
@@ -5337,6 +5353,48 @@ _ORACLES: dict[str, str] = {
           ('quant8', 60::BIGINT, 60::BIGINT, true, true)
         ) AS t(planted, n, n_lowdepth_flag, all_bits_exact, all_decoded)
         ORDER BY planted
+    """,
+    "q100_candidate_keys": """
+        WITH s AS (
+          SELECT
+            count(l_orderkey) AS n_ok,
+            (SELECT count(*) FROM (SELECT DISTINCT l_orderkey FROM lineitem WHERE l_orderkey IS NOT NULL)) AS d_ok,
+            count(l_linenumber) AS n_ln,
+            (SELECT count(*) FROM (SELECT DISTINCT l_linenumber FROM lineitem WHERE l_linenumber IS NOT NULL)) AS d_ln,
+            count(l_partkey) AS n_pk,
+            (SELECT count(*) FROM (SELECT DISTINCT l_partkey FROM lineitem WHERE l_partkey IS NOT NULL)) AS d_pk,
+            sum((l_orderkey IS NOT NULL AND l_linenumber IS NOT NULL)::INT) AS n_ok_ln,
+            (SELECT count(*) FROM (SELECT DISTINCT l_orderkey, l_linenumber FROM lineitem
+              WHERE l_orderkey IS NOT NULL AND l_linenumber IS NOT NULL)) AS d_ok_ln,
+            sum((l_orderkey IS NOT NULL AND l_partkey IS NOT NULL)::INT) AS n_ok_pk,
+            (SELECT count(*) FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+              WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL)) AS d_ok_pk,
+            sum((l_linenumber IS NOT NULL AND l_partkey IS NOT NULL)::INT) AS n_ln_pk,
+            (SELECT count(*) FROM (SELECT DISTINCT l_linenumber, l_partkey FROM lineitem
+              WHERE l_linenumber IS NOT NULL AND l_partkey IS NOT NULL)) AS d_ln_pk
+          FROM lineitem
+        ), k AS (
+          SELECT *,
+            (n_ok > 0 AND d_ok = n_ok) AS key_ok,
+            (n_ln > 0 AND d_ln = n_ln) AS key_ln,
+            (n_pk > 0 AND d_pk = n_pk) AS key_pk,
+            (n_ok_ln > 0 AND d_ok_ln = n_ok_ln) AS key_ok_ln,
+            (n_ok_pk > 0 AND d_ok_pk = n_ok_pk) AS key_ok_pk,
+            (n_ln_pk > 0 AND d_ln_pk = n_ln_pk) AS key_ln_pk
+          FROM s
+        )
+        SELECT * FROM (
+          SELECT 'l_orderkey' AS key, 1 AS width, n_ok::BIGINT AS n_rows,
+                 d_ok::BIGINT AS n_distinct, key_ok AS is_key, key_ok AS is_minimal FROM k
+          UNION ALL SELECT 'l_linenumber', 1, n_ln::BIGINT, d_ln::BIGINT, key_ln, key_ln FROM k
+          UNION ALL SELECT 'l_partkey', 1, n_pk::BIGINT, d_pk::BIGINT, key_pk, key_pk FROM k
+          UNION ALL SELECT 'l_orderkey,l_linenumber', 2, n_ok_ln::BIGINT, d_ok_ln::BIGINT,
+                 key_ok_ln, key_ok_ln AND NOT key_ok AND NOT key_ln FROM k
+          UNION ALL SELECT 'l_orderkey,l_partkey', 2, n_ok_pk::BIGINT, d_ok_pk::BIGINT,
+                 key_ok_pk, key_ok_pk AND NOT key_ok AND NOT key_pk FROM k
+          UNION ALL SELECT 'l_linenumber,l_partkey', 2, n_ln_pk::BIGINT, d_ln_pk::BIGINT,
+                 key_ln_pk, key_ln_pk AND NOT key_ln AND NOT key_pk FROM k
+        ) ORDER BY key
     """,
     "q70_video_features": """
         WITH base AS (

@@ -112,3 +112,77 @@ def suggest_constraints(
             out.append((c, "is_in", None, None, sets[c]))
 
     return spark.createDataFrame(out, _SCHEMA)
+
+
+def candidate_keys(
+    df: DataFrame,
+    cols: list[str],
+    max_width: int = 2,
+    exact: bool = True,
+    hll_rsd: float = 0.02,
+) -> DataFrame:
+    """Composite-key mining: -> (key, width, n_rows, n_distinct,
+    is_key, is_minimal) for every column combination up to max_width.
+
+    The multi-column extension of the `unique` suggestion: when no
+    single column is a key, which pair (triple, ...) is? A combo is a
+    key when its distinct count equals its row count over rows where
+    EVERY member is non-null (null keys can't identify anything);
+    is_minimal marks keys none of whose proper subsets (within the
+    evaluated set) already hold.
+
+    Execution: ONE aggregate computes every combo's distinct count.
+    exact=True uses count_distinct (each multi-distinct adds an Expand
+    duplication — fine for the handful of columns key mining ever
+    scans); exact=False uses HLL over a struct, no Expand, and flags
+    key CANDIDATES within sketch error for the exact operator to
+    confirm — the 10^12-row path.
+    """
+    from itertools import combinations
+
+    combos: list[tuple[str, ...]] = []
+    for w in range(1, max_width + 1):
+        combos.extend(combinations(cols, w))
+
+    aggs = []
+    for combo in combos:
+        name = ",".join(combo)
+        nonnull = F.lit(True)
+        for c in combo:
+            nonnull = nonnull & F.col(c).isNotNull()
+        aggs.append(
+            F.sum(nonnull.cast("long")).cast("long").alias(f"n_{name}")
+        )
+        if exact:
+            nd = F.count_distinct(*[F.col(c) for c in combo])
+        else:
+            nd = F.approx_count_distinct(
+                F.struct(*[F.col(c) for c in combo]), hll_rsd
+            )
+        aggs.append(nd.cast("long").alias(f"d_{name}"))
+    stats = df.agg(*aggs).collect()[0]
+
+    keyset: set[tuple[str, ...]] = set()
+    rows = []
+    for combo in combos:
+        name = ",".join(combo)
+        n, d = stats[f"n_{name}"], stats[f"d_{name}"]
+        is_key = (
+            (n > 0 and d == n)
+            if exact
+            else (n > 0 and abs(d - n) <= 3 * hll_rsd * n)
+        )
+        if is_key:
+            keyset.add(combo)
+        rows.append((combo, name, len(combo), n, d, is_key))
+    out = []
+    for combo, name, width, n, d, is_key in rows:
+        minimal = is_key and not any(
+            set(sub) < set(combo) for sub in keyset if sub != combo
+        )
+        out.append((name, width, n, d, is_key, minimal))
+    return df.sparkSession.createDataFrame(
+        out,
+        "key string, width int, n_rows long, n_distinct long, "
+        "is_key boolean, is_minimal boolean",
+    )

@@ -44,3 +44,31 @@ def test_suggest_approx_mode_flags_key_candidate(spark):
     df = spark.createDataFrame([(i,) for i in range(5000)], "id int")
     got = _by_col(suggest_constraints(df, exact=False).collect())
     assert "unique" in got["id"]
+
+
+def test_candidate_keys_mining(spark):
+    from data_validator_spark.operators.suggest import candidate_keys
+
+    df = spark.createDataFrame(
+        [
+            (1, "a", 1), (2, "a", 2), (3, "b", 1), (4, "b", 2),
+        ],
+        "id int, grp string, seq int",
+    )
+    got = {r["key"]: r for r in candidate_keys(df, ["id", "grp", "seq"]).collect()}
+    assert got["id"]["is_key"] and got["id"]["is_minimal"]
+    assert not got["grp"]["is_key"] and not got["seq"]["is_key"]
+    assert got["grp,seq"]["is_key"] and got["grp,seq"]["is_minimal"]
+    # supersets of the single-column key are keys but not minimal
+    assert got["id,grp"]["is_key"] and not got["id,grp"]["is_minimal"]
+
+
+def test_candidate_keys_null_members_excluded(spark):
+    from data_validator_spark.operators.suggest import candidate_keys
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, None)], "id int, g string"
+    )
+    got = {r["key"]: r for r in candidate_keys(df, ["id", "g"]).collect()}
+    assert got["g"]["n_rows"] == 1  # null member rows can't identify
+    assert got["id,g"]["n_rows"] == 1 and got["id,g"]["is_key"]
