@@ -3541,6 +3541,44 @@ def q100_candidate_keys(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("key")
 
 
+def q101_table_diff(spark: SparkSession, sf: str) -> DataFrame:
+    """Row-level snapshot diff (operators/consistency.table_diff): the
+    'what exactly did the rewrite touch' audit — a mutated orders copy
+    (priority rewrites, price bumps, deletes, inserts) diffed against
+    the original on the key, null-safe per column, summarized to
+    counts by (status, changed column set)."""
+    from data_validator_spark.operators.consistency import table_diff
+
+    cols = ["o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice"]
+    base = _t(spark, sf, "orders").select(cols)
+    k = F.col("o_orderkey")
+    mutated = (
+        base.withColumn(
+            "o_orderpriority",
+            F.when(k % 31 == 0, F.lit("9-PLANTED")).otherwise(
+                F.col("o_orderpriority")
+            ),
+        )
+        .withColumn(
+            "o_totalprice",
+            F.when(k % 41 == 0, F.col("o_totalprice") + F.lit(1.5)).otherwise(
+                F.col("o_totalprice")
+            ),
+        )
+        .filter(k % 53 != 0)
+    )
+    inserts = base.filter(k % 59 == 0).withColumn(
+        "o_orderkey", k + F.lit(100000000)
+    )
+    cur = mutated.unionByName(inserts)
+    d = table_diff(base, cur, ["o_orderkey"])
+    return (
+        d.groupBy("status", "changed_cols")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy("status", "changed_cols")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -3643,6 +3681,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q98_entropy_profile": q98_entropy_profile,
         "q99_bitdepth_detection": q99_bitdepth_detection,
         "q100_candidate_keys": q100_candidate_keys,
+        "q101_table_diff": q101_table_diff,
     }
 
 
@@ -5395,6 +5434,48 @@ _ORACLES: dict[str, str] = {
           UNION ALL SELECT 'l_linenumber,l_partkey', 2, n_ln_pk::BIGINT, d_ln_pk::BIGINT,
                  key_ln_pk, key_ln_pk AND NOT key_ln AND NOT key_pk FROM k
         ) ORDER BY key
+    """,
+    "q101_table_diff": """
+        WITH base AS (
+          SELECT o_orderkey, o_orderstatus, o_orderpriority, o_totalprice
+          FROM orders
+        ), mutated AS (
+          SELECT o_orderkey, o_orderstatus,
+                 CASE WHEN o_orderkey % 31 = 0 THEN '9-PLANTED'
+                      ELSE o_orderpriority END AS o_orderpriority,
+                 CASE WHEN o_orderkey % 41 = 0 THEN o_totalprice + 1.5
+                      ELSE o_totalprice END AS o_totalprice
+          FROM base WHERE o_orderkey % 53 <> 0
+        ), cur AS (
+          SELECT * FROM mutated
+          UNION ALL
+          SELECT o_orderkey + 100000000, o_orderstatus, o_orderpriority,
+                 o_totalprice
+          FROM base WHERE o_orderkey % 59 = 0
+        ), j AS (
+          SELECT coalesce(b.o_orderkey, c.o_orderkey) AS k,
+                 b.o_orderkey IS NOT NULL AS in_b,
+                 c.o_orderkey IS NOT NULL AS in_c,
+                 [x FOR x IN [
+                   CASE WHEN b.o_orderstatus IS DISTINCT FROM c.o_orderstatus
+                        THEN 'o_orderstatus' END,
+                   CASE WHEN b.o_orderpriority IS DISTINCT FROM c.o_orderpriority
+                        THEN 'o_orderpriority' END,
+                   CASE WHEN b.o_totalprice IS DISTINCT FROM c.o_totalprice
+                        THEN 'o_totalprice' END
+                 ] IF x IS NOT NULL] AS diffs
+          FROM base b FULL JOIN cur c ON b.o_orderkey = c.o_orderkey
+        ), rows_ AS (
+          SELECT CASE WHEN NOT in_b THEN 'added'
+                      WHEN NOT in_c THEN 'removed'
+                      WHEN len(diffs) > 0 THEN 'changed'
+                      ELSE 'unchanged' END AS status,
+                 CASE WHEN in_b AND in_c AND len(diffs) > 0
+                      THEN array_to_string(list_sort(diffs), ',') END AS changed_cols
+          FROM j
+        )
+        SELECT status, changed_cols, count(*)::BIGINT AS n
+        FROM rows_ GROUP BY 1, 2 ORDER BY 1, 2
     """,
     "q70_video_features": """
         WITH base AS (

@@ -90,3 +90,31 @@ def test_fd_shuffle_plan_bounded(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     n = sum(1 for l in plan.splitlines() if "Exchange hashpartitioning" in l)
     assert n <= 2, plan
+
+
+def test_table_diff_statuses(spark):
+    from data_validator_spark.operators.consistency import table_diff
+
+    base = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0), (3, "c", None), (4, "d", 4.0)],
+        "k int, s string, v double",
+    )
+    cur = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "B", 2.5), (3, "c", None), (5, "e", 5.0)],
+        "k int, s string, v double",
+    )
+    got = {r["k"]: r for r in table_diff(base, cur, ["k"]).collect()}
+    assert got[1]["status"] == "unchanged" and got[1]["changed_cols"] is None
+    assert got[2]["status"] == "changed" and got[2]["changed_cols"] == "s,v"
+    assert got[3]["status"] == "unchanged"  # NULL == NULL is not a change
+    assert got[4]["status"] == "removed"
+    assert got[5]["status"] == "added"
+
+
+def test_table_diff_null_to_value_is_change(spark):
+    from data_validator_spark.operators.consistency import table_diff
+
+    base = spark.createDataFrame([(1, None)], "k int, v double")
+    cur = spark.createDataFrame([(1, 2.0)], "k int, v double")
+    row = table_diff(base, cur, ["k"]).collect()[0]
+    assert row["status"] == "changed" and row["changed_cols"] == "v"
