@@ -52,6 +52,13 @@ class ValidationConfig:
     # decode pass as the SNR invariant; adds the feature columns to
     # the validated output and folds quality labels into messages
     check_quality: bool = False
+    # quality-tier policy knobs (only consulted when check_quality):
+    # bandwidth below this fraction of the container Nyquist flags
+    # audio_upsampled; effective bit depth below this flags
+    # audio_low_bitdepth. None disables each rule (the defaults —
+    # both are dataset policies, not universal thresholds).
+    quality_upsample_min_ratio: float | None = None
+    quality_min_effective_bits: int | None = None
     snr_min_db: float = 30.0
     decode_partitions: int | None = None  # repartition before decode stage
     # persist the post-audio row set (bytes already dropped) so the
@@ -202,6 +209,8 @@ def run_validation(
             snr_min=cfg.snr_min_db,
             skip_col="_skip_decode",
             quality=cfg.check_quality,
+            upsample_min_ratio=cfg.quality_upsample_min_ratio,
+            min_effective_bits=cfg.quality_min_effective_bits,
         ).drop("codec", "sr_hz", "bytes")
         if cfg.persist:
             audio_res = audio_res.persist()

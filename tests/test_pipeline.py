@@ -139,3 +139,32 @@ def test_orphan_transcripts_surfaced(result, clips, transcripts_ref):
         clips.select("clip_id").distinct(), "clip_id", "left_anti"
     ).count()
     assert len(rows) == exp
+
+
+def test_quality_policy_knobs_flow_through_plan(spark, clips, transcripts_ref):
+    # default quality: no upsample/bitdepth labels anywhere
+    res = run_validation(
+        clips, transcripts_ref, cfg=ValidationConfig(check_quality=True)
+    )
+    n_policy = res.validated.filter(
+        F.col("validation_msg_clip").contains("audio_upsampled")
+        | F.col("validation_msg_clip").contains("audio_low_bitdepth")
+    ).count()
+    assert n_policy == 0
+    # with the knobs on, the columns exist and rules can fire (the
+    # synthetic tonal fixture IS narrowband, so upsample fires)
+    res2 = run_validation(
+        clips,
+        transcripts_ref,
+        cfg=ValidationConfig(
+            check_quality=True,
+            quality_upsample_min_ratio=0.25,
+            quality_min_effective_bits=12,
+        ),
+    )
+    n_upsampled = res2.validated.filter(
+        F.col("validation_msg_clip").contains("audio_upsampled(")
+    ).count()
+    assert n_upsampled > 0
+    assert "bandwidth_hz" in res2.validated.columns
+    assert "effective_bits" in res2.validated.columns
