@@ -3579,6 +3579,35 @@ def q101_table_diff(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q102_format_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """Format mining (operators/suggest.format_profile): regex-format
+    conformance rates per (column, pattern) over language codes,
+    event types, date strings and segment labels — the measurement
+    step behind rules/spec.regex_format (the reference hand-writes
+    one instance: invalid_language_format). Portable character-class
+    regexes only, so the oracle's regex engine agrees; all pairs ride
+    ONE fused aggregate per table."""
+    from functools import reduce
+
+    from data_validator_spark.operators.suggest import format_profile
+
+    d = _t(spark, sf, "documents").select("lang")
+    e = _t(spark, sf, "events").select("event_type")
+    o = _t(spark, sf, "orders").select(
+        F.col("o_orderdate").cast("string").alias("order_date")
+    )
+    c = _t(spark, sf, "customer").select(
+        F.col("c_mktsegment").alias("mktsegment")
+    )
+    parts = [
+        format_profile(d, ["lang"]),
+        format_profile(e, ["event_type"]),
+        format_profile(o, ["order_date"]),
+        format_profile(c, ["mktsegment"]),
+    ]
+    return reduce(DataFrame.unionByName, parts).orderBy("column_name", "format")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -3682,6 +3711,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q99_bitdepth_detection": q99_bitdepth_detection,
         "q100_candidate_keys": q100_candidate_keys,
         "q101_table_diff": q101_table_diff,
+        "q102_format_profile": q102_format_profile,
     }
 
 
@@ -5476,6 +5506,38 @@ _ORACLES: dict[str, str] = {
         )
         SELECT status, changed_cols, count(*)::BIGINT AS n
         FROM rows_ GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    "q102_format_profile": """
+        WITH vals AS (
+          SELECT 'lang' AS column_name, lang AS v FROM documents
+          UNION ALL SELECT 'event_type', event_type FROM events
+          UNION ALL SELECT 'order_date', o_orderdate::VARCHAR FROM orders
+          UNION ALL SELECT 'mktsegment', c_mktsegment FROM customer
+        ), pats AS (
+          SELECT * FROM (VALUES
+            ('uuid', '^[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}$'),
+            ('iso_date', '^[0-9]{4}-[0-9]{2}-[0-9]{2}$'),
+            ('iso_timestamp', '^[0-9]{4}-[0-9]{2}-[0-9]{2}[T ][0-9]{2}:[0-9]{2}:[0-9]{2}'),
+            ('integer', '^-?[0-9]+$'),
+            ('decimal', '^-?[0-9]+[.][0-9]+$'),
+            ('email', '^[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}$'),
+            ('bcp47_lang', '^[a-z]{2,3}(-[A-Za-z0-9]{2,8})*$'),
+            ('lower_snake', '^[a-z]+(_[a-z]+)*$'),
+            ('upper_token', '^[A-Z]+$')
+          ) AS t(fmt, rx)
+        ), scored AS (
+          SELECT column_name, fmt,
+                 count(v) AS n_nonnull,
+                 sum((v IS NOT NULL AND regexp_matches(v, rx))::INT) AS n_match
+          FROM vals CROSS JOIN pats
+          GROUP BY 1, 2
+        )
+        SELECT column_name, fmt AS format,
+               n_nonnull::BIGINT AS n_nonnull, n_match::BIGINT AS n_match,
+               round(n_match / n_nonnull, 6) AS match_rate,
+               (n_nonnull > 0 AND round(n_match / n_nonnull, 6) >= 0.95) AS suggest
+        FROM scored WHERE n_match > 0
+        ORDER BY column_name, format
     """,
     "q70_video_features": """
         WITH base AS (

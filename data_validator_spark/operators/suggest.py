@@ -186,3 +186,70 @@ def candidate_keys(
         "key string, width int, n_rows long, n_distinct long, "
         "is_key boolean, is_minimal boolean",
     )
+
+
+# format library for format_profile: anchored, engine-portable
+# character-class regexes (no \\d, no lookaround — identical semantics
+# in Java regex and RE2-family engines an oracle might use)
+FORMAT_PATTERNS: dict[str, str] = {
+    "uuid": "^[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}$",
+    "iso_date": "^[0-9]{4}-[0-9]{2}-[0-9]{2}$",
+    "iso_timestamp": "^[0-9]{4}-[0-9]{2}-[0-9]{2}[T ][0-9]{2}:[0-9]{2}:[0-9]{2}",
+    "integer": "^-?[0-9]+$",
+    "decimal": "^-?[0-9]+[.][0-9]+$",
+    "email": "^[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}$",
+    "bcp47_lang": "^[a-z]{2,3}(-[A-Za-z0-9]{2,8})*$",
+    "lower_snake": "^[a-z]+(_[a-z]+)*$",
+    "upper_token": "^[A-Z]+$",
+}
+
+
+def format_profile(
+    df: DataFrame,
+    cols: list[str],
+    patterns: dict[str, str] | None = None,
+    suggest_min_rate: float = 0.95,
+) -> DataFrame:
+    """Regex-format conformance per (column, format): ->
+    (column_name, format, n_nonnull, n_match, match_rate, suggest).
+
+    The format-mining step behind rules/spec.regex_format (the
+    reference's invalid_language_format rule is one hand-written
+    instance — core_models.py:860-869): measure how much of each
+    string column already conforms to each library pattern and
+    suggest enforcing the ones at/above suggest_min_rate. Every
+    (column, pattern) pair is one rlike sum inside ONE fused
+    Aggregate — a single scan regardless of how many formats are
+    screened. Rows per column: len(patterns), emitted only for
+    formats with at least one match (a column matching nothing
+    suggests nothing).
+    """
+    pats = patterns or FORMAT_PATTERNS
+    aggs = []
+    for c in cols:
+        aggs.append(F.count(F.col(c)).cast("long").alias(f"nn_{c}"))
+        for name, rx in pats.items():
+            aggs.append(
+                F.sum(
+                    F.coalesce(
+                        F.col(c).cast("string").rlike(rx), F.lit(False)
+                    ).cast("long")
+                )
+                .cast("long")
+                .alias(f"m_{c}_{name}")
+            )
+    stats = df.agg(*aggs).collect()[0]
+    out = []
+    for c in cols:
+        nn = stats[f"nn_{c}"]
+        for name in pats:
+            m = stats[f"m_{c}_{name}"]
+            if m == 0:
+                continue
+            rate = round(m / nn, 6) if nn else 0.0
+            out.append((c, name, nn, m, rate, nn > 0 and rate >= suggest_min_rate))
+    return df.sparkSession.createDataFrame(
+        out,
+        "column_name string, format string, n_nonnull long, n_match long, "
+        "match_rate double, suggest boolean",
+    )

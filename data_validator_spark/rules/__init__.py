@@ -14,3 +14,6 @@ from data_validator_spark.rules.compiler import (  # noqa: F401
     apply_rules,
     hard_violations,
 )
+from data_validator_spark.rules.derive import (  # noqa: F401
+    rules_from_suggestions,
+)

@@ -72,3 +72,28 @@ def test_candidate_keys_null_members_excluded(spark):
     got = {r["key"]: r for r in candidate_keys(df, ["id", "g"]).collect()}
     assert got["g"]["n_rows"] == 1  # null member rows can't identify
     assert got["id,g"]["n_rows"] == 1 and got["id,g"]["is_key"]
+
+
+def test_format_profile(spark):
+    from data_validator_spark.operators.suggest import format_profile
+
+    df = spark.createDataFrame(
+        [
+            ("2024-01-01", "en", "a@b.com"),
+            ("2024-02-30", "pt-BR", "nope"),
+            (None, "de", "x@y.org"),
+        ],
+        "d string, lang string, mail string",
+    )
+    got = {
+        (r["column_name"], r["format"]): r
+        for r in format_profile(df, ["d", "lang", "mail"]).collect()
+    }
+    assert got[("d", "iso_date")]["n_match"] == 2
+    assert got[("d", "iso_date")]["match_rate"] == 1.0  # of 2 non-null
+    assert got[("d", "iso_date")]["suggest"]
+    assert got[("lang", "bcp47_lang")]["n_match"] == 3
+    assert got[("mail", "email")]["n_match"] == 2
+    assert not got[("mail", "email")]["suggest"]  # 2/3 < 0.95
+    # columns matching nothing emit nothing
+    assert not any(k[0] == "d" and k[1] == "email" for k in got)
