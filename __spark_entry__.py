@@ -3608,6 +3608,47 @@ def q102_format_profile(spark: SparkSession, sf: str) -> DataFrame:
     return reduce(DataFrame.unionByName, parts).orderBy("column_name", "format")
 
 
+def q103_partition_drift(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-partition drift verdicts (drift.partition_drift over
+    stats.grouped_histogram): the north star's per-partition pass/fail
+    applied to DISTRIBUTIONS — order years vs the clean-table global
+    baseline, with 1995's prices tripled (the mis-unit-upload defect).
+    Only the corrupted year fails; the oracle replays the full
+    bucketize -> per-partition freq -> eps-PSI -> shared-grid KS
+    pipeline."""
+    from data_validator_spark.operators.drift import partition_drift
+    from data_validator_spark.operators.stats import (
+        ColumnSpec,
+        grouped_histogram,
+        histogram,
+    )
+
+    specs = [
+        ColumnSpec("o_totalprice", "numeric", 0.0, 600000.0, 30),
+        ColumnSpec("o_orderpriority", "categorical"),
+    ]
+    base = _t(spark, sf, "orders").select(
+        "o_orderdate", "o_totalprice", "o_orderpriority"
+    )
+    cur = base.withColumn(
+        "o_totalprice",
+        F.when(
+            F.year("o_orderdate") == 1995, F.col("o_totalprice") * 3.0
+        ).otherwise(F.col("o_totalprice")),
+    ).withColumn("part_year", F.year("o_orderdate").cast("string"))
+    ph = grouped_histogram(cur, "part_year", specs)
+    baseline = histogram(base, specs)
+    d = partition_drift(ph, baseline)
+    return d.select(
+        "partition",
+        "column_name",
+        F.round("psi", 6).alias("psi"),
+        F.round("ks", 6).alias("ks"),
+        "n_buckets",
+        "drift_status",
+    ).orderBy("partition", "column_name")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -3712,6 +3753,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q100_candidate_keys": q100_candidate_keys,
         "q101_table_diff": q101_table_diff,
         "q102_format_profile": q102_format_profile,
+        "q103_partition_drift": q103_partition_drift,
     }
 
 
@@ -5538,6 +5580,66 @@ _ORACLES: dict[str, str] = {
                (n_nonnull > 0 AND round(n_match / n_nonnull, 6) >= 0.95) AS suggest
         FROM scored WHERE n_match > 0
         ORDER BY column_name, format
+    """,
+    "q103_partition_drift": """
+        WITH cur AS (
+          SELECT extract(year FROM o_orderdate)::VARCHAR AS part,
+                 CASE WHEN extract(year FROM o_orderdate) = 1995
+                      THEN o_totalprice * 3.0 ELSE o_totalprice END AS price,
+                 o_orderpriority AS prio
+          FROM orders
+        ), cur_pairs AS (
+          SELECT part, 'o_totalprice' AS column_name,
+                 CAST(CAST(greatest(-1, least(floor(price / 20000.0), 30)) AS BIGINT) AS VARCHAR) AS bucket
+          FROM cur WHERE price IS NOT NULL
+          UNION ALL
+          SELECT part, 'o_orderpriority', prio FROM cur WHERE prio IS NOT NULL
+        ), cur_freq AS (
+          SELECT part, column_name, bucket,
+                 cnt / sum(cnt) OVER (PARTITION BY part, column_name) AS p_cur
+          FROM (SELECT part, column_name, bucket, count(*) AS cnt
+                FROM cur_pairs GROUP BY 1, 2, 3)
+        ), base_pairs AS (
+          SELECT 'o_totalprice' AS column_name,
+                 CAST(CAST(greatest(-1, least(floor(o_totalprice / 20000.0), 30)) AS BIGINT) AS VARCHAR) AS bucket
+          FROM orders WHERE o_totalprice IS NOT NULL
+          UNION ALL
+          SELECT 'o_orderpriority', o_orderpriority FROM orders
+          WHERE o_orderpriority IS NOT NULL
+        ), base_freq AS (
+          SELECT column_name, bucket,
+                 cnt / sum(cnt) OVER (PARTITION BY column_name) AS p_base
+          FROM (SELECT column_name, bucket, count(*) AS cnt
+                FROM base_pairs GROUP BY 1, 2)
+        ), scaffold AS (
+          SELECT p.part, b.column_name, b.bucket, b.p_base
+          FROM (SELECT DISTINCT part FROM cur_freq) p CROSS JOIN base_freq b
+        ), joined AS (
+          SELECT coalesce(s.part, c.part) AS part,
+                 coalesce(s.column_name, c.column_name) AS column_name,
+                 coalesce(s.bucket, c.bucket) AS bucket,
+                 coalesce(s.p_base, 0) AS p_base,
+                 coalesce(c.p_cur, 0) AS p_cur
+          FROM scaffold s FULL JOIN cur_freq c
+            ON s.part = c.part AND s.column_name = c.column_name
+           AND s.bucket = c.bucket
+        ), scored AS (
+          SELECT part, column_name,
+                 (p_cur + 1e-6 - (p_base + 1e-6))
+                   * ln((p_cur + 1e-6) / (p_base + 1e-6)) AS psi_term,
+                 abs(sum(p_cur) OVER w - sum(p_base) OVER w) AS cdf_gap
+          FROM joined
+          WINDOW w AS (PARTITION BY part, column_name
+                       ORDER BY TRY_CAST(bucket AS DOUBLE) ASC NULLS LAST,
+                                bucket ASC)
+        )
+        SELECT part AS partition, column_name,
+               round(sum(psi_term), 6) AS psi,
+               round(max(cdf_gap), 6) AS ks,
+               count(*)::BIGINT AS n_buckets,
+               CASE WHEN sum(psi_term) > 0.25 OR max(cdf_gap) > 0.2
+                    THEN 'fail' ELSE 'pass' END AS drift_status
+        FROM scored GROUP BY 1, 2 ORDER BY 1, 2
     """,
     "q70_video_features": """
         WITH base AS (

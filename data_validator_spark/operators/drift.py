@@ -297,3 +297,64 @@ def benford_test(df: DataFrame, cols: Sequence[str]) -> DataFrame:
         .when(F.col("mad") <= 0.015, "marginal")
         .otherwise("nonconforming"),
     )
+
+
+def partition_drift(
+    part_hist: DataFrame,
+    baseline_hist: DataFrame,
+    psi_fail: float = 0.25,
+    ks_fail: float = 0.2,
+) -> DataFrame:
+    """Per-PARTITION drift verdicts: each partition's distribution vs
+    a baseline histogram -> (partition, column_name, psi, ks,
+    n_buckets, drift_status).
+
+    The north star's per-partition pass/fail applied to DISTRIBUTIONS:
+    rule verdicts say which partitions broke constraints; this says
+    which partitions stopped looking like the corpus (a bad ingest
+    day, a mis-unit upload). Inputs are histogram tables —
+    stats.grouped_histogram for the partition side, stats.histogram
+    (typically over the whole table or a reference snapshot) for the
+    baseline — so the comparison never re-scans raw data and the
+    baseline is replicated to partitions via one broadcast join.
+    Same eps-smoothed PSI and shared-grid KS as drift_metrics.
+    """
+    scaffold = (
+        part_hist.select("partition").distinct().crossJoin(
+            F.broadcast(
+                baseline_hist.select(
+                    "column_name", "bucket", F.col("freq").alias("p_base")
+                )
+            )
+        )
+    )
+    cur = part_hist.select(
+        "partition", "column_name", "bucket", F.col("freq").alias("p_cur")
+    )
+    joined = scaffold.join(
+        cur, ["partition", "column_name", "bucket"], "full_outer"
+    ).fillna(0.0, subset=["p_base", "p_cur"])
+    pb = F.col("p_base") + _EPS
+    pc = F.col("p_cur") + _EPS
+    term = (pc - pb) * F.log(pc / pb)
+    w = Window.partitionBy("partition", "column_name").orderBy(
+        F.col("bucket").try_cast("double").asc_nulls_last(),
+        F.col("bucket").asc(),
+    )
+    cdf_gap = F.abs(F.sum("p_cur").over(w) - F.sum("p_base").over(w))
+    out = (
+        joined.withColumn("_psi_term", term)
+        .withColumn("_cdf_gap", cdf_gap)
+        .groupBy("partition", "column_name")
+        .agg(
+            F.sum("_psi_term").alias("psi"),
+            F.max("_cdf_gap").alias("ks"),
+            F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        )
+    )
+    return out.withColumn(
+        "drift_status",
+        F.when(
+            (F.col("psi") > psi_fail) | (F.col("ks") > ks_fail), F.lit("fail")
+        ).otherwise(F.lit("pass")),
+    )

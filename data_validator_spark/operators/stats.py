@@ -503,3 +503,42 @@ def entropy_profile(df: DataFrame, cols: Sequence[str]) -> DataFrame:
             F.round(F.col("entropy_bits") / F.log2(F.col("n_distinct")), 6),
         ).otherwise(F.lit(0.0)),
     )
+
+
+def grouped_histogram(
+    df: DataFrame, part_col: str, specs: Sequence[ColumnSpec]
+) -> DataFrame:
+    """(partition, column_name, bucket, cnt, freq) — histogram()
+    per partition value, all columns in ONE shuffle (rows explode to
+    (partition, column, bucket) pairs first, then a single groupBy).
+    freq normalizes within each (partition, column), so partitions of
+    different sizes compare as distributions, not counts."""
+    pairs = [
+        F.struct(
+            F.lit(s.name).alias("column_name"),
+            (
+                bucketize(s)
+                if s.kind == "numeric"
+                else F.col(s.name).cast("string")
+            ).alias("bucket"),
+        )
+        for s in specs
+    ]
+    exploded = df.select(
+        F.col(part_col).cast("string").alias("partition"),
+        F.explode(F.array(*pairs)).alias("p"),
+    ).select("partition", "p.*")
+    exploded = exploded.filter(
+        F.col("bucket").isNotNull() & F.col("partition").isNotNull()
+    )
+    counts = exploded.groupBy("partition", "column_name", "bucket").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    # per-(partition, column) totals via aggregate + broadcast join —
+    # same skew rationale as entropy_profile
+    totals = counts.groupBy("partition", "column_name").agg(
+        F.sum("cnt").alias("_n")
+    )
+    return counts.join(
+        F.broadcast(totals), ["partition", "column_name"]
+    ).withColumn("freq", F.col("cnt") / F.col("_n")).drop("_n")

@@ -344,3 +344,42 @@ def test_entropy_counts_null_as_category(spark):
     df = spark.createDataFrame([("a",), (None,)], "v string")
     row = entropy_profile(df, ["v"]).collect()[0]
     assert row["n_distinct"] == 2 and row["entropy_bits"] == 1.0
+
+
+def test_partition_drift_flags_shifted_partition(spark):
+    import numpy as np
+
+    from data_validator_spark.operators.drift import partition_drift
+    from data_validator_spark.operators.stats import grouped_histogram
+
+    rng = np.random.RandomState(0)
+    rows = (
+        [("p1", float(v)) for v in rng.normal(50, 10, 3000)]
+        + [("p2", float(v)) for v in rng.normal(50, 10, 3000)]
+        + [("p3", float(v)) for v in rng.normal(90, 10, 3000)]
+    )
+    df = spark.createDataFrame(rows, "part string, v double")
+    specs = [stats.ColumnSpec("v", "numeric", 0.0, 120.0, 24)]
+    ph = grouped_histogram(df, "part", specs)
+    baseline = stats.histogram(
+        df.filter(F.col("part") == "p1").drop("part"), specs
+    )
+    got = {r["partition"]: r for r in partition_drift(ph, baseline).collect()}
+    assert got["p2"]["drift_status"] == "pass"
+    assert got["p3"]["drift_status"] == "fail"
+    assert got["p3"]["psi"] > 1.0 and got["p3"]["ks"] > 0.5
+    assert got["p1"]["psi"] < 0.01  # vs itself
+
+
+def test_grouped_histogram_freqs_normalize_per_partition(spark):
+    from data_validator_spark.operators.stats import grouped_histogram
+
+    df = spark.createDataFrame(
+        [("a", "x"), ("a", "y"), ("b", "x")], "part string, v string"
+    )
+    h = grouped_histogram(df, "part", [stats.ColumnSpec("v", "categorical")])
+    sums = {
+        r["partition"]: r["s"]
+        for r in h.groupBy("partition").agg(F.sum("freq").alias("s")).collect()
+    }
+    assert sums["a"] == pytest.approx(1.0) and sums["b"] == pytest.approx(1.0)
