@@ -3649,6 +3649,21 @@ def q103_partition_drift(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("partition", "column_name")
 
 
+def q104_join_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """Pre-join cardinality audit (operators/consistency.join_audit):
+    lineitem->part enrichment against a DAMAGED dim — every 7th part
+    key dropped (orphans), every 11th duplicated (fanout) — producing
+    the exact coverage rate, dup-key count, and inner-join row count
+    from key aggregates alone, never by running the join."""
+    from data_validator_spark.operators.consistency import join_audit
+
+    li = _t(spark, sf, "lineitem")
+    p = _t(spark, sf, "part")
+    pk = F.col("p_partkey")
+    dim = p.filter(pk % 7 != 0).unionByName(p.filter(pk % 11 == 0))
+    return join_audit(li, dim, "l_partkey", "p_partkey")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -3754,6 +3769,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q101_table_diff": q101_table_diff,
         "q102_format_profile": q102_format_profile,
         "q103_partition_drift": q103_partition_drift,
+        "q104_join_audit": q104_join_audit,
     }
 
 
@@ -5640,6 +5656,44 @@ _ORACLES: dict[str, str] = {
                CASE WHEN sum(psi_term) > 0.25 OR max(cdf_gap) > 0.2
                     THEN 'fail' ELSE 'pass' END AS drift_status
         FROM scored GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    "q104_join_audit": """
+        WITH dim AS (
+          SELECT p_partkey FROM part WHERE p_partkey % 7 <> 0
+          UNION ALL
+          SELECT p_partkey FROM part WHERE p_partkey % 11 = 0
+        ), fk AS (
+          SELECT l_partkey AS k, count(*) AS cf FROM lineitem
+          WHERE l_partkey IS NOT NULL GROUP BY 1
+        ), dk AS (
+          SELECT p_partkey AS k, count(*) AS cd FROM dim
+          WHERE p_partkey IS NOT NULL GROUP BY 1
+        ), j AS (
+          SELECT fk.cf, dk.cd FROM fk FULL JOIN dk ON fk.k = dk.k
+        ), ks AS (
+          SELECT sum(CASE WHEN cd IS NOT NULL THEN cf END) AS covered,
+                 sum(CASE WHEN cd IS NULL THEN cf END) AS orphan,
+                 sum(cf * cd) AS join_rows,
+                 sum((cd > 1)::INT) AS dup_keys,
+                 max(cd) AS max_fanout,
+                 sum(cd) AS n_dim
+          FROM j
+        ), fs AS (
+          SELECT count(*) AS n_fact,
+                 sum((l_partkey IS NULL)::INT) AS n_null
+          FROM lineitem
+        )
+        SELECT fs.n_fact::BIGINT AS n_fact,
+               fs.n_null::BIGINT AS n_fact_null_fk,
+               coalesce(ks.n_dim, 0)::BIGINT AS n_dim,
+               coalesce(ks.dup_keys, 0)::BIGINT AS n_dim_dup_keys,
+               coalesce(ks.max_fanout, 0)::BIGINT AS max_fanout,
+               coalesce(ks.orphan, 0)::BIGINT AS n_orphan_fact,
+               CASE WHEN fs.n_fact - fs.n_null > 0
+                    THEN round(coalesce(ks.covered, 0) / (fs.n_fact - fs.n_null), 6)
+               END AS coverage_rate,
+               coalesce(ks.join_rows, 0)::BIGINT AS est_join_rows
+        FROM fs CROSS JOIN ks
     """,
     "q70_video_features": """
         WITH base AS (

@@ -246,3 +246,65 @@ def table_diff(
             ).alias("changed_cols"),
         )
     )
+
+
+def join_audit(
+    fact: DataFrame,
+    dim: DataFrame,
+    fk: str,
+    pk: str,
+) -> DataFrame:
+    """Pre-join cardinality audit: ONE summary row with
+    (n_fact, n_fact_null_fk, n_dim, n_dim_dup_keys, max_fanout,
+    n_orphan_fact, coverage_rate, est_join_rows).
+
+    The checks a pipeline should run BEFORE an enrich join ships:
+    does the dim key actually identify (n_dim_dup_keys, max_fanout —
+    a dup'd dim key silently multiplies fact rows), do the fact FKs
+    resolve (n_orphan_fact, coverage_rate over non-null FKs), and how
+    many rows will the inner join emit (est_join_rows = sum of
+    fk_count * pk_count over matching keys — EXACT, computed from the
+    two key-count aggregates joined, never by running the join).
+
+    Cost: one aggregate per side on the key + one join of the two
+    key-count tables (each already shrunk to distinct keys, so this
+    is orders of magnitude smaller than the join being audited).
+    """
+    f_keys = (
+        fact.filter(F.col(fk).isNotNull())
+        .groupBy(F.col(fk).alias("_k"))
+        .agg(F.count(F.lit(1)).alias("_cf"))
+    )
+    d_keys = dim.filter(F.col(pk).isNotNull()).groupBy(
+        F.col(pk).alias("_k")
+    ).agg(F.count(F.lit(1)).alias("_cd"))
+    j = f_keys.join(d_keys, "_k", "full_outer")
+    key_stats = j.agg(
+        F.sum(F.when(F.col("_cd").isNotNull(), F.col("_cf"))).alias("_covered"),
+        F.sum(F.when(F.col("_cd").isNull(), F.col("_cf"))).alias("_orphan"),
+        F.sum(F.col("_cf") * F.col("_cd")).alias("_join_rows"),
+        F.sum(F.when(F.col("_cd") > 1, 1).otherwise(0)).alias("_dup_keys"),
+        F.max(F.col("_cd")).alias("_max_fanout"),
+        F.sum("_cd").alias("_n_dim"),
+    )
+    fact_stats = fact.agg(
+        F.count(F.lit(1)).cast("long").alias("n_fact"),
+        F.sum(F.col(fk).isNull().cast("long")).cast("long").alias("n_fact_null_fk"),
+    )
+    return fact_stats.crossJoin(F.broadcast(key_stats)).select(
+        "n_fact",
+        "n_fact_null_fk",
+        F.coalesce(F.col("_n_dim"), F.lit(0)).cast("long").alias("n_dim"),
+        F.coalesce(F.col("_dup_keys"), F.lit(0)).cast("long").alias("n_dim_dup_keys"),
+        F.coalesce(F.col("_max_fanout"), F.lit(0)).cast("long").alias("max_fanout"),
+        F.coalesce(F.col("_orphan"), F.lit(0)).cast("long").alias("n_orphan_fact"),
+        F.when(
+            F.col("n_fact") - F.col("n_fact_null_fk") > 0,
+            F.round(
+                F.coalesce(F.col("_covered"), F.lit(0))
+                / (F.col("n_fact") - F.col("n_fact_null_fk")),
+                6,
+            ),
+        ).alias("coverage_rate"),
+        F.coalesce(F.col("_join_rows"), F.lit(0)).cast("long").alias("est_join_rows"),
+    )

@@ -118,3 +118,26 @@ def test_table_diff_null_to_value_is_change(spark):
     cur = spark.createDataFrame([(1, 2.0)], "k int, v double")
     row = table_diff(base, cur, ["k"]).collect()[0]
     assert row["status"] == "changed" and row["changed_cols"] == "v"
+
+
+def test_join_audit(spark):
+    from data_validator_spark.operators.consistency import join_audit
+
+    fact = spark.createDataFrame([(1,), (1,), (2,), (3,), (None,)], "fk int")
+    dim = spark.createDataFrame([(1,), (2,), (2,)], "pk int")
+    r = join_audit(fact, dim, "fk", "pk").collect()[0]
+    assert (r["n_fact"], r["n_fact_null_fk"]) == (5, 1)
+    assert (r["n_dim"], r["n_dim_dup_keys"], r["max_fanout"]) == (3, 1, 2)
+    assert r["n_orphan_fact"] == 1
+    assert r["coverage_rate"] == 0.75
+    assert r["est_join_rows"] == 4  # 2*1 (key 1) + 1*2 (key 2)
+
+
+def test_join_audit_empty_dim(spark):
+    from data_validator_spark.operators.consistency import join_audit
+
+    fact = spark.createDataFrame([(1,)], "fk int")
+    dim = spark.createDataFrame([], "pk int")
+    r = join_audit(fact, dim, "fk", "pk").collect()[0]
+    assert (r["n_dim"], r["n_orphan_fact"], r["est_join_rows"]) == (0, 1, 0)
+    assert r["coverage_rate"] == 0.0
