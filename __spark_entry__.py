@@ -3664,6 +3664,17 @@ def q104_join_audit(spark: SparkSession, sf: str) -> DataFrame:
     return join_audit(li, dim, "l_partkey", "p_partkey")
 
 
+def q105_freshness(spark: SparkSession, sf: str) -> DataFrame:
+    """Freshness audit (operators/consistency.freshness_audit): lag of
+    each event feed's newest row behind the table's own global max
+    timestamp — deterministic (no driver clock), so any engine replays
+    it. 24h staleness policy over the events table."""
+    from data_validator_spark.operators.consistency import freshness_audit
+
+    ev = _t(spark, sf, "events")
+    return freshness_audit(ev, "event_type", "ts").orderBy("event_type")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -3770,6 +3781,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q102_format_profile": q102_format_profile,
         "q103_partition_drift": q103_partition_drift,
         "q104_join_audit": q104_join_audit,
+        "q105_freshness": q105_freshness,
     }
 
 
@@ -5694,6 +5706,19 @@ _ORACLES: dict[str, str] = {
                END AS coverage_rate,
                coalesce(ks.join_rows, 0)::BIGINT AS est_join_rows
         FROM fs CROSS JOIN ks
+    """,
+    "q105_freshness": """
+        WITH g AS (SELECT max(ts) AS gmax FROM events),
+        per AS (
+          SELECT event_type, count(*)::BIGINT AS n_rows, max(ts) AS last_ts
+          FROM events WHERE ts IS NOT NULL GROUP BY 1
+        )
+        SELECT event_type, n_rows, last_ts,
+               round(date_diff('microsecond', last_ts, (SELECT gmax FROM g))
+                     / 3600000000.0, 6) AS lag_hours,
+               (date_diff('microsecond', last_ts, (SELECT gmax FROM g))
+                     / 3600000000.0) > 24.0 AS stale
+        FROM per ORDER BY event_type
     """,
     "q70_video_features": """
         WITH base AS (

@@ -35,7 +35,7 @@ from __future__ import annotations
 from functools import reduce
 from typing import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -307,4 +307,47 @@ def join_audit(
             ),
         ).alias("coverage_rate"),
         F.coalesce(F.col("_join_rows"), F.lit(0)).cast("long").alias("est_join_rows"),
+    )
+
+
+def freshness_audit(
+    df: DataFrame,
+    group_col: str,
+    ts_col: str,
+    max_lag_hours: float = 24.0,
+) -> DataFrame:
+    """Per-group data freshness: -> (group, n_rows, last_ts, lag_hours,
+    stale boolean).
+
+    'Which feeds stopped arriving' — the wall-clock complement of the
+    volume control chart (control.ewma_chart). The reference point is
+    the table's own global max timestamp, NOT the driver's clock, so
+    the audit is deterministic and replayable offline (a feed is
+    stale relative to the freshest feed, which is also the only
+    defensible definition when the table itself is a frozen
+    snapshot). Two aggregates, the one-row global max broadcast.
+    """
+    per = df.filter(F.col(ts_col).isNotNull()).groupBy(
+        F.col(group_col).alias("_g")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.max(ts_col).alias("last_ts"),
+    )
+    global_max = df.agg(F.max(ts_col).alias("_gmax"))
+    # NTZ timestamps can't cast to double under ANSI; go through
+    # unix_micros on a TZ cast (the session pins UTC, so NTZ->LTZ is
+    # the identity mapping)
+    def _us(c: Column) -> Column:
+        return F.unix_micros(c.cast("timestamp"))
+
+    lag_h = (_us(F.col("_gmax")) - _us(F.col("last_ts"))) / 3.6e9
+    return (
+        per.crossJoin(F.broadcast(global_max))
+        .select(
+            F.col("_g").alias(group_col),
+            "n_rows",
+            "last_ts",
+            F.round(lag_h, 6).alias("lag_hours"),
+            (lag_h > max_lag_hours).alias("stale"),
+        )
     )

@@ -141,3 +141,19 @@ def test_join_audit_empty_dim(spark):
     r = join_audit(fact, dim, "fk", "pk").collect()[0]
     assert (r["n_dim"], r["n_orphan_fact"], r["est_join_rows"]) == (0, 1, 0)
     assert r["coverage_rate"] == 0.0
+
+
+def test_freshness_audit(spark):
+    from data_validator_spark.operators.consistency import freshness_audit
+
+    df = spark.createDataFrame(
+        [
+            ("live", "2024-03-10 12:00:00"),
+            ("live", "2024-03-09 12:00:00"),
+            ("stale", "2024-03-01 12:00:00"),
+        ],
+        "feed string, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = {r["feed"]: r for r in freshness_audit(df, "feed", "ts").collect()}
+    assert got["live"]["lag_hours"] == 0.0 and not got["live"]["stale"]
+    assert got["stale"]["lag_hours"] == 216.0 and got["stale"]["stale"]
