@@ -8,6 +8,7 @@ from data_validator_spark.rules.spec import (  # noqa: F401
     not_empty,
     regex_format,
     required,
+    required_when,
 )
 from data_validator_spark.rules.compiler import (  # noqa: F401
     append_messages,

@@ -176,3 +176,27 @@ def regex_format(
         invalid_key=col,
         expected=f"match {pattern}",
     )
+
+
+def required_when(
+    col: str,
+    condition: Column,
+    label: str | None = None,
+    tier: str = SOFT,
+    expected: str = "non-null value when condition holds",
+) -> Rule:
+    """Conditional completeness: `col` must be present whenever
+    `condition` holds (the 'if codec is lossless then bytes must
+    carry a seekable container' family — the reference expresses
+    these as branchy validators, e.g. the survey-scope checks that
+    only apply to child runs). NULL conditions never fire (null-safe
+    like every predicate here)."""
+    label = label or f"{col}_required_conditionally"
+    return Rule(
+        name=label,
+        tier=tier,
+        predicate=_safe(condition & F.col(col).isNull()),
+        message=F.lit(label),
+        invalid_key=col,
+        expected=expected,
+    )

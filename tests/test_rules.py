@@ -69,3 +69,27 @@ def test_message_order_is_declaration_order(spark):
     v = apply_rules(df, all_clip_rules(), "clip")
     msg = v.first().validation_msg_clip
     assert msg == "dur_ms_over_max(70000000);sr_hz_invalid(999);transcript_empty"
+
+
+def test_required_when(spark):
+    from pyspark.sql import functions as F
+
+    from data_validator_spark.rules import apply_rules
+    from data_validator_spark.rules.spec import required_when
+
+    df = spark.createDataFrame(
+        [
+            ("flac", None),      # condition holds, col null -> violation
+            ("flac", "x"),       # condition holds, present -> ok
+            ("opus", None),      # condition false -> ok
+            (None, None),        # NULL condition -> never fires
+        ],
+        "codec string, container string",
+    )
+    rule = required_when(
+        "container", F.col("codec") == "flac", label="container_missing_for_flac"
+    )
+    out = apply_rules(df, [rule], "t").collect()
+    msgs = [r["validation_msg_t"] for r in out]
+    assert msgs[0] == "container_missing_for_flac"
+    assert msgs[1] == "" and msgs[2] == "" and msgs[3] == ""
