@@ -3675,6 +3675,31 @@ def q105_freshness(spark: SparkSession, sf: str) -> DataFrame:
     return freshness_audit(ev, "event_type", "ts").orderBy("event_type")
 
 
+def q106_winnow_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
+    """Rolling-hash document fingerprints (operators/text.
+    winnow_fingerprints, MOSS winnowing): word-3-gram md5 hashes,
+    window-4 minima, per-source summary of fingerprint counts plus
+    the distinct-fingerprint pool size. The oracle replays the whole
+    algorithm — normalization, shingling, hashing, window minima,
+    distinct — in SQL list comprehensions."""
+    from data_validator_spark.operators.text import winnow_fingerprints
+
+    d = _t(spark, sf, "documents").select(
+        "source", winnow_fingerprints(F.col("text")).alias("fp")
+    )
+    per_doc = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.size("fp")).cast("long").alias("n_fp_total"),
+        F.round(F.avg(F.size("fp")), 6).alias("avg_fp"),
+    )
+    pool = (
+        d.select("source", F.explode("fp").alias("h"))
+        .groupBy("source")
+        .agg(F.count_distinct("h").cast("long").alias("n_fp_distinct"))
+    )
+    return per_doc.join(pool, "source", "left").orderBy("source")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -3782,6 +3807,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q103_partition_drift": q103_partition_drift,
         "q104_join_audit": q104_join_audit,
         "q105_freshness": q105_freshness,
+        "q106_winnow_fingerprints": q106_winnow_fingerprints,
     }
 
 
@@ -5719,6 +5745,43 @@ _ORACLES: dict[str, str] = {
                (date_diff('microsecond', last_ts, (SELECT gmax FROM g))
                      / 3600000000.0) > 24.0 AS stale
         FROM per ORDER BY event_type
+    """,
+    "q106_winnow_fingerprints": """
+        WITH d AS (
+          SELECT source,
+                 lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS t
+          FROM documents
+        ), toks AS (
+          SELECT source, string_split(t, ' ') AS w FROM d
+        ), grams AS (
+          SELECT source,
+                 CASE WHEN len(w) >= 3
+                      THEN [md5(array_to_string(w[j:j+2], ' '))
+                            FOR j IN generate_series(1, len(w) - 2)]
+                      ELSE [] END AS hs
+          FROM toks
+        ), wins AS (
+          SELECT source,
+                 CASE WHEN len(hs) = 0 THEN []
+                      WHEN len(hs) < 4 THEN [list_min(hs)]
+                      ELSE [list_min(hs[j:j+3])
+                            FOR j IN generate_series(1, len(hs) - 3)]
+                 END AS sel
+          FROM grams
+        ), fps AS (
+          SELECT source, list_sort(list_distinct(sel)) AS fp FROM wins
+        ), per_doc AS (
+          SELECT source, count(*)::BIGINT AS n_docs,
+                 sum(len(fp))::BIGINT AS n_fp_total,
+                 round(avg(len(fp)), 6) AS avg_fp
+          FROM fps GROUP BY 1
+        ), pool AS (
+          SELECT source, count(DISTINCT h)::BIGINT AS n_fp_distinct
+          FROM (SELECT source, unnest(fp) AS h FROM fps) GROUP BY 1
+        )
+        SELECT per_doc.*, pool.n_fp_distinct
+        FROM per_doc LEFT JOIN pool USING (source)
+        ORDER BY source
     """,
     "q70_video_features": """
         WITH base AS (

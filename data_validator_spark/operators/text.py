@@ -141,3 +141,45 @@ def word_ngrams(c: Column, n: int = 3) -> Column:
         F.array(F.split(normalized_text(c), " ")), lambda toks: build(toks)
     )
     return F.element_at(bound, 1)
+
+
+def winnow_fingerprints(
+    c: Column, n: int = 3, window: int = 4
+) -> Column:
+    """ROLLING-HASH document fingerprints via MOSS winnowing
+    (Schleimer/Wilkerson/Aiken 2003, the public algorithm): hash every
+    word n-gram, slide a window of `window` consecutive hashes, keep
+    each window's minimum — the classic guarantee that any shared run
+    of >= n+window-1 words between two documents shares at least one
+    selected fingerprint, while storing only ~2/(window+1) of the
+    hashes. -> sorted distinct array<string> of selected md5 hashes
+    (lexicographic min: any total order works for winnowing, and hex
+    strings compare identically in every engine — no hex->int
+    conversion an oracle could disagree on).
+
+    Documents with fewer than n words yield an empty array; documents
+    with 1..window-1 n-grams yield the single global min (every doc
+    with any content gets at least one fingerprint). Pure Column
+    algebra on the same shared-token pass as word_ngrams — no UDF,
+    no shuffle.
+    """
+    grams = word_ngrams(c, n)
+
+    def build(hs: Column) -> Column:
+        m = F.size(hs)
+        wins = (
+            F.when(m <= 0, F.array().cast("array<string>"))
+            .when(m < window, F.array(F.array_min(hs)))
+            .otherwise(
+                F.transform(
+                    F.sequence(F.lit(1), m - window + 1),
+                    lambda j: F.array_min(F.slice(hs, j, window)),
+                )
+            )
+        )
+        return F.array_sort(F.array_distinct(wins))
+
+    hashes = F.transform(grams, lambda g: F.md5(g.cast("binary")))
+    return F.element_at(
+        F.transform(F.array(hashes), lambda hs: build(hs)), 1
+    )

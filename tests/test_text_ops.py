@@ -250,3 +250,50 @@ def test_pseudonymize_reference_compat_vectors(spark):
     for raw, want in expected.items():
         assert out[raw] == want, raw
     assert out[None] is None
+
+
+def test_winnow_fingerprints(spark):
+    from pyspark.sql import functions as F
+
+    from data_validator_spark.operators.text import winnow_fingerprints
+
+    rows = [
+        ("a", "the quick brown fox jumps over the lazy dog and runs far away"),
+        ("b", "the quick brown fox jumps over the lazy dog and walks far away"),
+        ("c", "completely different text about spark execution engines at scale"),
+        ("tiny", "two words"),
+        ("empty", ""),
+        ("null", None),
+    ]
+    df = spark.createDataFrame(rows, "id string, text string")
+    fps = {
+        r["id"]: set(r["fp"] or [])
+        for r in df.select(
+            "id", winnow_fingerprints(F.col("text")).alias("fp")
+        ).collect()
+    }
+    # near-dup docs share most fingerprints; unrelated share none
+    assert len(fps["a"] & fps["b"]) >= len(fps["a"]) - 1
+    assert not (fps["a"] & fps["c"])
+    assert fps["tiny"] == set() and fps["empty"] == set()
+    # short-but-real doc still gets at least one fingerprint
+    one = spark.createDataFrame(
+        [("s", "alpha beta gamma delta")], "id string, text string"
+    ).select(winnow_fingerprints(F.col("text")).alias("fp")).collect()[0]
+    assert len(one["fp"]) >= 1
+
+
+def test_winnow_guarantee_on_shared_run(spark):
+    # any shared run of >= n + window - 1 = 6 words must share >= 1 fp
+    from pyspark.sql import functions as F
+
+    from data_validator_spark.operators.text import winnow_fingerprints
+
+    shared = "one two three four five six"
+    rows = [("x", f"prefix words {shared}"), ("y", f"{shared} suffix tail here")]
+    df = spark.createDataFrame(rows, "id string, text string")
+    fps = {
+        r["id"]: set(r["fp"])
+        for r in df.select("id", winnow_fingerprints(F.col("text")).alias("fp")).collect()
+    }
+    assert fps["x"] & fps["y"]
