@@ -3700,6 +3700,33 @@ def q106_winnow_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
     return per_doc.join(pool, "source", "left").orderBy("source")
 
 
+def q107_embedding_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding-column schema tier (similarity.embedding_audit): the
+    embeddings table with planted defects — nulled vectors, truncated
+    dims, NaN poison, zero vectors — audited in one aggregate. Norm
+    stats over valid rows only; the sequential norm fold replays
+    bit-for-bit in the oracle."""
+    from data_validator_spark.operators.similarity import embedding_audit
+
+    e = _t(spark, sf, "embeddings")
+    k = F.col("vec_id")
+    v = F.col("embedding")
+    corrupted = e.withColumn(
+        "embedding",
+        F.when(k % 97 == 0, F.lit(None).cast("array<float>"))
+        .when(k % 89 == 0, F.slice(v, 1, 60))
+        .when(
+            k % 83 == 0,
+            F.concat(
+                F.array(F.lit(float("nan")).cast("float")), F.slice(v, 2, 63)
+            ),
+        )
+        .when(k % 79 == 0, F.array_repeat(F.lit(0.0).cast("float"), 64))
+        .otherwise(v),
+    )
+    return embedding_audit(corrupted, "embedding", 64)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -3808,6 +3835,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q104_join_audit": q104_join_audit,
         "q105_freshness": q105_freshness,
         "q106_winnow_fingerprints": q106_winnow_fingerprints,
+        "q107_embedding_audit": q107_embedding_audit,
     }
 
 
@@ -5782,6 +5810,47 @@ _ORACLES: dict[str, str] = {
         SELECT per_doc.*, pool.n_fp_distinct
         FROM per_doc LEFT JOIN pool USING (source)
         ORDER BY source
+    """,
+    "q107_embedding_audit": """
+        WITH c AS (
+          SELECT CASE
+            WHEN vec_id % 97 = 0 THEN NULL
+            WHEN vec_id % 89 = 0 THEN embedding[1:60]
+            WHEN vec_id % 83 = 0 THEN ['NaN'::FLOAT] || embedding[2:64]
+            WHEN vec_id % 79 = 0 THEN [0.0::FLOAT FOR i IN generate_series(1, 64)]
+            ELSE embedding END AS v
+          FROM embeddings
+        ), scored AS (
+          SELECT v,
+                 v IS NULL AS is_null,
+                 v IS NOT NULL AND len(v) <> 64 AS wrong_dim,
+                 v IS NOT NULL AND len(v) = 64
+                   AND len([x FOR x IN v
+                            IF isnan(x) OR abs(x::DOUBLE) = 'infinity'::DOUBLE]) > 0
+                   AS nonfinite,
+                 CASE WHEN v IS NULL THEN NULL
+                      ELSE list_sum([ (x::DOUBLE) * (x::DOUBLE) FOR x IN v ])
+                 END AS norm2
+          FROM c
+        ), flags AS (
+          SELECT is_null, wrong_dim, nonfinite,
+                 (NOT is_null AND NOT wrong_dim AND NOT nonfinite
+                  AND norm2 = 0.0) AS is_zero,
+                 (NOT is_null AND NOT wrong_dim AND NOT nonfinite
+                  AND norm2 <> 0.0) AS valid,
+                 norm2
+          FROM scored
+        )
+        SELECT count(*)::BIGINT AS n_rows,
+               sum(is_null::INT)::BIGINT AS n_null,
+               sum(wrong_dim::INT)::BIGINT AS n_wrong_dim,
+               sum(nonfinite::INT)::BIGINT AS n_nonfinite,
+               sum(is_zero::INT)::BIGINT AS n_zero,
+               sum(valid::INT)::BIGINT AS n_valid,
+               round(avg(CASE WHEN valid THEN sqrt(norm2) END), 6) AS avg_norm,
+               round(min(CASE WHEN valid THEN sqrt(norm2) END), 6) AS min_norm,
+               round(max(CASE WHEN valid THEN sqrt(norm2) END), 6) AS max_norm
+        FROM flags
     """,
     "q70_video_features": """
         WITH base AS (

@@ -600,3 +600,49 @@ def ivfpq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos_sim", "rank")
     )
+
+
+def embedding_audit(
+    df: DataFrame, vec_col: str, expected_dim: int
+) -> DataFrame:
+    """Embedding-column validation: ONE summary row with
+    (n_rows, n_null, n_wrong_dim, n_nonfinite, n_zero, n_valid,
+    avg_norm, min_norm, max_norm).
+
+    The schema tier for an `array<float>` column — the checks every
+    ANN/similarity operator in this module silently assumes: vectors
+    present, the right width, finite (one NaN poisons a dot product),
+    and non-zero (cosine is undefined at the origin). Norm statistics
+    run over VALID rows only and catch the 'unnormalized batch'
+    defect (a corpus mixing unit and raw embeddings bimodalizes
+    max/min norm long before recall collapses). Pure Column algebra
+    over one aggregate — the norm fold is a sequential array
+    aggregate, so an external oracle replays it bit-for-bit.
+    """
+    v = F.col(vec_col)
+    is_null = v.isNull()
+    wrong_dim = ~is_null & (F.size(v) != expected_dim)
+    finite_shape = ~is_null & ~wrong_dim
+    nonfinite = finite_shape & F.exists(
+        v,
+        lambda x: F.isnan(x) | (F.abs(x.cast("double")) == F.lit(float("inf"))),
+    )
+    norm2 = F.aggregate(
+        v,
+        F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double"),
+    )
+    zero = finite_shape & ~nonfinite & (norm2 == 0.0)
+    valid = finite_shape & ~nonfinite & ~zero
+    norm = F.when(valid, F.sqrt(norm2))
+    return df.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(is_null.cast("long")).cast("long").alias("n_null"),
+        F.sum(wrong_dim.cast("long")).cast("long").alias("n_wrong_dim"),
+        F.sum(nonfinite.cast("long")).cast("long").alias("n_nonfinite"),
+        F.sum(zero.cast("long")).cast("long").alias("n_zero"),
+        F.sum(valid.cast("long")).cast("long").alias("n_valid"),
+        F.round(F.avg(norm), 6).alias("avg_norm"),
+        F.round(F.min(norm), 6).alias("min_norm"),
+        F.round(F.max(norm), 6).alias("max_norm"),
+    )

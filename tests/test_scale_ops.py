@@ -334,3 +334,17 @@ def test_ivfpq_matches_brute_force_on_twins(spark):
         .collect()
     )
     assert [tuple(r) for r in pq] == [tuple(r) for r in bf]
+
+
+def test_embedding_audit(spark):
+    from data_validator_spark.operators.similarity import embedding_audit
+
+    rows = [
+        ([0.6, 0.8],), ([3.0, 4.0],), (None,), ([1.0],),
+        ([float("nan"), 1.0],), ([0.0, 0.0],),
+    ]
+    df = spark.createDataFrame(rows, "v array<float>")
+    r = embedding_audit(df, "v", 2).collect()[0]
+    assert (r["n_rows"], r["n_null"], r["n_wrong_dim"]) == (6, 1, 1)
+    assert (r["n_nonfinite"], r["n_zero"], r["n_valid"]) == (1, 1, 2)
+    assert (r["min_norm"], r["avg_norm"], r["max_norm"]) == (1.0, 3.0, 5.0)
