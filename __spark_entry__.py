@@ -3727,6 +3727,26 @@ def q107_embedding_audit(spark: SparkSession, sf: str) -> DataFrame:
     return embedding_audit(corrupted, "embedding", 64)
 
 
+def q108_winnow_candidates(spark: SparkSession, sf: str) -> DataFrame:
+    """Winnowing candidate pairs (text_dedup.winnow_candidates): the
+    positional third candidate generator next to minhash-LSH and
+    simhash — pairs of documents sharing >= 2 selected fingerprints,
+    hot (boilerplate) fingerprints dropped before the self-join.
+    Summarized to the shared-count distribution; the oracle replays
+    fingerprinting, doc-frequency capping, join and thresholds."""
+    from data_validator_spark.operators.text_dedup import winnow_candidates
+
+    d = _t(spark, sf, "documents")
+    pairs = winnow_candidates(
+        d, "doc_id", "text", min_shared=2, max_doc_freq=50
+    )
+    return (
+        pairs.groupBy("n_shared")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+        .orderBy("n_shared")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -3836,6 +3856,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q105_freshness": q105_freshness,
         "q106_winnow_fingerprints": q106_winnow_fingerprints,
         "q107_embedding_audit": q107_embedding_audit,
+        "q108_winnow_candidates": q108_winnow_candidates,
     }
 
 
@@ -5851,6 +5872,41 @@ _ORACLES: dict[str, str] = {
                round(min(CASE WHEN valid THEN sqrt(norm2) END), 6) AS min_norm,
                round(max(CASE WHEN valid THEN sqrt(norm2) END), 6) AS max_norm
         FROM flags
+    """,
+    "q108_winnow_candidates": """
+        WITH d AS (
+          SELECT doc_id,
+                 lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS t
+          FROM documents
+        ), toks AS (
+          SELECT doc_id, string_split(t, ' ') AS w FROM d
+        ), grams AS (
+          SELECT doc_id,
+                 CASE WHEN len(w) >= 3
+                      THEN [md5(array_to_string(w[j:j+2], ' '))
+                            FOR j IN generate_series(1, len(w) - 2)]
+                      ELSE [] END AS hs
+          FROM toks
+        ), wins AS (
+          SELECT doc_id,
+                 CASE WHEN len(hs) = 0 THEN []
+                      WHEN len(hs) < 4 THEN [list_min(hs)]
+                      ELSE [list_min(hs[j:j+3])
+                            FOR j IN generate_series(1, len(hs) - 3)]
+                 END AS sel
+          FROM grams
+        ), fps AS (
+          SELECT doc_id, unnest(list_distinct(sel)) AS h FROM wins
+        ), cold AS (
+          SELECT doc_id, h FROM fps
+          WHERE h IN (SELECT h FROM fps GROUP BY h HAVING count(*) <= 50)
+        ), pairs AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+          FROM cold a JOIN cold b ON a.h = b.h AND a.doc_id < b.doc_id
+          GROUP BY 1, 2 HAVING count(*) >= 2
+        )
+        SELECT n_shared::BIGINT AS n_shared, count(*)::BIGINT AS n_pairs
+        FROM pairs GROUP BY 1 ORDER BY 1
     """,
     "q70_video_features": """
         WITH base AS (

@@ -490,3 +490,46 @@ def simhash_candidates(
         .select("id_a", "id_b", "hamming")
         .dropDuplicates(["id_a", "id_b"])
     )
+
+
+def winnow_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    window: int = 4,
+    min_shared: int = 2,
+    max_doc_freq: int = 100,
+) -> DataFrame:
+    """Candidate near-duplicate pairs from MOSS winnowing fingerprints
+    (text.winnow_fingerprints): -> (id_a, id_b, n_shared) for pairs
+    sharing >= min_shared selected fingerprints, id_a < id_b.
+
+    The third candidate generator next to minhash-LSH and simhash
+    banding — winnowing's guarantee is positional (any shared run of
+    >= n+window-1 words produces a shared fingerprint), which catches
+    contiguous plagiarism/boilerplate that permutation-based minhash
+    treats as low jaccard. Scale discipline mirrors the LSH path:
+    fingerprints appearing in more than max_doc_freq documents are
+    dropped BEFORE the self-join (boilerplate n-grams are the hot
+    keys here; the cap bounds any bucket's pair fan-out at
+    max_doc_freq^2), and only (fingerprint, id) pairs ever shuffle.
+    """
+    from data_validator_spark.operators.text import winnow_fingerprints
+
+    fps = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(winnow_fingerprints(F.col(text_col), n, window)).alias("_h"),
+    )
+    freq = fps.groupBy("_h").agg(F.count(F.lit(1)).alias("_df"))
+    cold = fps.join(
+        freq.filter(F.col("_df") <= max_doc_freq).select("_h"), "_h"
+    )
+    a = cold.select(F.col("_h"), F.col("_id").alias("id_a"))
+    b = cold.select(F.col("_h"), F.col("_id").alias("id_b"))
+    pairs = a.join(b, "_h").filter(F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

@@ -108,3 +108,36 @@ def test_dedup_pipeline_end_to_end(spark):
     v = {(r.id_a, r.id_b) for r in res.verified_pairs.collect()}
     assert (1, 3) in v and (3, 4) in v
     res.unpersist()
+
+
+def test_winnow_candidates(spark):
+    from data_validator_spark.operators.text_dedup import winnow_candidates
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog and runs far away tonight"),
+        (2, "the quick brown fox jumps over the lazy dog and walks far away tonight"),
+        (3, "completely different text about spark engines running at warehouse scale"),
+        (4, "another unrelated document discussing audio codecs and bitstreams here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = winnow_candidates(df, min_shared=1).collect()
+    assert len(got) == 1
+    assert (got[0]["id_a"], got[0]["id_b"]) == (1, 2)
+    assert got[0]["n_shared"] >= 2
+
+
+def test_winnow_candidates_hot_fingerprint_cap(spark):
+    # a fingerprint shared by every doc (boilerplate) is dropped by
+    # max_doc_freq before the join, so no all-pairs blow-up
+    from data_validator_spark.operators.text_dedup import winnow_candidates
+
+    boiler = "standard legal disclaimer text appended to every document"
+    rows = [(i, f"unique content {i} alpha beta gamma {boiler}") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    capped = winnow_candidates(df, min_shared=1, max_doc_freq=5).collect()
+    uncapped = winnow_candidates(df, min_shared=1, max_doc_freq=100).collect()
+    assert len(uncapped) == 45  # all pairs via the boilerplate run
+    # the universally-selected boilerplate fingerprints are dropped;
+    # only grams selected in <= 5 docs survive, collapsing the
+    # all-pairs fan-out to the handful of genuinely co-selected docs
+    assert len(capped) < len(uncapped) / 4
