@@ -3747,6 +3747,34 @@ def q108_winnow_candidates(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q109_centroid_drift(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding centroid drift (similarity.centroid_drift): even
+    vec_ids as the baseline era, odd as current — with label 3's
+    current vectors doubled (normalization regression: cos stays 1,
+    norm_ratio ~2) and label 5's negated (encoder flip: cos -> -1).
+    Per-label centroid cosine + norm ratio from one posexplode
+    aggregate per side; the oracle replays the same (group, dim)
+    reduction."""
+    from data_validator_spark.operators.similarity import centroid_drift
+
+    e = _t(spark, sf, "embeddings")
+    base = e.filter(F.col("vec_id") % 2 == 0)
+    cur0 = e.filter(F.col("vec_id") % 2 == 1)
+    cur = cur0.withColumn(
+        "embedding",
+        F.when(
+            F.col("label") == 3,
+            F.transform("embedding", lambda x: x * F.lit(2.0).cast("float")),
+        )
+        .when(
+            F.col("label") == 5,
+            F.transform("embedding", lambda x: -x),
+        )
+        .otherwise(F.col("embedding")),
+    )
+    return centroid_drift(base, cur, "label", "embedding", 64).orderBy("label")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -3857,6 +3885,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q106_winnow_fingerprints": q106_winnow_fingerprints,
         "q107_embedding_audit": q107_embedding_audit,
         "q108_winnow_candidates": q108_winnow_candidates,
+        "q109_centroid_drift": q109_centroid_drift,
     }
 
 
@@ -5907,6 +5936,48 @@ _ORACLES: dict[str, str] = {
         )
         SELECT n_shared::BIGINT AS n_shared, count(*)::BIGINT AS n_pairs
         FROM pairs GROUP BY 1 ORDER BY 1
+    """,
+    "q109_centroid_drift": """
+        WITH base AS (
+          SELECT label AS g, embedding AS v FROM embeddings
+          WHERE vec_id % 2 = 0 AND embedding IS NOT NULL AND len(embedding) = 64
+        ), cur AS (
+          SELECT label AS g,
+                 CASE WHEN label = 3 THEN [x * 2.0::FLOAT FOR x IN embedding]
+                      WHEN label = 5 THEN [-x FOR x IN embedding]
+                      ELSE embedding END AS v
+          FROM embeddings
+          WHERE vec_id % 2 = 1 AND embedding IS NOT NULL AND len(embedding) = 64
+        ), cb AS (
+          SELECT g, i, avg(x) AS m, count(*) AS n FROM (
+            SELECT g, generate_subscripts(v, 1) AS i, unnest(v)::DOUBLE AS x
+            FROM base) GROUP BY 1, 2
+        ), cc AS (
+          SELECT g, i, avg(x) AS m, count(*) AS n FROM (
+            SELECT g, generate_subscripts(v, 1) AS i, unnest(v)::DOUBLE AS x
+            FROM cur) GROUP BY 1, 2
+        ), nb AS (SELECT g, max(n)::BIGINT AS n_base FROM cb GROUP BY 1),
+        nc AS (SELECT g, max(n)::BIGINT AS n_cur FROM cc GROUP BY 1),
+        dots AS (
+          SELECT cb.g,
+                 sum(cb.m * cc.m) AS dot,
+                 sqrt(sum(cb.m * cb.m)) AS normb,
+                 sqrt(sum(cc.m * cc.m)) AS normc
+          FROM cb JOIN cc ON cb.g = cc.g AND cb.i = cc.i
+          GROUP BY 1
+        )
+        SELECT coalesce(nb.g, nc.g) AS label,
+               coalesce(nb.n_base, 0) AS n_base,
+               coalesce(nc.n_cur, 0) AS n_cur,
+               CASE WHEN dots.normb > 0 AND dots.normc > 0
+                    THEN round(dots.dot / (dots.normb * dots.normc), 6)
+               END AS centroid_cos,
+               CASE WHEN dots.normb > 0
+                    THEN round(dots.normc / dots.normb, 6)
+               END AS norm_ratio
+        FROM nb FULL JOIN nc ON nb.g = nc.g
+        LEFT JOIN dots ON dots.g = coalesce(nb.g, nc.g)
+        ORDER BY label
     """,
     "q70_video_features": """
         WITH base AS (

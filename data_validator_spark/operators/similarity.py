@@ -646,3 +646,85 @@ def embedding_audit(
         F.round(F.min(norm), 6).alias("min_norm"),
         F.round(F.max(norm), 6).alias("max_norm"),
     )
+
+
+def centroid_drift(
+    base: DataFrame,
+    cur: DataFrame,
+    group_col: str,
+    vec_col: str,
+    expected_dim: int,
+) -> DataFrame:
+    """Per-group embedding-distribution drift between two snapshots:
+    -> (group, n_base, n_cur, centroid_cos, norm_ratio).
+
+    The embedding-space analogue of the scalar drift tests: an
+    encoder upgrade, a preprocessing change, or a poisoned batch
+    moves a label's centroid long before scalar columns notice.
+    centroid_cos is the cosine between the two per-group mean
+    vectors (1.0 = unchanged direction); norm_ratio is
+    |c_cur| / |c_base| (embedding-scale change, e.g. normalization
+    dropped). Groups present on only one side report NULL metrics.
+
+    Execution: vectors explode to (group, dim_index, value) and
+    reduce by a single hash aggregate — the centroid table is
+    groups x dim rows, tiny — then the two centroid tables join on
+    the group. No vector ever shuffles whole; wrong-width vectors
+    are excluded up front (embedding_audit is the gate that counts
+    them).
+    """
+
+    def centroids(df: DataFrame) -> DataFrame:
+        ok = df.filter(
+            F.col(vec_col).isNotNull() & (F.size(vec_col) == expected_dim)
+        )
+        return (
+            ok.select(
+                F.col(group_col).alias("_g"),
+                F.posexplode(F.col(vec_col)).alias("_i", "_x"),
+            )
+            .groupBy("_g", "_i")
+            .agg(
+                F.sum(F.col("_x").cast("double")).alias("_s"),
+                F.count(F.lit(1)).alias("_n"),
+            )
+            .groupBy("_g")
+            .agg(
+                F.max("_n").cast("long").alias("n"),
+                F.array_sort(
+                    F.collect_list(F.struct("_i", (F.col("_s") / F.col("_n")).alias("_m")))
+                ).alias("_c"),
+            )
+            .select(
+                "_g",
+                "n",
+                F.transform(F.col("_c"), lambda s: s.getField("_m")).alias("c"),
+            )
+        )
+
+    b = centroids(base).select(
+        F.col("_g"), F.col("n").alias("n_base"), F.col("c").alias("cb")
+    )
+    c = centroids(cur).select(
+        F.col("_g"), F.col("n").alias("n_cur"), F.col("c").alias("cc")
+    )
+    j = b.join(c, "_g", "full_outer")
+    dot = F.aggregate(
+        F.zip_with(F.col("cb"), F.col("cc"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    norm = lambda col: F.sqrt(  # noqa: E731
+        F.aggregate(col, F.lit(0.0), lambda acc, v: acc + v * v)
+    )
+    both = F.col("cb").isNotNull() & F.col("cc").isNotNull()
+    nb, nc = norm(F.col("cb")), norm(F.col("cc"))
+    return j.select(
+        F.col("_g").alias(group_col),
+        F.coalesce(F.col("n_base"), F.lit(0)).cast("long").alias("n_base"),
+        F.coalesce(F.col("n_cur"), F.lit(0)).cast("long").alias("n_cur"),
+        F.when(both & (nb > 0) & (nc > 0), F.round(dot / (nb * nc), 6)).alias(
+            "centroid_cos"
+        ),
+        F.when(both & (nb > 0), F.round(nc / nb, 6)).alias("norm_ratio"),
+    )

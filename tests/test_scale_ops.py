@@ -348,3 +348,26 @@ def test_embedding_audit(spark):
     assert (r["n_rows"], r["n_null"], r["n_wrong_dim"]) == (6, 1, 1)
     assert (r["n_nonfinite"], r["n_zero"], r["n_valid"]) == (1, 1, 2)
     assert (r["min_norm"], r["avg_norm"], r["max_norm"]) == (1.0, 3.0, 5.0)
+
+
+def test_centroid_drift(spark):
+    from data_validator_spark.operators.similarity import centroid_drift
+
+    base = spark.createDataFrame(
+        [("a", [1.0, 0.0]), ("a", [1.0, 0.2]), ("b", [0.0, 1.0])],
+        "g string, v array<float>",
+    )
+    cur = spark.createDataFrame(
+        [("a", [1.0, 0.1]), ("b", [1.0, 0.0]), ("c", [0.5, 0.5])],
+        "g string, v array<float>",
+    )
+    got = {r["g"]: r for r in centroid_drift(base, cur, "g", "v", 2).collect()}
+    assert got["a"]["centroid_cos"] == 1.0 and got["a"]["norm_ratio"] == 1.0
+    assert got["b"]["centroid_cos"] == 0.0  # rotated 90 degrees
+    assert got["c"]["centroid_cos"] is None and got["c"]["n_base"] == 0
+    # wrong-width vectors are excluded, not averaged in
+    dirty = base.union(
+        spark.createDataFrame([("a", [9.0])], "g string, v array<float>")
+    )
+    got2 = {r["g"]: r for r in centroid_drift(dirty, cur, "g", "v", 2).collect()}
+    assert got2["a"]["n_base"] == 2
