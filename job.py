@@ -18,7 +18,9 @@ Payload keys (all optional except clips_path):
   baseline_hist_path    baseline histograms for KS/PSI drift verdicts
   output_dir            where validated/ invalid/ verdicts/ stats/ go
   manifest_path         checkpoint manifest (resume point)
-  partition_col / order_col / snr_min_db / check_audio
+  partition_col / order_col / snr_min_db / check_audio /
+  check_quality / quality_upsample_min_ratio /
+  quality_min_effective_bits
                         ValidationConfig overrides
 
 Build engine.zip:  cd repo && zip -r engine.zip data_validator_spark
@@ -51,6 +53,9 @@ def main() -> int:
         partition_col=payload.get("partition_col", "ingest_date"),
         order_col=payload.get("order_col", "ingest_seq"),
         check_audio=payload.get("check_audio", True),
+        check_quality=payload.get("check_quality", False),
+        quality_upsample_min_ratio=payload.get("quality_upsample_min_ratio"),
+        quality_min_effective_bits=payload.get("quality_min_effective_bits"),
         snr_min_db=payload.get("snr_min_db", 30.0),
         persist=True,
     )
