@@ -3775,6 +3775,27 @@ def q109_centroid_drift(spark: SparkSession, sf: str) -> DataFrame:
     return centroid_drift(base, cur, "label", "embedding", 64).orderBy("label")
 
 
+def q110_burst_detection(spark: SparkSession, sf: str) -> DataFrame:
+    """Event-burst rule (sequences.burst_report): per user, the
+    largest number of events inside any trailing 1-hour window (exact
+    RANGE frame over epoch time) — the duplicate-storm / retry-loop
+    detector. Summarized to the max_burst distribution with burst-row
+    totals; the oracle replays the identical range frame."""
+    from data_validator_spark.operators.sequences import burst_report
+
+    ev = _t(spark, sf, "events")
+    per_key = burst_report(ev, "user_id", "ts", window_s=3600.0, threshold=3)
+    return (
+        per_key.groupBy("max_burst")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.sum("n_burst_rows").cast("long").alias("n_burst_rows"),
+            F.sum(F.col("bursty").cast("long")).cast("long").alias("n_bursty"),
+        )
+        .orderBy("max_burst")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -3886,6 +3907,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q107_embedding_audit": q107_embedding_audit,
         "q108_winnow_candidates": q108_winnow_candidates,
         "q109_centroid_drift": q109_centroid_drift,
+        "q110_burst_detection": q110_burst_detection,
     }
 
 
@@ -5978,6 +6000,26 @@ _ORACLES: dict[str, str] = {
         FROM nb FULL JOIN nc ON nb.g = nc.g
         LEFT JOIN dots ON dots.g = coalesce(nb.g, nc.g)
         ORDER BY label
+    """,
+    "q110_burst_detection": """
+        WITH d AS (
+          SELECT user_id, epoch_us(ts) AS t FROM events WHERE ts IS NOT NULL
+        ), w AS (
+          SELECT user_id,
+                 count(*) OVER (PARTITION BY user_id ORDER BY t
+                                RANGE BETWEEN 3600000000 PRECEDING
+                                          AND CURRENT ROW) AS burst
+          FROM d
+        ), per_key AS (
+          SELECT user_id, count(*) AS n_rows, max(burst) AS max_burst,
+                 sum((burst > 3)::INT) AS n_burst_rows
+          FROM w GROUP BY 1
+        )
+        SELECT max_burst::BIGINT AS max_burst,
+               count(*)::BIGINT AS n_users,
+               sum(n_burst_rows)::BIGINT AS n_burst_rows,
+               sum((max_burst > 3)::INT)::BIGINT AS n_bursty
+        FROM per_key GROUP BY 1 ORDER BY 1
     """,
     "q70_video_features": """
         WITH base AS (

@@ -212,3 +212,45 @@ def gap_report(
             "complete", (F.col("n_missing") == 0) & (F.col("n_dups") == 0)
         )
     )
+
+
+def burst_report(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    window_s: float,
+    threshold: int,
+) -> DataFrame:
+    """Per-key event-burst detection: -> (key, n_rows, max_burst,
+    n_burst_rows, bursty boolean).
+
+    max_burst is the largest number of events from one key inside any
+    trailing `window_s`-second window (exact, via a RANGE frame over
+    the epoch-seconds ordering — every event evaluates its own
+    trailing window, so no bucket-boundary misses); n_burst_rows
+    counts events whose trailing window breached `threshold`. The
+    duplicate-storm / retry-loop / scraper rule: a key POSTing 500
+    clips in a minute is a pipeline defect even when every row is
+    individually valid. ONE shuffle on the key; the range frame
+    reuses it.
+    """
+    d = df.filter(F.col(ts_col).isNotNull()).withColumn(
+        "_t", F.unix_micros(F.col(ts_col).cast("timestamp"))
+    )
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(F.col("_t").asc())
+        .rangeBetween(-int(window_s * 1_000_000), 0)
+    )
+    with_burst = d.withColumn("_burst", F.count(F.lit(1)).over(w))
+    return (
+        with_burst.groupBy(key_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.max("_burst").cast("long").alias("max_burst"),
+            F.sum((F.col("_burst") > threshold).cast("long"))
+            .cast("long")
+            .alias("n_burst_rows"),
+        )
+        .withColumn("bursty", F.col("max_burst") > threshold)
+    )

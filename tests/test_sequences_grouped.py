@@ -169,3 +169,21 @@ def test_gap_report_single_exchange(spark):
     plan = gap_report(df, "k", "s")._jdf.queryExecution().executedPlan().toString()
     n = sum(1 for l in plan.splitlines() if "Exchange hashpartitioning" in l)
     assert n == 1, plan
+
+
+def test_burst_report(spark):
+    from data_validator_spark.operators.sequences import burst_report
+
+    rows = [("u1", f"2024-01-01 00:00:{s:02d}") for s in [0, 1, 2, 3, 30]] + [
+        ("u2", f"2024-01-01 00:{m:02d}:00") for m in range(5)
+    ]
+    df = spark.createDataFrame(rows, "k string, ts string")
+    got = {
+        r["k"]: r
+        for r in burst_report(df, "k", "ts", window_s=10.0, threshold=3).collect()
+    }
+    # u1: 4 events within 10s (0..3s) then a straggler -> max burst 4
+    assert (got["u1"]["max_burst"], got["u1"]["bursty"]) == (4, True)
+    assert got["u1"]["n_burst_rows"] == 1  # only the 4th event breaches
+    # u2: one event per minute -> never more than 1 in any 10s window
+    assert (got["u2"]["max_burst"], got["u2"]["bursty"]) == (1, False)
