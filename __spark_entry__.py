@@ -3796,6 +3796,20 @@ def q110_burst_detection(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q111_audit_report(spark: SparkSession, sf: str) -> DataFrame:
+    """Composed DQ report (operators/audit.audit_report): the one-call
+    Deequ-analyzer-suite shape — completeness, exact cardinality,
+    ranges, entropy, Benford verdicts and suggested constraints as
+    one long-format table over customer. The oracle unions the
+    already-proven per-section SQL replays."""
+    from data_validator_spark.operators.audit import audit_report
+
+    c = _t(spark, sf, "customer")
+    return audit_report(
+        c, ["c_custkey", "c_acctbal"], ["c_mktsegment"]
+    ).orderBy("section", "column_name", "metric")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -3908,6 +3922,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q108_winnow_candidates": q108_winnow_candidates,
         "q109_centroid_drift": q109_centroid_drift,
         "q110_burst_detection": q110_burst_detection,
+        "q111_audit_report": q111_audit_report,
     }
 
 
@@ -6020,6 +6035,94 @@ _ORACLES: dict[str, str] = {
                sum(n_burst_rows)::BIGINT AS n_burst_rows,
                sum((max_burst > 3)::INT)::BIGINT AS n_bursty
         FROM per_key GROUP BY 1 ORDER BY 1
+    """,
+    "q111_audit_report": """
+        WITH s AS (
+          SELECT count(*) AS n,
+                 count(c_custkey) AS nn1, count(DISTINCT c_custkey) AS nd1,
+                 min(c_custkey)::DOUBLE AS lo1, max(c_custkey)::DOUBLE AS hi1,
+                 count(c_acctbal) AS nn2, count(DISTINCT c_acctbal) AS nd2,
+                 min(c_acctbal)::DOUBLE AS lo2, max(c_acctbal)::DOUBLE AS hi2,
+                 count(c_mktsegment) AS nn3, count(DISTINCT c_mktsegment) AS nd3
+          FROM customer
+        ), scalar AS (
+          SELECT 'completeness' AS section, 'c_custkey' AS column_name,
+                 'null_rate' AS metric, round(1.0 - nn1 / n, 6) AS value_num,
+                 NULL::VARCHAR AS value_str FROM s
+          UNION ALL SELECT 'completeness', 'c_acctbal', 'null_rate', round(1.0 - nn2 / n, 6), NULL FROM s
+          UNION ALL SELECT 'completeness', 'c_mktsegment', 'null_rate', round(1.0 - nn3 / n, 6), NULL FROM s
+          UNION ALL SELECT 'cardinality', 'c_custkey', 'n_distinct', nd1::DOUBLE, NULL FROM s
+          UNION ALL SELECT 'cardinality', 'c_custkey', 'distinct_ratio', round(nd1 / nn1, 6), NULL FROM s
+          UNION ALL SELECT 'cardinality', 'c_acctbal', 'n_distinct', nd2::DOUBLE, NULL FROM s
+          UNION ALL SELECT 'cardinality', 'c_acctbal', 'distinct_ratio', round(nd2 / nn2, 6), NULL FROM s
+          UNION ALL SELECT 'cardinality', 'c_mktsegment', 'n_distinct', nd3::DOUBLE, NULL FROM s
+          UNION ALL SELECT 'cardinality', 'c_mktsegment', 'distinct_ratio', round(nd3 / nn3, 6), NULL FROM s
+          UNION ALL SELECT 'range', 'c_custkey', 'min', lo1, NULL FROM s
+          UNION ALL SELECT 'range', 'c_custkey', 'max', hi1, NULL FROM s
+          UNION ALL SELECT 'range', 'c_acctbal', 'min', lo2, NULL FROM s
+          UNION ALL SELECT 'range', 'c_acctbal', 'max', hi2, NULL FROM s
+        ), ent_vals AS (
+          SELECT 'c_custkey' AS column_name, c_custkey::VARCHAR AS value FROM customer
+          UNION ALL SELECT 'c_acctbal', c_acctbal::VARCHAR FROM customer
+          UNION ALL SELECT 'c_mktsegment', c_mktsegment::VARCHAR FROM customer
+        ), ent AS (
+          SELECT 'entropy' AS section, column_name, 'entropy_bits' AS metric,
+                 round(-sum((cnt / tot) * log2(cnt / tot)), 6) AS value_num,
+                 NULL::VARCHAR AS value_str
+          FROM (SELECT column_name, value, count(*)::DOUBLE AS cnt,
+                       sum(count(*)) OVER (PARTITION BY column_name)::DOUBLE AS tot
+                FROM ent_vals GROUP BY 1, 2)
+          GROUP BY 2
+        ), ben_digits AS (
+          SELECT column_name,
+                 substr(CAST(CAST(trunc(abs(v)) AS BIGINT) AS VARCHAR), 1, 1)::INT AS digit
+          FROM (SELECT 'c_custkey' AS column_name, c_custkey::DOUBLE AS v FROM customer
+                UNION ALL SELECT 'c_acctbal', c_acctbal::DOUBLE FROM customer)
+          WHERE v IS NOT NULL AND trunc(abs(v)) >= 1
+        ), ben_dense AS (
+          SELECT c.column_name, d.digit, coalesce(o.obs, 0) AS obs,
+                 log10(1.0 + 1.0 / d.digit) AS p
+          FROM (SELECT DISTINCT column_name FROM ben_digits) c
+          CROSS JOIN (SELECT unnest(generate_series(1, 9)) AS digit) d
+          LEFT JOIN (SELECT column_name, digit, count(*)::BIGINT AS obs
+                     FROM ben_digits GROUP BY 1, 2) o
+            ON o.column_name = c.column_name AND o.digit = d.digit
+        ), ben AS (
+          SELECT 'benford' AS section, column_name, 'mad' AS metric,
+                 round(avg(abs(obs / n - p)), 6) AS value_num,
+                 CASE WHEN round(avg(abs(obs / n - p)), 6) <= 0.006 THEN 'close'
+                      WHEN round(avg(abs(obs / n - p)), 6) <= 0.012 THEN 'acceptable'
+                      WHEN round(avg(abs(obs / n - p)), 6) <= 0.015 THEN 'marginal'
+                      ELSE 'nonconforming' END AS value_str
+          FROM (SELECT column_name, digit, obs, p,
+                       sum(obs) OVER (PARTITION BY column_name) AS n
+                FROM ben_dense)
+          GROUP BY 2
+        ), seg AS (
+          SELECT string_agg(v, ',' ORDER BY v) AS allowed
+          FROM (SELECT DISTINCT c_mktsegment AS v FROM customer
+                WHERE c_mktsegment IS NOT NULL)
+        ), cons AS (
+          SELECT 'constraints' AS section, 'c_custkey' AS column_name,
+                 'not_null' AS metric, NULL::DOUBLE AS value_num,
+                 NULL::VARCHAR AS value_str FROM s WHERE nn1 = n
+          UNION ALL SELECT 'constraints', 'c_custkey', 'unique', NULL, NULL FROM s WHERE nn1 > 0 AND nd1 = nn1
+          UNION ALL SELECT 'constraints', 'c_custkey', 'range', round(lo1, 6), 'hi=' || round(hi1, 6)::VARCHAR FROM s WHERE nn1 > 0
+          UNION ALL SELECT 'constraints', 'c_custkey', 'non_negative', NULL, NULL FROM s WHERE nn1 > 0 AND lo1 >= 0
+          UNION ALL SELECT 'constraints', 'c_acctbal', 'not_null', NULL, NULL FROM s WHERE nn2 = n
+          UNION ALL SELECT 'constraints', 'c_acctbal', 'unique', NULL, NULL FROM s WHERE nn2 > 0 AND nd2 = nn2
+          UNION ALL SELECT 'constraints', 'c_acctbal', 'range', round(lo2, 6), 'hi=' || round(hi2, 6)::VARCHAR FROM s WHERE nn2 > 0
+          UNION ALL SELECT 'constraints', 'c_acctbal', 'non_negative', NULL, NULL FROM s WHERE nn2 > 0 AND lo2 >= 0
+          UNION ALL SELECT 'constraints', 'c_mktsegment', 'not_null', NULL, NULL FROM s WHERE nn3 = n
+          UNION ALL SELECT 'constraints', 'c_mktsegment', 'unique', NULL, NULL FROM s WHERE nn3 > 0 AND nd3 = nn3
+          UNION ALL SELECT 'constraints', 'c_mktsegment', 'is_in', NULL, (SELECT allowed FROM seg) FROM s WHERE nn3 > 0 AND nd3 <= 12
+        )
+        SELECT * FROM (
+          SELECT * FROM scalar
+          UNION ALL SELECT * FROM ent
+          UNION ALL SELECT * FROM ben
+          UNION ALL SELECT * FROM cons
+        ) ORDER BY section, column_name, metric
     """,
     "q70_video_features": """
         WITH base AS (

@@ -97,3 +97,21 @@ def test_format_profile(spark):
     assert not got[("mail", "email")]["suggest"]  # 2/3 < 0.95
     # columns matching nothing emit nothing
     assert not any(k[0] == "d" and k[1] == "email" for k in got)
+
+
+def test_audit_report_sections(spark):
+    from data_validator_spark.operators.audit import audit_report
+
+    df = spark.createDataFrame(
+        [(1, "RED", 10.5), (2, "BLUE", None), (3, "RED", 30.0), (4, None, 44.0)],
+        "id int, color string, amount double",
+    )
+    rows = audit_report(df, ["id", "amount"], ["color"]).collect()
+    by = {(r["section"], r["column_name"], r["metric"]): r for r in rows}
+    assert by[("completeness", "amount", "null_rate")]["value_num"] == 0.25
+    assert by[("cardinality", "id", "distinct_ratio")]["value_num"] == 1.0
+    assert by[("range", "amount", "max")]["value_num"] == 44.0
+    assert by[("entropy", "color", "entropy_bits")]["value_num"] == 1.5
+    assert by[("constraints", "color", "is_in")]["value_str"] == "BLUE,RED"
+    assert by[("constraints", "amount", "range")]["value_str"] == "hi=44.0"
+    assert ("benford", "id", "mad") in by
