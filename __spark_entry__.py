@@ -3810,6 +3810,45 @@ def q111_audit_report(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("section", "column_name", "metric")
 
 
+def q112_mojibake(spark: SparkSession, sf: str) -> DataFrame:
+    """Encoding-damage screen (operators/text.mojibake_count/flag):
+    planted double-encoded strings — smart quotes as â€™, accents as
+    Ã©, replacement chars — vs clean text, over the real documents
+    corpus unioned with the planted fixture. Counts and flag rates
+    per class; the oracle replays the regex in DuckDB's RE2."""
+    from data_validator_spark.operators.text import mojibake_count, mojibake_flag
+
+    planted = spark.createDataFrame(
+        [
+            ("smart", "donâ€™t stop â€” keep going"),
+            ("accent", "the cafÃ© serves crÃ¨me brÃ»lÃ©e"),
+            ("repl", "broken � bytes"),
+        ]
+        * 5,
+        "cls string, text string",
+    )
+    docs = _t(spark, sf, "documents").select(
+        F.lit("corpus").alias("cls"), F.col("text")
+    )
+    all_rows = docs.unionByName(planted)
+    scored = all_rows.select(
+        "cls",
+        mojibake_count(F.col("text")).alias("n"),
+        mojibake_flag(F.col("text")).alias("flag"),
+    )
+    return (
+        scored.groupBy("cls")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("n").cast("long").alias("n_hits"),
+            F.sum(F.col("flag").isNotNull().cast("long"))
+            .cast("long")
+            .alias("n_flagged"),
+        )
+        .orderBy("cls")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -3923,6 +3962,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q109_centroid_drift": q109_centroid_drift,
         "q110_burst_detection": q110_burst_detection,
         "q111_audit_report": q111_audit_report,
+        "q112_mojibake": q112_mojibake,
     }
 
 
@@ -6123,6 +6163,28 @@ _ORACLES: dict[str, str] = {
           UNION ALL SELECT * FROM ben
           UNION ALL SELECT * FROM cons
         ) ORDER BY section, column_name, metric
+    """,
+    "q112_mojibake": """
+        WITH planted AS (
+          SELECT cls, text FROM (VALUES
+            ('smart', 'donâ€™t stop â€” keep going'),
+            ('accent', 'the cafÃ© serves crÃ¨me brÃ»lÃ©e'),
+            ('repl', 'broken � bytes')
+          ) AS t(cls, text)
+          CROSS JOIN generate_series(1, 5)
+        ), rows_ AS (
+          SELECT 'corpus' AS cls, text FROM documents
+          UNION ALL SELECT cls, text FROM planted
+        ), scored AS (
+          SELECT cls,
+                 len(regexp_extract_all(text, '(Ã.)|(â€.)|�|(Â )')) AS n,
+                 length(text) AS l
+          FROM rows_
+        )
+        SELECT cls, count(*)::BIGINT AS n_rows,
+               sum(n)::BIGINT AS n_hits,
+               sum((l > 0 AND n * 1000.0 / l > 1.0)::INT)::BIGINT AS n_flagged
+        FROM scored GROUP BY 1 ORDER BY 1
     """,
     "q70_video_features": """
         WITH base AS (

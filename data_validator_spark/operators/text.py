@@ -183,3 +183,32 @@ def winnow_fingerprints(
     return F.element_at(
         F.transform(F.array(hashes), lambda hs: build(hs)), 1
     )
+
+
+MOJIBAKE_PATTERN = "(Ã.)|(â€.)|�|(Â )"
+
+
+def mojibake_count(c: Column) -> Column:
+    """Occurrences of classic encoding-damage signatures: UTF-8 bytes
+    re-decoded as Latin-1/cp1252 ('Ã©' for é, 'â€™' for a smart
+    quote, 'Â ' for nbsp) and the replacement character U+FFFD. The
+    corpus-cleaning screen for double-encoded scrapes — cheap enough
+    to ride any text scan (one regexp_count, no UDF)."""
+    return F.coalesce(
+        F.regexp_count(c, F.lit(MOJIBAKE_PATTERN)), F.lit(0)
+    ).cast("long")
+
+
+def mojibake_flag(c: Column, per_kchar_max: float = 1.0) -> Column:
+    """Soft label `text_mojibake(k)` when damage signatures exceed
+    per_kchar_max per 1000 characters; NULL when clean or empty."""
+    n = mojibake_count(c)
+    rate = F.when(
+        F.length(c) > 0, n * F.lit(1000.0) / F.length(c)
+    ).otherwise(F.lit(0.0))
+    return F.when(
+        rate > per_kchar_max,
+        F.concat(
+            F.lit("text_mojibake("), n.cast("string"), F.lit(")")
+        ),
+    )

@@ -297,3 +297,31 @@ def test_winnow_guarantee_on_shared_run(spark):
         for r in df.select("id", winnow_fingerprints(F.col("text")).alias("fp")).collect()
     }
     assert fps["x"] & fps["y"]
+
+
+def test_mojibake_detection(spark):
+    from pyspark.sql import functions as F
+
+    from data_validator_spark.operators.text import mojibake_count, mojibake_flag
+
+    rows = [
+        ("clean", "a perfectly normal sentence with no damage at all"),
+        ("smart", "donâ€™t stop â€” keep going"),
+        ("accent", "the cafÃ© serves crÃ¨me brÃ»lÃ©e"),
+        ("repl", "broken � bytes"),
+        ("empty", ""),
+    ]
+    df = spark.createDataFrame(rows, "id string, text string")
+    got = {
+        r["id"]: (r["n"], r["flag"])
+        for r in df.select(
+            "id",
+            mojibake_count(F.col("text")).alias("n"),
+            mojibake_flag(F.col("text")).alias("flag"),
+        ).collect()
+    }
+    assert got["clean"] == (0, None)
+    assert got["smart"][0] == 2 and "text_mojibake(" in got["smart"][1]
+    assert got["accent"][0] == 4 and got["accent"][1] is not None
+    assert got["repl"][0] == 1
+    assert got["empty"] == (0, None)
