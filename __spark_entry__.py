@@ -3849,6 +3849,24 @@ def q112_mojibake(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q113_skew_report(spark: SparkSession, sf: str) -> DataFrame:
+    """Shuffle-key skew diagnostics (operators/skew.skew_report): the
+    measurement step before salting — lineitem's supplier key with a
+    planted hot key (every 13th order's lines funneled to supplier
+    42, the bulk-uploader defect). One hash aggregate + a top-k
+    TakeOrdered; the oracle replays counts, shares and the imbalance
+    advisory."""
+    from data_validator_spark.operators.skew import skew_report
+
+    li = _t(spark, sf, "lineitem").withColumn(
+        "l_suppkey",
+        F.when(F.col("l_orderkey") % 13 == 0, F.lit(42)).otherwise(
+            F.col("l_suppkey")
+        ),
+    )
+    return skew_report(li, "l_suppkey", top_k=5, imbalance_max=10.0)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -3963,6 +3981,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q110_burst_detection": q110_burst_detection,
         "q111_audit_report": q111_audit_report,
         "q112_mojibake": q112_mojibake,
+        "q113_skew_report": q113_skew_report,
     }
 
 
@@ -6185,6 +6204,30 @@ _ORACLES: dict[str, str] = {
                sum(n)::BIGINT AS n_hits,
                sum((l > 0 AND n * 1000.0 / l > 1.0)::INT)::BIGINT AS n_flagged
         FROM scored GROUP BY 1 ORDER BY 1
+    """,
+    "q113_skew_report": """
+        WITH li AS (
+          SELECT CASE WHEN l_orderkey % 13 = 0 THEN 42
+                      ELSE l_suppkey END AS k
+          FROM lineitem
+        ), counts AS (
+          SELECT k, count(*) AS c FROM li WHERE k IS NOT NULL GROUP BY 1
+        ), top AS (
+          SELECT * FROM counts ORDER BY c DESC, k ASC LIMIT 5
+        ), ta AS (
+          SELECT sum(c) AS topk, max(c) AS mx,
+                 (SELECT k::VARCHAR FROM top ORDER BY c DESC, k::VARCHAR DESC LIMIT 1) AS top_key
+          FROM top
+        ), tot AS (
+          SELECT sum(c)::BIGINT AS n_rows, count(*)::BIGINT AS n_keys FROM counts
+        )
+        SELECT tot.n_rows, tot.n_keys, ta.top_key,
+               ta.mx::BIGINT AS max_cnt,
+               round(ta.mx / tot.n_rows, 6) AS max_share,
+               round(ta.topk / tot.n_rows, 6) AS topk_share,
+               round(ta.mx / (tot.n_rows / tot.n_keys), 6) AS imbalance,
+               (ta.mx / (tot.n_rows / tot.n_keys)) > 10.0 AS salt_recommended
+        FROM tot CROSS JOIN ta
     """,
     "q70_video_features": """
         WITH base AS (

@@ -140,3 +140,57 @@ def salted_agg(
     partial = salted.groupBy(*keys, "_salt").agg(*p1)
     merged = partial.groupBy(*keys).agg(*p2)
     return merged.select(*keys, *finals)
+
+
+def skew_report(
+    df: DataFrame,
+    key_col: str,
+    top_k: int = 10,
+    imbalance_max: float = 10.0,
+) -> DataFrame:
+    """Shuffle-key skew diagnostics: ONE row with (n_rows, n_keys,
+    top_key, max_cnt, max_share, topk_share, imbalance,
+    salt_recommended).
+
+    The measurement step BEFORE salted_agg/add_salt above: imbalance
+    is max key count over the mean key count — the factor by which
+    the hottest reducer outweighs the average one in a plain groupBy/
+    join on this key; salt_recommended fires when it exceeds
+    imbalance_max. Cost: one hash aggregate on the key, then a
+    TakeOrderedAndProject for the top-k counts (never a full sort)
+    and a scalar aggregate over the key-count table.
+    """
+    counts = (
+        df.filter(F.col(key_col).isNotNull())
+        .groupBy(F.col(key_col).alias("_k"))
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    top = counts.orderBy(F.col("_c").desc(), F.col("_k").asc()).limit(top_k)
+    # top_key via struct-max (count, key): deterministic under ties
+    # (largest key string wins), unlike first() over an agg input
+    top_agg = top.agg(
+        F.sum("_c").alias("_topk"),
+        F.max(
+            F.struct(F.col("_c"), F.col("_k").cast("string").alias("_ks"))
+        ).alias("_m"),
+    ).select(
+        "_topk",
+        F.col("_m._c").alias("_max"),
+        F.col("_m._ks").alias("top_key"),
+    )
+    totals = counts.agg(
+        F.sum("_c").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+    )
+    j = totals.crossJoin(F.broadcast(top_agg))
+    imbalance = F.col("_max") / (F.col("n_rows") / F.col("n_keys"))
+    return j.select(
+        "n_rows",
+        "n_keys",
+        "top_key",
+        F.col("_max").cast("long").alias("max_cnt"),
+        F.round(F.col("_max") / F.col("n_rows"), 6).alias("max_share"),
+        F.round(F.col("_topk") / F.col("n_rows"), 6).alias("topk_share"),
+        F.round(imbalance, 6).alias("imbalance"),
+        (imbalance > imbalance_max).alias("salt_recommended"),
+    )

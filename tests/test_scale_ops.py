@@ -371,3 +371,18 @@ def test_centroid_drift(spark):
     )
     got2 = {r["g"]: r for r in centroid_drift(dirty, cur, "g", "v", 2).collect()}
     assert got2["a"]["n_base"] == 2
+
+
+def test_skew_report(spark):
+    from data_validator_spark.operators.skew import skew_report
+
+    rows = [("hot",)] * 900 + [(f"k{i}",) for i in range(100)]
+    df = spark.createDataFrame(rows, "k string")
+    r = skew_report(df, "k", top_k=3).collect()[0]
+    assert (r["n_rows"], r["n_keys"], r["top_key"], r["max_cnt"]) == (1000, 101, "hot", 900)
+    assert r["max_share"] == 0.9 and r["salt_recommended"]
+    assert abs(r["imbalance"] - 90.9) < 0.01
+    # uniform key -> no salt advisory
+    uni = spark.createDataFrame([(f"k{i % 50}",) for i in range(1000)], "k string")
+    r2 = skew_report(uni, "k").collect()[0]
+    assert not r2["salt_recommended"] and r2["imbalance"] == 1.0
