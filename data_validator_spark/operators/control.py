@@ -106,3 +106,49 @@ def ewma_chart(
         )
         .drop("_arr")
     )
+
+
+def manifest_monitor(
+    manifest_df: DataFrame,
+    alpha: float = 0.2,
+    n_sigma: float = 3.0,
+    lookback: int = 64,
+) -> DataFrame:
+    """EWMA control charts over the engine's OWN checkpoint metrics:
+    the manifest (plans/manifest.py) already persists per-partition
+    n_rows and violation counts with every resumable run — this turns
+    that history into monitored series without touching raw data.
+
+    Series charted per partition_value ordering: row volume,
+    soft-invalid rate, hard-invalid rate, warning rate. -> ewma_chart
+    columns plus `metric`; a partition whose quality regressed shows
+    up as out_of_control on its rate series even when every
+    individual rule still passes its own threshold.
+    """
+    rates = manifest_df.select(
+        F.col("partition_value"),
+        F.col("n_rows").cast("double").alias("row_volume"),
+        (F.col("n_soft_invalid") / F.greatest(F.col("n_rows"), F.lit(1))).alias(
+            "soft_invalid_rate"
+        ),
+        (F.col("n_hard_invalid") / F.greatest(F.col("n_rows"), F.lit(1))).alias(
+            "hard_invalid_rate"
+        ),
+        (F.col("n_warnings") / F.greatest(F.col("n_rows"), F.lit(1))).alias(
+            "warning_rate"
+        ),
+    ).unpivot(
+        ["partition_value"],
+        ["row_volume", "soft_invalid_rate", "hard_invalid_rate", "warning_rate"],
+        "metric",
+        "x",
+    )
+    return ewma_chart(
+        rates,
+        "metric",
+        "partition_value",
+        "x",
+        alpha=alpha,
+        n_sigma=n_sigma,
+        lookback=lookback,
+    )

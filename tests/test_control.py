@@ -38,3 +38,38 @@ def test_ewma_single_exchange(spark):
     )
     n = sum(1 for l in plan.splitlines() if "Exchange hashpartitioning" in l)
     assert n == 1, plan
+
+
+def test_manifest_monitor_flags_quality_regression(spark):
+    import datetime
+
+    from data_validator_spark.operators.control import manifest_monitor
+
+    rows = []
+    for d in range(40):
+        n = 1000
+        soft = 20 + (d % 3)                 # stable ~2% soft rate
+        if d == 35:
+            soft = 300                      # regression day
+        rows.append(
+            (
+                f"2024-02-{d+1:02d}" if d < 28 else f"2024-03-{d-27:02d}",
+                "fp", "v1", "ok", n, soft, 5, 3,
+                datetime.datetime(2024, 1, 1),
+            )
+        )
+    m = spark.createDataFrame(
+        rows,
+        "partition_value string, fingerprint string, rule_version string, "
+        "status string, n_rows long, n_soft_invalid long, n_hard_invalid long, "
+        "n_warnings long, validated_at timestamp",
+    )
+    chart = manifest_monitor(m).collect()
+    flagged = {
+        (r["metric"], r["partition_value"]) for r in chart if r["out_of_control"]
+    }
+    assert any(m_ == "soft_invalid_rate" for m_, _ in flagged)
+    # the regression partition itself is flagged on the soft series
+    assert ("soft_invalid_rate", "2024-03-08") in flagged
+    # hard/warning series stay in control
+    assert not any(m_ == "hard_invalid_rate" for m_, _ in flagged)
