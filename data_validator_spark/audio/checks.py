@@ -94,6 +94,7 @@ def audio_check_udf(
 def run_audio_checks(
     clips: DataFrame,
     snr_min: float = SNR_MIN_DB,
+    snr_min_by_codec: dict[str, float] | None = None,
     skip_col: str | None = None,
     quality: bool = False,
     clipping_max: float | None = None,
@@ -164,6 +165,15 @@ def run_audio_checks(
                 min_effective_bits=min_effective_bits,
             ),
         )
+    # per-codec threshold override: the audio analogue of the
+    # reference's per-task rt-bound overrides (core_models.py:169-202)
+    # — lossy codecs legitimately bottom out below a lossless bar.
+    # Compiles to a when-chain (static config, stays in codegen).
+    thresh = F.lit(float(snr_min))
+    for codec_name, lo in (snr_min_by_codec or {}).items():
+        thresh = F.when(
+            F.col("codec") == codec_name, F.lit(float(lo))
+        ).otherwise(thresh)
     snr_name = f"audio_snr_below_{int(snr_min)}db"
     return (
         out.withColumn("audio_decode_error", F.col("_audio.decode_error"))
@@ -172,7 +182,7 @@ def run_audio_checks(
             "_snr_label",
             F.when(
                 F.col("_audio.decode_error").isNull()
-                & (F.col("_audio.snr_db") < F.lit(snr_min)),
+                & (F.col("_audio.snr_db") < thresh),
                 F.concat(
                     F.lit(snr_name + "("),
                     F.round(F.col("_audio.snr_db"), 1).cast("string"),

@@ -93,3 +93,32 @@ def test_required_when(spark):
     msgs = [r["validation_msg_t"] for r in out]
     assert msgs[0] == "container_missing_for_flac"
     assert msgs[1] == "" and msgs[2] == "" and msgs[3] == ""
+
+
+def test_snr_per_codec_override(spark):
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from data_validator_spark.audio import codecs, synth
+    from data_validator_spark.audio.checks import run_audio_checks
+
+    sr, n = 16000, 4000
+    pcm = synth.reference_pcm("snr-ovr-1", sr, n)
+    rows = [
+        ("snr-ovr-1", "adpcm", sr, codecs.encode("adpcm", pcm, sr)),
+        ("snr-ovr-2", "pcm16", sr, codecs.encode("pcm16", synth.reference_pcm("snr-ovr-2", sr, n), sr)),
+    ]
+    df = spark.createDataFrame(rows, "clip_id string, codec string, sr_hz int, bytes binary")
+    strict = {r["clip_id"]: r for r in run_audio_checks(df, snr_min=90.0).collect()}
+    # at a 90 dB bar both codecs fail (ADPCM ~24 dB, pcm16 ~88 dB)
+    assert strict["snr-ovr-1"]["_snr_label"] is not None
+    assert strict["snr-ovr-2"]["_snr_label"] is not None
+    relaxed = {
+        r["clip_id"]: r
+        for r in run_audio_checks(
+            df, snr_min=90.0, snr_min_by_codec={"adpcm": 15.0, "pcm16": 80.0}
+        ).collect()
+    }
+    assert relaxed["snr-ovr-1"]["_snr_label"] is None  # adpcm bar lowered
+    assert relaxed["snr-ovr-2"]["_snr_label"] is None  # pcm16 bar lowered
