@@ -3867,6 +3867,28 @@ def q113_skew_report(spark: SparkSession, sf: str) -> DataFrame:
     return skew_report(li, "l_suppkey", top_k=5, imbalance_max=10.0)
 
 
+def q114_outlier_rows(spark: SparkSession, sf: str) -> DataFrame:
+    """Outlier EXPLANATIONS (stats.robust_outlier_rows): the 3 most
+    extreme order totals per priority beyond 3.5 robust z — the rows
+    an analyst actually inspects, ranked by |z| with the order key as
+    the deterministic tiebreak. Every 997th order's total is
+    multiplied 50x (the planted fat-finger rows), since the uniform
+    price distribution has no natural 3.5-z outliers. Exact-median
+    mode for the oracle replay (q92 gates the counts; this gates the
+    rows)."""
+    from data_validator_spark.operators.stats import robust_outlier_rows
+
+    o = _t(spark, sf, "orders").withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 997 == 0, F.col("o_totalprice") * 50.0
+        ).otherwise(F.col("o_totalprice")),
+    )
+    return robust_outlier_rows(
+        o, "o_orderpriority", "o_totalprice", "o_orderkey", k=3, approx=False
+    ).orderBy("o_orderpriority", "rank")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -3982,6 +4004,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q111_audit_report": q111_audit_report,
         "q112_mojibake": q112_mojibake,
         "q113_skew_report": q113_skew_report,
+        "q114_outlier_rows": q114_outlier_rows,
     }
 
 
@@ -6228,6 +6251,36 @@ _ORACLES: dict[str, str] = {
                round(ta.mx / (tot.n_rows / tot.n_keys), 6) AS imbalance,
                (ta.mx / (tot.n_rows / tot.n_keys)) > 10.0 AS salt_recommended
         FROM tot CROSS JOIN ta
+    """,
+    "q114_outlier_rows": """
+        WITH d AS (
+          SELECT o_orderpriority AS g, o_orderkey AS id,
+                 (CASE WHEN o_orderkey % 997 = 0 THEN o_totalprice * 50.0
+                       ELSE o_totalprice END)::DOUBLE AS v
+          FROM orders WHERE o_totalprice IS NOT NULL
+        ), med AS (
+          SELECT g, median(v) AS m FROM d GROUP BY 1
+        ), dev AS (
+          SELECT d.g, d.id, d.v, abs(d.v - med.m) AS dv, med.m
+          FROM d JOIN med USING (g)
+        ), mad AS (
+          SELECT g, median(dv) AS md FROM dev GROUP BY 1
+        ), scored AS (
+          SELECT dev.g, dev.id, dev.v, dev.dv,
+                 CASE WHEN mad.md > 0
+                      THEN 0.6745 * (dev.v - dev.m) / mad.md END AS z,
+                 mad.md
+          FROM dev JOIN mad USING (g)
+        ), outs AS (
+          SELECT g, id, v, z,
+                 row_number() OVER (PARTITION BY g
+                                    ORDER BY abs(coalesce(z, dv)) DESC, id ASC) AS rnk
+          FROM scored
+          WHERE CASE WHEN md > 0 THEN abs(z) > 3.5 ELSE dv > 0 END
+        )
+        SELECT g AS o_orderpriority, id AS o_orderkey, v AS o_totalprice,
+               round(z, 6) AS z, rnk::BIGINT AS rank
+        FROM outs WHERE rnk <= 3 ORDER BY g, rnk
     """,
     "q70_video_features": """
         WITH base AS (

@@ -542,3 +542,69 @@ def grouped_histogram(
     return counts.join(
         F.broadcast(totals), ["partition", "column_name"]
     ).withColumn("freq", F.col("cnt") / F.col("_n")).drop("_n")
+
+
+def robust_outlier_rows(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    k: int = 3,
+    z_thresh: float = 3.5,
+    approx: bool = True,
+    accuracy: int = 10000,
+) -> DataFrame:
+    """The EXPLANATION companion to robust_outliers: the k most
+    extreme outlier ROWS per group -> (group, id, value, z, rank).
+
+    A count says a group has outliers; an analyst needs to see them.
+    Same median/MAD machinery as robust_outliers (approx sketches on
+    the scale path, exact for small groups / oracle probes); rows
+    beyond z_thresh rank by |z| descending with the id as the
+    deterministic tiebreak, top-k per group via one rank window on
+    the already-scored rows. Degenerate groups (MAD = 0) rank by
+    absolute deviation instead, mirroring robust_outliers' fallback.
+    """
+    from pyspark.sql import Window
+
+    def _median_of(col: str) -> Column:
+        return (
+            F.percentile_approx(col, 0.5, accuracy) if approx else F.median(col)
+        )
+
+    d = df.filter(F.col(value_col).isNotNull()).select(
+        F.col(group_col).alias("_g"),
+        F.col(id_col).alias("_id"),
+        F.col(value_col).cast("double").alias("_v"),
+    )
+    med = d.groupBy("_g").agg(_median_of("_v").cast("double").alias("_med"))
+    dev = d.join(F.broadcast(med), "_g").withColumn(
+        "_dev", F.abs(F.col("_v") - F.col("_med"))
+    )
+    mad = dev.groupBy("_g").agg(_median_of("_dev").cast("double").alias("_mad"))
+    scored = dev.join(F.broadcast(mad), "_g").withColumn(
+        "_z",
+        F.when(
+            F.col("_mad") > 0,
+            F.lit(0.6745) * (F.col("_v") - F.col("_med")) / F.col("_mad"),
+        ),
+    )
+    is_out = F.when(
+        F.col("_mad") > 0, F.abs(F.col("_z")) > z_thresh
+    ).otherwise(F.col("_dev") > 0)
+    w = Window.partitionBy("_g").orderBy(
+        F.abs(F.coalesce(F.col("_z"), F.col("_dev"))).desc(),
+        F.col("_id").asc(),
+    )
+    return (
+        scored.filter(is_out)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("_g").alias(group_col),
+            F.col("_id").alias(id_col),
+            F.col("_v").alias(value_col),
+            F.round("_z", 6).alias("z"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )

@@ -383,3 +383,14 @@ def test_grouped_histogram_freqs_normalize_per_partition(spark):
         for r in h.groupBy("partition").agg(F.sum("freq").alias("s")).collect()
     }
     assert sums["a"] == pytest.approx(1.0) and sums["b"] == pytest.approx(1.0)
+
+
+def test_robust_outlier_rows(spark):
+    from data_validator_spark.operators.stats import robust_outlier_rows
+
+    rows = [("a", i, float(v)) for i, v in enumerate([10, 11, 12, 13, 14, 9, 8, 10, 11, 1000, -500])]
+    df = spark.createDataFrame(rows, "g string, id int, v double")
+    got = robust_outlier_rows(df, "g", "v", "id", k=2, approx=False).collect()
+    # |dev| from median 11: 1000 -> 989 outranks -500 -> 511
+    assert [(r["id"], r["rank"]) for r in got] == [(9, 1), (10, 2)]
+    assert got[0]["z"] > 0 and got[1]["z"] < 0
