@@ -3889,6 +3889,29 @@ def q114_outlier_rows(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("o_orderpriority", "rank")
 
 
+def q115_pinned_values(spark: SparkSession, sf: str) -> DataFrame:
+    """Default-fill / saturation screen (stats.pinned_value_report):
+    every 17th order total zeroed (the fallback-write defect) makes
+    mode/zero/min shares spike on a column whose cardinality barely
+    moves; discount and quantity show their honest low-card shares.
+    One unpivot + one (column, value) aggregate for all columns per
+    table."""
+    from data_validator_spark.operators.stats import pinned_value_report
+
+    o = _t(spark, sf, "orders").withColumn(
+        "o_totalprice",
+        F.when(F.col("o_orderkey") % 17 == 0, F.lit(0.0)).otherwise(
+            F.col("o_totalprice")
+        ),
+    )
+    li = _t(spark, sf, "lineitem")
+    return (
+        pinned_value_report(o, ["o_totalprice"])
+        .unionByName(pinned_value_report(li, ["l_quantity", "l_discount"]))
+        .orderBy("column_name")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -4005,6 +4028,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q112_mojibake": q112_mojibake,
         "q113_skew_report": q113_skew_report,
         "q114_outlier_rows": q114_outlier_rows,
+        "q115_pinned_values": q115_pinned_values,
     }
 
 
@@ -6281,6 +6305,40 @@ _ORACLES: dict[str, str] = {
         SELECT g AS o_orderpriority, id AS o_orderkey, v AS o_totalprice,
                round(z, 6) AS z, rnk::BIGINT AS rank
         FROM outs WHERE rnk <= 3 ORDER BY g, rnk
+    """,
+    "q115_pinned_values": """
+        WITH vals AS (
+          SELECT 'o_totalprice' AS column_name,
+                 (CASE WHEN o_orderkey % 17 = 0 THEN 0.0
+                       ELSE o_totalprice END)::DOUBLE AS value
+          FROM orders
+          UNION ALL SELECT 'l_quantity', l_quantity::DOUBLE FROM lineitem
+          UNION ALL SELECT 'l_discount', l_discount::DOUBLE FROM lineitem
+        ), freqs AS (
+          SELECT column_name, value, count(*)::BIGINT AS cnt
+          FROM vals WHERE value IS NOT NULL GROUP BY 1, 2
+        ), ranked AS (
+          SELECT column_name, value, cnt,
+                 row_number() OVER (PARTITION BY column_name
+                                    ORDER BY cnt DESC, value DESC) AS rn
+          FROM freqs
+        ), per_col AS (
+          SELECT column_name, sum(cnt) AS n_nonnull,
+                 min(value) AS lo, max(value) AS hi,
+                 sum(CASE WHEN value = 0.0 THEN cnt ELSE 0 END) AS zeros
+          FROM freqs GROUP BY 1
+        )
+        SELECT p.column_name, p.n_nonnull::BIGINT AS n_nonnull,
+               m.value AS mode_value,
+               round(m.cnt / p.n_nonnull, 6) AS mode_share,
+               round(p.zeros / p.n_nonnull, 6) AS zero_share,
+               round(lc.cnt / p.n_nonnull, 6) AS min_share,
+               round(hc.cnt / p.n_nonnull, 6) AS max_share
+        FROM per_col p
+        JOIN ranked m ON m.column_name = p.column_name AND m.rn = 1
+        JOIN freqs lc ON lc.column_name = p.column_name AND lc.value = p.lo
+        JOIN freqs hc ON hc.column_name = p.column_name AND hc.value = p.hi
+        ORDER BY p.column_name
     """,
     "q70_video_features": """
         WITH base AS (

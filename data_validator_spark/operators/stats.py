@@ -608,3 +608,59 @@ def robust_outlier_rows(
             F.col("rank").cast("long").alias("rank"),
         )
     )
+
+
+def pinned_value_report(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """Default-fill / saturation screen per column: ->
+    (column_name, n_nonnull, mode_value, mode_share, zero_share,
+    min_share, max_share).
+
+    The 'loader started writing the fallback' and 'sensor pinned at
+    the rail' detectors: a healthy continuous column has a tiny mode
+    share; a spiking share of one exact value (often 0, the min, or
+    the max) is a defect cardinality and entropy only notice later.
+    All columns ride ONE unpivot + one (column, value) aggregate;
+    mode selection is a deterministic struct-max (count, then value
+    string as tiebreak); min/max shares come from the same counts
+    joined against per-column extrema.
+    """
+    unpivoted = df.select(
+        [F.col(c).cast("double").alias(c) for c in cols]
+    ).unpivot([], list(cols), "column_name", "value")
+    freqs = (
+        unpivoted.filter(F.col("value").isNotNull())
+        .groupBy("column_name", "value")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    per_col = freqs.groupBy("column_name").agg(
+        F.sum("cnt").cast("long").alias("n_nonnull"),
+        F.max(F.struct(F.col("cnt"), F.col("value"))).alias("_mode"),
+        F.min("value").alias("_lo"),
+        F.max("value").alias("_hi"),
+        F.sum(F.when(F.col("value") == 0.0, F.col("cnt")).otherwise(0))
+        .cast("long")
+        .alias("_zeros"),
+    )
+    extreme = freqs.select(
+        "column_name", F.col("value").alias("_v"), F.col("cnt").alias("_c")
+    )
+    lo_cnt = per_col.join(
+        extreme,
+        (per_col.column_name == extreme.column_name)
+        & (per_col._lo == extreme._v),
+    ).select(per_col.column_name, F.col("_c").alias("_lo_cnt"))
+    hi_cnt = per_col.join(
+        extreme,
+        (per_col.column_name == extreme.column_name)
+        & (per_col._hi == extreme._v),
+    ).select(per_col.column_name, F.col("_c").alias("_hi_cnt"))
+    out = per_col.join(lo_cnt, "column_name").join(hi_cnt, "column_name")
+    return out.select(
+        "column_name",
+        "n_nonnull",
+        F.col("_mode.value").alias("mode_value"),
+        F.round(F.col("_mode.cnt") / F.col("n_nonnull"), 6).alias("mode_share"),
+        F.round(F.col("_zeros") / F.col("n_nonnull"), 6).alias("zero_share"),
+        F.round(F.col("_lo_cnt") / F.col("n_nonnull"), 6).alias("min_share"),
+        F.round(F.col("_hi_cnt") / F.col("n_nonnull"), 6).alias("max_share"),
+    )

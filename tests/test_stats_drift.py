@@ -394,3 +394,16 @@ def test_robust_outlier_rows(spark):
     # |dev| from median 11: 1000 -> 989 outranks -500 -> 511
     assert [(r["id"], r["rank"]) for r in got] == [(9, 1), (10, 2)]
     assert got[0]["z"] > 0 and got[1]["z"] < 0
+
+
+def test_pinned_value_report(spark):
+    from data_validator_spark.operators.stats import pinned_value_report
+
+    rows = [(float(v), float(w)) for v, w in zip([0, 0, 0, 0, 1, 2, 3, 4, 5, 6], range(10))]
+    df = spark.createDataFrame(rows, "a double, b double")
+    got = {r["column_name"]: r for r in pinned_value_report(df, ["a", "b"]).collect()}
+    a = got["a"]
+    assert (a["mode_value"], a["mode_share"], a["zero_share"]) == (0.0, 0.4, 0.4)
+    assert (a["min_share"], a["max_share"]) == (0.4, 0.1)
+    b = got["b"]  # all unique: mode tie broken by largest value
+    assert (b["mode_value"], b["mode_share"]) == (9.0, 0.1)
