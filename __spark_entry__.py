@@ -5325,18 +5325,24 @@ _ORACLES: dict[str, str] = {
     "q86_correlation_profile": """
         WITH pairs AS (
           SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
-                 corr(l_quantity, l_extendedprice) AS c, count(*) AS n
+                 corr(l_quantity, l_extendedprice) AS c,
+                 count(CASE WHEN l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL THEN 1 END) AS n
           FROM lineitem
           UNION ALL SELECT 'l_quantity', 'l_discount',
-                 corr(l_quantity, l_discount), count(*) FROM lineitem
+                 corr(l_quantity, l_discount),
+                 count(CASE WHEN l_quantity IS NOT NULL AND l_discount IS NOT NULL THEN 1 END) FROM lineitem
           UNION ALL SELECT 'l_quantity', 'l_tax',
-                 corr(l_quantity, l_tax), count(*) FROM lineitem
+                 corr(l_quantity, l_tax),
+                 count(CASE WHEN l_quantity IS NOT NULL AND l_tax IS NOT NULL THEN 1 END) FROM lineitem
           UNION ALL SELECT 'l_extendedprice', 'l_discount',
-                 corr(l_extendedprice, l_discount), count(*) FROM lineitem
+                 corr(l_extendedprice, l_discount),
+                 count(CASE WHEN l_extendedprice IS NOT NULL AND l_discount IS NOT NULL THEN 1 END) FROM lineitem
           UNION ALL SELECT 'l_extendedprice', 'l_tax',
-                 corr(l_extendedprice, l_tax), count(*) FROM lineitem
+                 corr(l_extendedprice, l_tax),
+                 count(CASE WHEN l_extendedprice IS NOT NULL AND l_tax IS NOT NULL THEN 1 END) FROM lineitem
           UNION ALL SELECT 'l_discount', 'l_tax',
-                 corr(l_discount, l_tax), count(*) FROM lineitem
+                 corr(l_discount, l_tax),
+                 count(CASE WHEN l_discount IS NOT NULL AND l_tax IS NOT NULL THEN 1 END) FROM lineitem
         )
         SELECT col_a, col_b, round(c, 6) AS corr, n::BIGINT AS n_rows
         FROM pairs ORDER BY col_a, col_b
@@ -5534,7 +5540,7 @@ _ORACLES: dict[str, str] = {
                  count(c_mktsegment) AS nn5, count(DISTINCT c_mktsegment) AS nd5
           FROM customer
         ), seg AS (
-          SELECT string_agg(v, ',' ORDER BY v) AS allowed
+          SELECT to_json(list(v ORDER BY v))::VARCHAR AS allowed
           FROM (SELECT DISTINCT c_mktsegment AS v FROM customer
                 WHERE c_mktsegment IS NOT NULL)
         )
@@ -5548,7 +5554,7 @@ _ORACLES: dict[str, str] = {
           UNION ALL SELECT 'c_name', 'not_null', NULL, NULL, NULL FROM s WHERE nn2 = n
           UNION ALL SELECT 'c_name', 'unique', NULL, NULL, NULL FROM s WHERE nn2 > 0 AND nd2 = nn2
           UNION ALL SELECT 'c_name', 'is_in', NULL, NULL,
-                 (SELECT string_agg(v, ',' ORDER BY v)
+                 (SELECT to_json(list(v ORDER BY v))::VARCHAR
                   FROM (SELECT DISTINCT c_name AS v FROM customer WHERE c_name IS NOT NULL))
                  FROM s WHERE nn2 > 0 AND nd2 <= 12 AND nd2 > 0
           UNION ALL SELECT 'c_nationkey', 'not_null', NULL, NULL, NULL FROM s WHERE nn3 = n
@@ -5957,8 +5963,8 @@ _ORACLES: dict[str, str] = {
     "q105_freshness": """
         WITH g AS (SELECT max(ts) AS gmax FROM events),
         per AS (
-          SELECT event_type, count(*)::BIGINT AS n_rows, max(ts) AS last_ts
-          FROM events WHERE ts IS NOT NULL GROUP BY 1
+          SELECT event_type, count(ts)::BIGINT AS n_rows, max(ts) AS last_ts
+          FROM events GROUP BY 1
         )
         SELECT event_type, n_rows, last_ts,
                round(date_diff('microsecond', last_ts, (SELECT gmax FROM g))
@@ -6205,7 +6211,7 @@ _ORACLES: dict[str, str] = {
                 FROM ben_dense)
           GROUP BY 2
         ), seg AS (
-          SELECT string_agg(v, ',' ORDER BY v) AS allowed
+          SELECT to_json(list(v ORDER BY v))::VARCHAR AS allowed
           FROM (SELECT DISTINCT c_mktsegment AS v FROM customer
                 WHERE c_mktsegment IS NOT NULL)
         ), cons AS (

@@ -326,11 +326,15 @@ def freshness_audit(
     stale relative to the freshest feed, which is also the only
     defensible definition when the table itself is a frozen
     snapshot). Two aggregates, the one-row global max broadcast.
+
+    A group whose EVERY timestamp is null — a feed that never stamped
+    one arrival — still emits its row (n_rows=0, null last_ts /
+    lag_hours / stale) rather than silently vanishing from the audit:
+    count(ts)/max(ts) ignore nulls, so grouping the unfiltered table
+    keeps the dead feed visible at zero extra cost.
     """
-    per = df.filter(F.col(ts_col).isNotNull()).groupBy(
-        F.col(group_col).alias("_g")
-    ).agg(
-        F.count(F.lit(1)).cast("long").alias("n_rows"),
+    per = df.groupBy(F.col(group_col).alias("_g")).agg(
+        F.count(F.col(ts_col)).cast("long").alias("n_rows"),
         F.max(ts_col).alias("last_ts"),
     )
     global_max = df.agg(F.max(ts_col).alias("_gmax"))

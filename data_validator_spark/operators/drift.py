@@ -231,23 +231,30 @@ def benford_test(df: DataFrame, cols: Sequence[str]) -> DataFrame:
     Nigrini's MAD bands (close <= 0.006 < acceptable <= 0.012 <
     marginal <= 0.015 < nonconforming).
 
-    Determinism contract: values are truncated to integers (cast to
-    long) and the first digit is read from the integer's decimal
+    Determinism contract: values are truncated to integers (try_cast
+    to long) and the first digit is read from the integer's decimal
     string — no float log10 whose last-ulp differences across engines
     could flip a digit at decade boundaries. Values with |v| < 1 are
-    excluded. All columns ride ONE unpivot + one hash aggregate on
+    EXCLUDED, as are NaN / ±Inf / out-of-int64 values (try_cast
+    yields NULL for them — a plain cast would THROW under Spark 4's
+    default ANSI mode and crash the whole screen on one dirty value,
+    the worst failure mode for a data-quality check). A column with
+    ZERO included values still emits its report row (n=0, null
+    chi2/mad, verdict 'no_data') — silence would read as clean for
+    exactly the all-default/all-null defect class this screen hunts.
+    All columns ride ONE unpivot + one hash aggregate on
     (column, digit) — 9 rows per column leave the shuffle.
     """
     pairs = []
     for c in cols:
-        digit = F.substring(
-            F.abs(F.col(c).cast("long")).cast("string"), 1, 1
-        ).cast("int")
+        as_long = F.col(c).try_cast("long")
+        # first digit via regexp on the decimal string (not abs():
+        # ANSI abs(int64 min) overflows-and-throws)
+        digit = F.regexp_extract(
+            as_long.cast("string"), r"^-?([1-9])", 1
+        ).try_cast("int")
         pairs.append(
-            F.when(
-                F.col(c).isNotNull() & (F.abs(F.col(c).cast("long")) >= 1),
-                digit,
-            ).alias(c)
+            F.when((as_long >= 1) | (as_long <= -1), digit).alias(c)
         )
     import math
 
@@ -262,12 +269,18 @@ def benford_test(df: DataFrame, cols: Sequence[str]) -> DataFrame:
     per_digit = unpivoted.groupBy("column_name", "digit").agg(
         F.count(F.lit(1)).cast("long").alias("obs")
     )
-    # densify: a digit that never occurs still contributes (0 - n*p)^2
-    all_digits = per_digit.select("column_name").distinct().crossJoin(
+    # densify: a digit that never occurs still contributes (0 - n*p)^2.
+    # The scaffold comes from the REQUESTED column list, not the
+    # observed digits, so a fully-excluded column (all null / all
+    # |v|<1 / all non-castable) still surfaces as an n=0 'no_data'
+    # row instead of silently vanishing from the report.
+    spark = df.sparkSession
+    col_names = spark.createDataFrame(
+        [(c,) for c in cols], "column_name string"
+    )
+    all_digits = col_names.crossJoin(
         F.broadcast(
-            per_digit.sparkSession.range(1, 10).select(
-                F.col("id").cast("int").alias("digit")
-            )
+            spark.range(1, 10).select(F.col("id").cast("int").alias("digit"))
         )
     )
     dense = all_digits.join(per_digit, ["column_name", "digit"], "left").fillna(
@@ -277,22 +290,34 @@ def benford_test(df: DataFrame, cols: Sequence[str]) -> DataFrame:
     scored = dense.withColumn("n", w_n).withColumn(
         "p", F.element_at(expected, F.col("digit"))
     )
+    # n=0 guards: an empty column's chi2/mad stay NULL (never NaN or
+    # an ANSI divide-by-zero) and its verdict reads 'no_data'
     out = scored.groupBy("column_name").agg(
         F.max("n").cast("long").alias("n"),
         F.round(
             F.sum(
-                F.pow(F.col("obs") - F.col("n") * F.col("p"), 2)
-                / (F.col("n") * F.col("p"))
+                F.when(
+                    F.col("n") > 0,
+                    F.pow(F.col("obs") - F.col("n") * F.col("p"), 2)
+                    / (F.col("n") * F.col("p")),
+                )
             ),
             6,
         ).alias("chi2"),
         F.round(
-            F.avg(F.abs(F.col("obs") / F.col("n") - F.col("p"))), 6
+            F.avg(
+                F.when(
+                    F.col("n") > 0,
+                    F.abs(F.col("obs") / F.col("n") - F.col("p")),
+                )
+            ),
+            6,
         ).alias("mad"),
     )
     return out.withColumn(
         "verdict",
-        F.when(F.col("mad") <= 0.006, "close")
+        F.when(F.col("mad").isNull(), "no_data")
+        .when(F.col("mad") <= 0.006, "close")
         .when(F.col("mad") <= 0.012, "acceptable")
         .when(F.col("mad") <= 0.015, "marginal")
         .otherwise("nonconforming"),

@@ -63,7 +63,15 @@ def interval_join(
 
     b = F.lit(int(bucket))
     pt = points.withColumn(_PB, F.floor(F.col(point_col) / b).cast("long"))
-    iv = intervals.withColumn(
+    # Malformed intervals (end <= start) can never match a point under
+    # the half-open predicate — but an unfiltered sequence() would
+    # auto-DESCEND from start_bucket to end_bucket (step -1) and
+    # explode arbitrarily many spurious bucket rows (or die on the
+    # sequence-length cap) before the filter ever ran. Drop them
+    # before the explode; for how='left' the POINTS side is intact so
+    # unmatched-point semantics are unchanged.
+    iv = intervals.filter(F.col(end_col) > F.col(start_col))
+    iv = iv.withColumn(
         _IB,
         F.explode(
             F.sequence(

@@ -365,22 +365,31 @@ def correlation_profile(df: DataFrame, cols: Sequence[str]) -> DataFrame:
     -> (col_a, col_b, corr double, n_rows long), one row per
     unordered pair in input order; corr is NULL when either side is
     constant (zero variance), matching SQL semantics in both engines.
+
+    Null semantics match SQL corr(): every moment (both stddevs AND
+    the covariance) is computed over PAIRWISE-COMPLETE rows — rows
+    where both sides are non-null — and n_rows is that pairwise
+    count. (A per-column stddev over the column's own non-null rows
+    combined with a pairwise covariance deviates from corr() under
+    asymmetric nulls and can even yield |corr| > 1.) Cost is still
+    ONE fused Aggregate / one scan: 4 expressions per pair.
     """
     cols = list(cols)
     pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1 :]]
-    aggs: list[Column] = [F.count(F.lit(1)).alias("_n")]
     # corr = covar / (sd_a * sd_b), via try_divide: under Spark's ANSI
     # mode the builtin corr THROWS on a zero-variance column, where
     # SQL semantics (and DuckDB) return NULL
-    aggs += [
-        F.stddev_samp(F.col(c).cast("double")).alias(f"__sd_{c}") for c in cols
-    ]
-    aggs += [
-        F.covar_samp(F.col(a).cast("double"), F.col(b).cast("double")).alias(
-            f"__cov_{i}"
+    aggs: list[Column] = []
+    for i, (a, b) in enumerate(pairs):
+        ca = F.col(a).cast("double")
+        cb = F.col(b).cast("double")
+        both = ca.isNotNull() & cb.isNotNull()
+        aggs.append(F.covar_samp(ca, cb).alias(f"__cov_{i}"))
+        aggs.append(F.stddev_samp(F.when(both, ca)).alias(f"__sda_{i}"))
+        aggs.append(F.stddev_samp(F.when(both, cb)).alias(f"__sdb_{i}"))
+        aggs.append(
+            F.count(F.when(both, F.lit(1))).cast("long").alias(f"__n_{i}")
         )
-        for i, (a, b) in enumerate(pairs)
-    ]
     wide = df.agg(*aggs)
     structs = [
         F.struct(
@@ -388,9 +397,9 @@ def correlation_profile(df: DataFrame, cols: Sequence[str]) -> DataFrame:
             F.lit(b).alias("col_b"),
             F.try_divide(
                 F.col(f"__cov_{i}"),
-                F.col(f"__sd_{a}") * F.col(f"__sd_{b}"),
+                F.col(f"__sda_{i}") * F.col(f"__sdb_{i}"),
             ).alias("corr"),
-            F.col("_n").cast("long").alias("n_rows"),
+            F.col(f"__n_{i}").alias("n_rows"),
         )
         for i, (a, b) in enumerate(pairs)
     ]
@@ -623,6 +632,11 @@ def pinned_value_report(df: DataFrame, cols: Sequence[str]) -> DataFrame:
     mode selection is a deterministic struct-max (count, then value
     string as tiebreak); min/max shares come from the same counts
     joined against per-column extrema.
+
+    A column whose values are ALL NULL — exactly the fully-defaulted
+    defect this screen hunts — still emits its row (n_nonnull=0, null
+    mode/shares) via a left join against the requested column list;
+    silence would read as clean.
     """
     unpivoted = df.select(
         [F.col(c).cast("double").alias(c) for c in cols]
@@ -655,7 +669,7 @@ def pinned_value_report(df: DataFrame, cols: Sequence[str]) -> DataFrame:
         & (per_col._hi == extreme._v),
     ).select(per_col.column_name, F.col("_c").alias("_hi_cnt"))
     out = per_col.join(lo_cnt, "column_name").join(hi_cnt, "column_name")
-    return out.select(
+    filled = out.select(
         "column_name",
         "n_nonnull",
         F.col("_mode.value").alias("mode_value"),
@@ -663,4 +677,16 @@ def pinned_value_report(df: DataFrame, cols: Sequence[str]) -> DataFrame:
         F.round(F.col("_zeros") / F.col("n_nonnull"), 6).alias("zero_share"),
         F.round(F.col("_lo_cnt") / F.col("n_nonnull"), 6).alias("min_share"),
         F.round(F.col("_hi_cnt") / F.col("n_nonnull"), 6).alias("max_share"),
+    )
+    col_names = df.sparkSession.createDataFrame(
+        [(c,) for c in cols], "column_name string"
+    )
+    return col_names.join(F.broadcast(filled), "column_name", "left").select(
+        "column_name",
+        F.coalesce(F.col("n_nonnull"), F.lit(0)).cast("long").alias("n_nonnull"),
+        "mode_value",
+        "mode_share",
+        "zero_share",
+        "min_share",
+        "max_share",
     )

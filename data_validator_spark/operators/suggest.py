@@ -13,7 +13,7 @@ drift suite can watch. Suggested families:
   non_negative   numeric min >= 0
   range          numeric [min, max] envelope
   is_in          string column with <= low_card_max distinct values,
-                 the sorted value set attached
+                 the sorted value set attached as a JSON array string
 
 Execution shape: ONE fused Aggregate computes every column's
 null/distinct/min/max in a single scan (Catalyst merges the
@@ -100,10 +100,14 @@ def suggest_constraints(
             low_card_strings.append(c)
 
     if low_card_strings:
+        # JSON-encoded sorted value set ('["BLUE","RED"]'): a plain
+        # comma-join is ambiguous the moment a value contains a comma,
+        # and rules_from_suggestions round-trips this column back into
+        # an enforceable allowed_set rule
         sets = df.agg(
             *[
-                F.array_join(
-                    F.sort_array(F.collect_set(F.col(c).cast("string"))), ","
+                F.to_json(
+                    F.sort_array(F.collect_set(F.col(c).cast("string")))
                 ).alias(c)
                 for c in low_card_strings
             ]

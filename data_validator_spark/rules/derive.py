@@ -22,6 +22,7 @@ Mapping:
 
 from __future__ import annotations
 
+import json
 import math
 from typing import Iterable
 
@@ -59,7 +60,10 @@ def rules_from_suggestions(
         elif "non_negative" in cons:
             rules.extend(spec.bounds(col, 0.0, math.inf, tier=tier))
         if "is_in" in cons:
-            allowed = (cons["is_in"]["allowed"] or "").split(",")
+            # `allowed` is a JSON array string from suggest_constraints
+            # (a comma-split would shred any value containing a comma
+            # into fragments that reject valid rows)
+            allowed = json.loads(cons["is_in"]["allowed"] or "[]")
             rules.append(spec.allowed_set(col, allowed, tier=tier))
         if "unique" in cons:
             checks.append({"check": "unique", "column": col})

@@ -157,3 +157,23 @@ def test_freshness_audit(spark):
     got = {r["feed"]: r for r in freshness_audit(df, "feed", "ts").collect()}
     assert got["live"]["lag_hours"] == 0.0 and not got["live"]["stale"]
     assert got["stale"]["lag_hours"] == 216.0 and got["stale"]["stale"]
+
+
+def test_freshness_audit_all_null_ts_group_emits_row(spark):
+    """A feed that never stamped a single arrival must stay visible
+    (n_rows=0, null lag/stale), not silently vanish from the audit."""
+    import datetime as dt
+
+    from data_validator_spark.operators.consistency import freshness_audit
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        ("live", t0), ("live", t0 + dt.timedelta(hours=2)),
+        ("dead", None), ("dead", None),
+    ]
+    df = spark.createDataFrame(rows, "feed string, ts timestamp")
+    got = {r["feed"]: r for r in freshness_audit(df, "feed", "ts").collect()}
+    assert set(got) == {"live", "dead"}
+    d = got["dead"]
+    assert (d["n_rows"], d["last_ts"], d["lag_hours"], d["stale"]) == (0, None, None, None)
+    assert got["live"]["n_rows"] == 2 and got["live"]["lag_hours"] == 0.0

@@ -47,3 +47,19 @@ def test_non_negative_emitted_only_without_range(spark):
     names = [r.name for r in rules]
     assert "x_under_min" in names and "x_over_max" in names
     assert names.count("y_under_min") == 1  # from range, not doubled
+
+
+def test_is_in_values_with_commas_roundtrip(spark):
+    """The allowed set rides as a JSON array string: a value containing
+    a comma must survive the suggest -> derive roundtrip intact (a
+    comma-split would shred it into fragments rejecting valid rows)."""
+    clean = spark.createDataFrame(
+        [("Doe, Jane",), ("Roe, Richard",)] * 5, "who string"
+    )
+    sugg = suggest_constraints(clean)
+    rules, _ = rules_from_suggestions(sugg)
+    v = apply_rules(clean, rules, "t")
+    assert all(r["validation_msg_t"] == "" for r in v.collect())
+    bad = spark.createDataFrame([("Doe",)], "who string")
+    vb = apply_rules(bad, rules, "t").collect()[0]
+    assert "who_invalid" in vb["validation_msg_t"]

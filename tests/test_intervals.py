@@ -67,3 +67,22 @@ def test_interval_join_extra_keys(spark):
         points, intervals, "ts", "s", "e", bucket=64, keys=["k"], how="left_semi"
     )
     assert {r["pid"] for r in out.collect()} == {1}
+
+
+def test_interval_join_malformed_intervals_dropped_before_explode(spark):
+    """end <= start can never match under the half-open predicate; an
+    unfiltered sequence() would auto-descend (step -1) and explode a
+    huge spurious bucket range for garbage rows like (start=10^9,
+    end=0). Must return cleanly, and 'left' keeps unmatched points."""
+    from data_validator_spark.operators.intervals import interval_join
+
+    points = spark.createDataFrame([(5,), (15,)], "t long")
+    ivs = spark.createDataFrame(
+        [(0, 10, "ok"), (1_000_000_000, 0, "garbage"), (7, 7, "empty")],
+        "s long, e long, tag string",
+    )
+    got = interval_join(points, ivs, "t", "s", "e", bucket=10).collect()
+    assert [(r["t"], r["tag"]) for r in got] == [(5, "ok")]
+    left = interval_join(points, ivs, "t", "s", "e", bucket=10, how="left")
+    rows = {(r["t"], r["tag"]) for r in left.collect()}
+    assert rows == {(5, "ok"), (15, None)}

@@ -407,3 +407,75 @@ def test_pinned_value_report(spark):
     assert (a["min_share"], a["max_share"]) == (0.4, 0.1)
     b = got["b"]  # all unique: mode tie broken by largest value
     assert (b["mode_value"], b["mode_share"]) == (9.0, 0.1)
+
+
+def test_correlation_profile_pairwise_complete_nulls(spark):
+    """Asymmetric nulls: every moment must come from pairwise-complete
+    rows (SQL corr semantics), never a per-column stddev — the mixed
+    form can exceed |1|."""
+    from data_validator_spark.operators.stats import correlation_profile
+
+    # b is null exactly where a takes its extreme values: a's overall
+    # stddev is much larger than its pairwise-complete stddev
+    rows = [
+        (1.0, 2.0), (2.0, 4.0), (3.0, 6.0), (4.0, 8.0),
+        (1000.0, None), (-1000.0, None),
+    ]
+    df = spark.createDataFrame(rows, "a double, b double")
+    got = correlation_profile(df, ["a", "b"]).collect()[0]
+    assert got["n_rows"] == 4  # pairwise-complete count, not total 6
+    assert abs(got["corr"] - 1.0) < 1e-9  # perfectly linear on complete rows
+
+
+def test_correlation_profile_zero_variance_null(spark):
+    from data_validator_spark.operators.stats import correlation_profile
+
+    df = spark.createDataFrame(
+        [(1.0, 5.0), (2.0, 5.0), (3.0, 5.0)], "a double, b double"
+    )
+    got = correlation_profile(df, ["a", "b"]).collect()[0]
+    assert got["corr"] is None and got["n_rows"] == 3
+
+
+def test_benford_survives_dirty_doubles(spark):
+    """NaN / ±Inf / out-of-int64 values are EXCLUDED, not a crash:
+    under ANSI mode a plain cast-to-long throws on them."""
+    from data_validator_spark.operators.drift import benford_test
+
+    rows = [(float(v),) for v in [123, 456, 789, 12, 0.5]]
+    rows += [(float("nan"),), (float("inf",),), (float("-inf"),), (1e30,), (None,)]
+    df = spark.createDataFrame(rows, "v double")
+    got = benford_test(df, ["v"]).collect()[0]
+    assert got["n"] == 4  # the four |v| >= 1 castable values
+    assert got["verdict"] != "no_data"
+
+
+def test_benford_all_excluded_column_emits_no_data_row(spark):
+    from data_validator_spark.operators.drift import benford_test
+
+    df = spark.createDataFrame(
+        [(float("nan"), 123.0), (None, 456.0), (0.2, 789.0)],
+        "dead double, live double",
+    )
+    got = {r["column_name"]: r for r in benford_test(df, ["dead", "live"]).collect()}
+    assert set(got) == {"dead", "live"}
+    d = got["dead"]
+    assert (d["n"], d["chi2"], d["mad"], d["verdict"]) == (0, None, None, "no_data")
+    assert got["live"]["n"] == 3
+
+
+def test_pinned_value_report_all_null_column_emits_row(spark):
+    """A fully-NULL column is exactly the defect class this screen
+    targets — it must surface as n_nonnull=0, not vanish."""
+    from data_validator_spark.operators.stats import pinned_value_report
+
+    df = spark.createDataFrame(
+        [(None, 1.0), (None, 2.0), (None, 2.0)],
+        "dead double, live double",
+    )
+    got = {r["column_name"]: r for r in pinned_value_report(df, ["dead", "live"]).collect()}
+    assert set(got) == {"dead", "live"}
+    d = got["dead"]
+    assert d["n_nonnull"] == 0
+    assert d["mode_value"] is None and d["mode_share"] is None
+    assert got["live"]["n_nonnull"] == 3

@@ -24,9 +24,9 @@ def test_suggest_families(spark):
     # name: has a null -> no not_null; 3 distinct of 3 non-null -> unique;
     # low-card string -> is_in over the NON-NULL value set
     assert set(got["name"]) == {"unique", "is_in"}
-    assert got["name"]["is_in"]["allowed"] == "a,b,c"
+    assert got["name"]["is_in"]["allowed"] == '["a","b","c"]'
     assert set(got["color"]) == {"not_null", "is_in"}
-    assert got["color"]["is_in"]["allowed"] == "BLUE,RED"
+    assert got["color"]["is_in"]["allowed"] == '["BLUE","RED"]'
     # bal: negative min -> range but no non_negative
     assert set(got["bal"]) == {"not_null", "unique", "range"}
     assert got["bal"]["range"]["lo"] == -1.0
@@ -37,7 +37,8 @@ def test_suggest_low_card_threshold(spark):
     got = _by_col(suggest_constraints(df, low_card_max=12).collect())
     assert "is_in" not in got.get("v", {})
     got_wide = _by_col(suggest_constraints(df, low_card_max=25).collect())
-    assert len(got_wide["v"]["is_in"]["allowed"].split(",")) == 20
+    import json
+    assert len(json.loads(got_wide["v"]["is_in"]["allowed"])) == 20
 
 
 def test_suggest_approx_mode_flags_key_candidate(spark):
@@ -112,6 +113,6 @@ def test_audit_report_sections(spark):
     assert by[("cardinality", "id", "distinct_ratio")]["value_num"] == 1.0
     assert by[("range", "amount", "max")]["value_num"] == 44.0
     assert by[("entropy", "color", "entropy_bits")]["value_num"] == 1.5
-    assert by[("constraints", "color", "is_in")]["value_str"] == "BLUE,RED"
+    assert by[("constraints", "color", "is_in")]["value_str"] == '["BLUE","RED"]'
     assert by[("constraints", "amount", "range")]["value_str"] == "hi=44.0"
     assert ("benford", "id", "mad") in by
