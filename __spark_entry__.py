@@ -981,8 +981,13 @@ def q45_clips_flagship(spark: SparkSession, sf: str) -> DataFrame:
             "_n_decode_failed"
         ),
     )
+    # expected hard decode failures: truncated payloads + the opus
+    # container plants (granule/TOC inconsistency — audio/opus.py)
     g = golden.agg(
-        F.sum(F.col("inj_corrupt").cast("long")).alias("_g_corrupt")
+        (
+            F.sum(F.col("inj_corrupt").cast("long"))
+            + F.sum(F.col("inj_opus_meta").cast("long"))
+        ).alias("_g_corrupt")
     )
     parts = res.partition_verdicts.agg(
         F.count(F.lit(1)).cast("long").alias("n_partitions")
@@ -1042,7 +1047,7 @@ def q45_clips_flagship(spark: SparkSession, sf: str) -> DataFrame:
 def q46_multimodal_meta(spark: SparkSession, sf: str) -> DataFrame:
     """Multimodal plumbing assertion: magic-byte sniffing must observe
     exactly the 4 container formats the fixture encodes (riff/WAVE,
-    real FLAC, and the mulaw/opus containers), every null payload must sniff to NULL
+    real FLAC, the mulaw container, and real Ogg-Opus), every null payload must sniff to NULL
     and match the golden inj_bytes_null count, and the mapInPandas
     feature stage must emit features for exactly the non-null rows.
     All scalars are config-determined -> literal oracle row."""
@@ -1628,22 +1633,25 @@ def q63_dedup_pipeline(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q64_codec_contract(spark: SparkSession, sf: str) -> DataFrame:
-    """Per-codec encode->decode contract booleans over 50 deterministic
-    clips each (varying sr + length): sample rate and length survive
-    the roundtrip, every codec clears the 30 dB SNR gate, the
-    high-fidelity codecs (pcm16 real WAV, flac REAL bitstream —
-    audio/flac.py) clear 80 dB while the lossy tiers (mulaw 8-bit
-    companding, alaw bit-exact G.711 segment/chord ~38 dB, opus
-    stand-in 12-bit) sit below it, and flac is
-    EXACTLY lossless at the int16 level (decode reproduces the encoded
-    samples bit-for-bit — CRC-8/16 + MD5 verified inside the decoder).
-    The REAL IMA/DVI ADPCM codec (4-bit differential, standard step
-    tables) deterministically MISSES the 30 dB gate on this synth mix
-    (slope overload: f0 runs up to 2 kHz, adversarial for a
-    delta-coded quantizer at 8 kHz) — measured 17-35 dB — so its row
-    documents all_snr30=false: the contract check proves the engine
-    would quarantine ADPCM-coded clips of this corpus, which is the
-    correct verdict, not a codec bug.
+    """Per-codec contract booleans over 50 deterministic clips each
+    (varying sr + length). PCM-decodable codecs (pcm_supported=true):
+    sample rate and length survive the roundtrip, the codec clears the
+    30 dB SNR gate, the high-fidelity tiers (pcm16 real WAV, flac REAL
+    bitstream — audio/flac.py) clear 80 dB while mulaw/alaw (8-bit
+    G.711 companding, ~38 dB) sit below it, and flac is EXACTLY
+    lossless at the int16 level (bit-for-bit, CRC-8/16 + MD5 verified
+    in the decoder). The REAL IMA/DVI ADPCM codec deterministically
+    MISSES the 30 dB gate on this synth mix (slope overload: f0 runs
+    up to 2 kHz, adversarial for a delta-coded quantizer at 8 kHz) —
+    its row documents all_snr30=false: the engine would quarantine
+    ADPCM-coded clips of this corpus, the correct verdict.
+
+    opus (pcm_supported=false — no pure-python CELT/SILK; honest tier,
+    audio/opus.py): the contract is the METADATA tier instead — the
+    REAL Ogg container roundtrips the declared input rate (OpusHead)
+    and the declared duration (TOC frame sum + granule accounting)
+    within the 2.5 ms CELT frame grid; SNR verdicts are NULL, never a
+    synthetic pass.
     All group verdicts are config-determined -> literal oracle rows."""
 
     def gen(batches):
@@ -1656,13 +1664,34 @@ def q64_codec_contract(spark: SparkSession, sf: str) -> DataFrame:
         srs = [8000, 16000, 22050, 44100, 48000]
         for pdf in batches:
             rows = []
+            from data_validator_spark.audio import opus as _opus
+
             for i in pdf["id"]:
                 i = int(i)
                 codec = codec_names[i % 6]
                 sr = srs[(i // 6) % 5]
                 n = 400 + (i * 37) % 4000
                 pcm = np.clip(synth.reference_pcm(f"q64-{i:06d}", sr, n), -1, 1)
-                dec, sr2 = codecs.decode(codec, codecs.encode(codec, pcm, sr))
+                payload = codecs.encode(codec, pcm, sr)
+                if codec == "opus":
+                    meta = _opus.inspect(payload)
+                    ok = meta["error"] is None
+                    rows.append(
+                        (
+                            codec,
+                            bool(ok and meta["input_sr"] == sr),
+                            bool(
+                                ok
+                                and abs(meta["duration_ms"] - n * 1000.0 / sr)
+                                <= 1.3
+                            ),
+                            False,
+                            None,
+                            False,
+                        )
+                    )
+                    continue
+                dec, sr2 = codecs.decode(codec, payload)
                 q = np.round(np.clip(pcm.astype(np.float64), -1, 1) * 32767.0)
                 dq = np.round(dec.astype(np.float64) * 32767.0)
                 rows.append(
@@ -1672,15 +1701,19 @@ def q64_codec_contract(spark: SparkSession, sf: str) -> DataFrame:
                         bool(len(dec) == n),
                         bool(np.array_equal(q, dq)),
                         float(codecs.snr_db(pcm, dec)),
+                        True,
                     )
                 )
             yield pd.DataFrame(
-                rows, columns=["codec", "sr_ok", "len_ok", "lossless", "snr"]
+                rows,
+                columns=["codec", "sr_ok", "len_ok", "lossless", "snr",
+                         "pcm_supported"],
             )
 
     out = spark.range(0, 300, numPartitions=8).mapInPandas(
         gen,
-        "codec string, sr_ok boolean, len_ok boolean, lossless boolean, snr double",
+        "codec string, sr_ok boolean, len_ok boolean, lossless boolean, "
+        "snr double, pcm_supported boolean",
     )
     return (
         out.groupBy("codec")
@@ -1696,6 +1729,7 @@ def q64_codec_contract(spark: SparkSession, sf: str) -> DataFrame:
                 )
                 == 0
             ).alias("flac_lossless_ok"),
+            F.min("pcm_supported").alias("pcm_supported"),
         )
         .orderBy("codec")
     )
@@ -3912,6 +3946,103 @@ def q115_pinned_values(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q116_opus_metadata(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL Opus metadata-tier validation (audio/opus.py over
+    checks.run_audio_checks): 240 deterministic Ogg-Opus clips in six
+    planted classes —
+      clean          structurally sound, duration == dur_ms
+      granule_skew   final granule overstates the TOC frame sum (+400ms)
+      bad_crc        one bit flipped in the last page body (page CRC)
+      bad_packet     zero-length audio packet appended (RFC 6716 R1)
+      dur_lie        sound container but declares dur_ms + 500ms of
+                     audio (metadata drift -> dur_ms_mismatch warning)
+      jitter         container declares dur_ms + 20ms (< 50ms tol)
+    — run through the standard decode UDF + duration-consistency
+    label. Container defects are HARD decode errors (the real checks:
+    CRC verify, granule/TOC cross-check, packet well-formedness);
+    sound streams surface audio_codec_unsupported_pcm(opus), never a
+    synthetic SNR pass. Per-class outcome counts are config-determined
+    -> literal oracle rows."""
+    from data_validator_spark.audio.checks import (
+        audio_check_udf,
+        duration_consistency_label,
+    )
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        from data_validator_spark.audio import opus as _opus
+
+        classes = [
+            "clean", "granule_skew", "bad_crc",
+            "bad_packet", "dur_lie", "jitter",
+        ]
+        srs = [8000, 16000, 48000]
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                planted = classes[i % 6]
+                sr = srs[(i // 6) % 3]
+                dur_ms = 200 + (i * 17) % 800
+                extra = {"dur_lie": 500.0, "jitter": 20.0}.get(planted, 0.0)
+                n = int(round((dur_ms + extra) / 1000.0 * sr))
+                payload = _opus.encode_ogg_opus(
+                    n, sr, seed=i,
+                    granule_skew_ms=400.0 if planted == "granule_skew" else 0.0,
+                    corrupt_crc=planted == "bad_crc",
+                    plant_bad_packet=planted == "bad_packet",
+                )
+                rows.append(
+                    (f"q116-{i:06d}", "opus", sr, dur_ms, payload, planted)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["clip_id", "codec", "sr_hz", "dur_ms", "bytes",
+                         "planted"],
+            )
+
+    clips = spark.range(0, 240, numPartitions=8).mapInPandas(
+        gen,
+        "clip_id string, codec string, sr_hz int, dur_ms int, "
+        "bytes binary, planted string",
+    )
+    res = clips.withColumn(
+        "_a",
+        audio_check_udf(
+            F.struct(
+                F.col("clip_id"), F.col("codec"), F.col("sr_hz"),
+                F.col("bytes"), F.lit(False).alias("skip"),
+            )
+        ),
+    ).withColumn(
+        "_dur_label",
+        duration_consistency_label(
+            F.col("dur_ms"), F.col("_a.n_samples"), F.col("_a.container_sr")
+        ),
+    )
+    return (
+        res.groupBy("planted")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.col("_a.decode_error").isNotNull().cast("long")).alias(
+                "n_container_rejected"
+            ),
+            F.sum(F.col("_a.pcm_unsupported").cast("long")).alias(
+                "n_pcm_unsupported"
+            ),
+            F.sum(F.col("_dur_label").isNotNull().cast("long")).alias(
+                "n_dur_flagged"
+            ),
+            F.sum(F.col("_a.snr_db").isNotNull().cast("long")).alias(
+                "n_snr_evaluated"
+            ),
+        )
+        .orderBy("planted")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -4029,6 +4160,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q113_skew_report": q113_skew_report,
         "q114_outlier_rows": q114_outlier_rows,
         "q115_pinned_values": q115_pinned_values,
+        "q116_opus_metadata": q116_opus_metadata,
     }
 
 
@@ -4888,14 +5020,15 @@ _ORACLES: dict[str, str] = {
     """.replace("{{_NT}}", "{_NT}").replace("{_NT}", _NORM_TEXT),
     "q64_codec_contract": """
         SELECT * FROM (VALUES
-          ('adpcm', 50::BIGINT, true, true, false, false, true),
-          ('alaw',  50::BIGINT, true, true, true,  false, true),
-          ('flac',  50::BIGINT, true, true, true,  true,  true),
-          ('mulaw', 50::BIGINT, true, true, true,  false, true),
-          ('opus',  50::BIGINT, true, true, true,  false, true),
-          ('pcm16', 50::BIGINT, true, true, true,  true,  true)
+          ('adpcm', 50::BIGINT, true, true, false, false, true, true),
+          ('alaw',  50::BIGINT, true, true, true,  false, true, true),
+          ('flac',  50::BIGINT, true, true, true,  true,  true, true),
+          ('mulaw', 50::BIGINT, true, true, true,  false, true, true),
+          ('opus',  50::BIGINT, true, true, NULL::BOOLEAN, NULL::BOOLEAN,
+           true, false),
+          ('pcm16', 50::BIGINT, true, true, true,  true,  true, true)
         ) AS t(codec, n, all_sr_ok, all_len_ok, all_snr30, all_snr80,
-               flac_lossless_ok)
+               flac_lossless_ok, pcm_supported)
         ORDER BY codec
     """,
     "q65_audio_quality": """
@@ -6311,6 +6444,18 @@ _ORACLES: dict[str, str] = {
         SELECT g AS o_orderpriority, id AS o_orderkey, v AS o_totalprice,
                round(z, 6) AS z, rnk::BIGINT AS rank
         FROM outs WHERE rnk <= 3 ORDER BY g, rnk
+    """,
+    "q116_opus_metadata": """
+        SELECT * FROM (VALUES
+          ('bad_crc',      40::BIGINT, 40::BIGINT, 0::BIGINT, 0::BIGINT, 0::BIGINT),
+          ('bad_packet',   40::BIGINT, 40::BIGINT, 0::BIGINT, 0::BIGINT, 0::BIGINT),
+          ('clean',        40::BIGINT, 0::BIGINT, 40::BIGINT, 0::BIGINT, 0::BIGINT),
+          ('dur_lie',      40::BIGINT, 0::BIGINT, 40::BIGINT, 40::BIGINT, 0::BIGINT),
+          ('granule_skew', 40::BIGINT, 40::BIGINT, 0::BIGINT, 0::BIGINT, 0::BIGINT),
+          ('jitter',       40::BIGINT, 0::BIGINT, 40::BIGINT, 0::BIGINT, 0::BIGINT)
+        ) AS t(planted, n, n_container_rejected, n_pcm_unsupported,
+               n_dur_flagged, n_snr_evaluated)
+        ORDER BY planted
     """,
     "q115_pinned_values": """
         WITH vals AS (

@@ -42,53 +42,99 @@ _RESULT_SCHEMA = T.StructType(
         T.StructField("snr_db", T.DoubleType()),
         T.StructField("container_sr", T.IntegerType()),
         T.StructField("n_samples", T.LongType()),
+        T.StructField("pcm_unsupported", T.BooleanType()),
     ]
 )
 
 
-@pandas_udf(_RESULT_SCHEMA)
-def audio_check_udf(
-    it: Iterator[pd.DataFrame],
-) -> Iterator[pd.DataFrame]:
-    """Batch-iterator UDF: struct(clip_id, codec, sr_hz, bytes, skip)
-    batches -> (decode_error, snr_db, container_sr, n_samples).
+def make_audio_check_udf(plugins: dict | None = None):
+    """Build the decode-check pandas UDF, optionally closing over
+    `plugins` (codec -> decode callable): the dict rides the UDF
+    closure to every python worker — the same serialization path as
+    all user code — so native decoders (libopus/libflac) plug in
+    per-call with zero engine edits and no worker-side imports."""
+
+    @pandas_udf(_RESULT_SCHEMA)
+    def _audio_check_udf(
+        it: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield _check_batch(pdf, plugins)
+
+    return _audio_check_udf
+
+
+def _check_batch(pdf: pd.DataFrame, plugins: dict | None) -> pd.DataFrame:
+    """Batch body of the decode-check UDF: struct(clip_id, codec,
+    sr_hz, bytes, skip) batch -> (decode_error, snr_db, container_sr,
+    n_samples, pcm_unsupported).
 
     skip=True rows pass through with all-null outcomes and NO decode
     attempt: the caller uses this for rows already diverted by a
     non-payload hard rule, so their payloads ride the one scan (their
     null-mask is still observed JVM-side) without costing any Python
-    decode time."""
-    for pdf in it:
-        n = len(pdf)
-        err = np.full(n, None, dtype=object)
-        snr = np.full(n, np.nan)
-        csr = np.full(n, -1, dtype=np.int64)
-        nsm = np.full(n, -1, dtype=np.int64)
-        clip_ids = pdf["clip_id"].to_numpy()
-        codecs_col = pdf["codec"].to_numpy()
-        payloads = pdf["bytes"].to_numpy()
-        skips = pdf["skip"].to_numpy()
-        for i in range(n):
-            if skips[i]:
-                continue
-            payload = payloads[i]
-            try:
-                pcm, sr = codecs.decode(codecs_col[i], payload)
-            except codecs.CodecError as e:
-                err[i] = str(e)
-                continue
-            csr[i] = sr
-            nsm[i] = len(pcm)
-            ref = synth.reference_pcm(str(clip_ids[i]), int(sr), len(pcm))
-            snr[i] = codecs.snr_db(ref, pcm)
-        yield pd.DataFrame(
-            {
-                "decode_error": err,
-                "snr_db": snr,
-                "container_sr": pd.array(csr, dtype="Int32"),
-                "n_samples": nsm,
-            }
-        )
+    decode time.
+
+    Metadata-tier codecs (PCM decode unsupported in-environment, e.g.
+    opus without libopus): the REAL container inspection still runs —
+    a malformed container is a decode_error exactly like any other
+    corrupt payload — and a structurally-sound stream passes through
+    with pcm_unsupported=True, container_sr from the container's
+    declared rate, and n_samples implied by the container's declared
+    duration (so duration-consistency checks stay real). snr_db stays
+    null; the caller surfaces audio_codec_unsupported_pcm(<codec>)."""
+    n = len(pdf)
+    err = np.full(n, None, dtype=object)
+    snr = np.full(n, np.nan)
+    csr = np.full(n, -1, dtype=np.int64)
+    nsm = np.full(n, -1, dtype=np.int64)
+    unsup = np.zeros(n, dtype=bool)
+    clip_ids = pdf["clip_id"].to_numpy()
+    codecs_col = pdf["codec"].to_numpy()
+    payloads = pdf["bytes"].to_numpy()
+    skips = pdf["skip"].to_numpy()
+    for i in range(n):
+        if skips[i]:
+            continue
+        payload = payloads[i]
+        try:
+            pcm, sr = codecs.decode(codecs_col[i], payload, plugins=plugins)
+        except codecs.PcmUnsupportedError:
+            meta = codecs.inspect_metadata(codecs_col[i], payload)
+            if meta is None:
+                err[i] = "pcm decode unsupported, no metadata tier"
+            elif meta["error"] is not None:
+                err[i] = meta["error"]
+            else:
+                unsup[i] = True
+                in_sr = meta.get("input_sr") or 0
+                if in_sr > 0:
+                    csr[i] = in_sr
+                    if meta.get("duration_ms") is not None:
+                        nsm[i] = int(round(
+                            meta["duration_ms"] / 1000.0 * in_sr
+                        ))
+            continue
+        except codecs.CodecError as e:
+            err[i] = str(e)
+            continue
+        csr[i] = sr
+        nsm[i] = len(pcm)
+        ref = synth.reference_pcm(str(clip_ids[i]), int(sr), len(pcm))
+        snr[i] = codecs.snr_db(ref, pcm)
+    return pd.DataFrame(
+        {
+            "decode_error": err,
+            "snr_db": snr,
+            "container_sr": pd.array(csr, dtype="Int32"),
+            "n_samples": nsm,
+            "pcm_unsupported": unsup,
+        }
+    )
+
+
+# default instance (no plugins) — the common path and the public name
+audio_check_udf = make_audio_check_udf()
 
 
 def run_audio_checks(
@@ -102,6 +148,7 @@ def run_audio_checks(
     silence_max: float | None = None,
     upsample_min_ratio: float | None = None,
     min_effective_bits: int | None = None,
+    decoder_plugins: dict | None = None,
 ) -> DataFrame:
     """Append audio-check outcome columns:
 
@@ -114,6 +161,12 @@ def run_audio_checks(
       audio_snr_db         double
       _snr_label           `audio_snr_below_30db(x.x)` or NULL (soft)
       _container_sr_label  `bytes_sr_mismatch(sr)` or NULL (warning)
+      _pcm_unsupported_label `audio_codec_unsupported_pcm(<codec>)`
+                           or NULL (warning): the codec's container
+                           passed its REAL metadata checks but PCM
+                           decode is unavailable in-environment, so
+                           the SNR invariant was not evaluated — the
+                           honest outcome, never a synthetic pass
 
     The SNR label rounds to 1dp, echoing the offending value like the
     reference's `fast_rt_...s` labels (core_models.py:169-202).
@@ -128,9 +181,17 @@ def run_audio_checks(
     if quality:
         from data_validator_spark.audio import quality as _q
 
-        udf = _q.audio_quality_udf
+        udf = (
+            _q.make_audio_quality_udf(decoder_plugins)
+            if decoder_plugins
+            else _q.audio_quality_udf
+        )
     else:
-        udf = audio_check_udf
+        udf = (
+            make_audio_check_udf(decoder_plugins)
+            if decoder_plugins
+            else audio_check_udf
+        )
     res = udf(
         F.struct(
             F.col("clip_id"),
@@ -199,6 +260,18 @@ def run_audio_checks(
                 F.concat(
                     F.lit("bytes_sr_mismatch("),
                     F.col("_audio.container_sr").cast("string"),
+                    F.lit(")"),
+                ),
+            ),
+        )
+        .withColumn(
+            "_pcm_unsupported_label",
+            F.when(
+                F.col("_audio.decode_error").isNull()
+                & F.col("_audio.pcm_unsupported"),
+                F.concat(
+                    F.lit("audio_codec_unsupported_pcm("),
+                    F.col("codec"),
                     F.lit(")"),
                 ),
             ),

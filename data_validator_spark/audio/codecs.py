@@ -23,13 +23,17 @@ Real codecs:
     Python per clip — fine at validation batch sizes, and the
     algorithm itself is the real thing.
 
-Stand-in codec (the *plumbing* — schema, per-codec dispatch, Arrow
-batching, SNR math — is real; only the bitstream format is ours):
-  - ``opus``: lossy stand-in, 12-bit quantization (``OPU0``) giving a
-    deterministic ~72 dB SNR, comfortably above the 30 dB gate. Opus
-    remains a stand-in because there is no pure-python path to
-    CELT/SILK (a range-coded transform codec); a production deployment
-    swaps this one branch for libopus, everything else is unchanged.
+Metadata-tier codec (PCM decode unsupported, container REAL):
+  - ``opus``: REAL Ogg Opus encapsulation + RFC 6716 TOC metadata
+    (audio/opus.py — page CRC verification, OpusHead/OpusTags,
+    per-packet frame counts/durations, granule accounting). There is
+    no pure-python path to CELT/SILK entropy decode, so the PCM/SNR
+    tier raises ``PcmUnsupportedError`` — surfaced downstream as the
+    honest ``audio_codec_unsupported_pcm(opus)`` outcome instead of
+    the old synthetic 72 dB pass — while duration-consistency and
+    container-sanity checks run for real against the bitstream.
+    A production deployment calls ``register_pcm_decoder("opus",
+    libopus_decode)`` and the SNR tier lights up with no other change.
 
 All decoders raise ``CodecError`` on malformed payloads — the engine
 maps that to the ``audio_decode_failed`` hard violation.
@@ -43,6 +47,7 @@ import zlib
 import numpy as np
 
 from data_validator_spark.audio import flac as _flac
+from data_validator_spark.audio import opus as _opus
 
 SUPPORTED_CODECS = ("pcm16", "flac", "mulaw", "alaw", "adpcm", "opus")
 
@@ -55,6 +60,14 @@ _MAGIC_ADPCM = b"ADP0"
 
 class CodecError(ValueError):
     """Raised when a payload cannot be decoded."""
+
+
+class PcmUnsupportedError(CodecError):
+    """The codec's container/metadata tier is supported but PCM decode
+    is not available in this environment (e.g. opus without libopus).
+    The decode UDF maps this to the normalized
+    ``audio_codec_unsupported_pcm(<codec>)`` outcome — a warning, not
+    a decode failure — and falls back to the metadata inspector."""
 
 
 # ---------------------------------------------------------------- pcm16 / WAV
@@ -324,30 +337,23 @@ def _decode_adpcm(payload: bytes) -> tuple[np.ndarray, int]:
     return pcm, sr_hz
 
 
-# ---------------------------------------------------------------- opus stand-in
-
-_OPUS_BITS = 12
-_OPUS_SCALE = float(2 ** (_OPUS_BITS - 1) - 1)
+# --------------------------------------------------- opus (metadata tier)
 
 
 def _encode_opus(pcm: np.ndarray, sr_hz: int) -> bytes:
-    q = np.round(np.clip(pcm, -1.0, 1.0) * _OPUS_SCALE).astype("<i2")
-    comp = zlib.compress(q.tobytes(), level=1)
-    return _MAGIC_OPUS + struct.pack("<IQ", sr_hz, len(q)) + comp
+    """Structurally-valid Ogg Opus declaring len(pcm)/sr_hz of audio
+    (real pages/CRCs/headers/TOC — audio/opus.py); the frame bodies
+    are deterministic pseudo-payload (seeded from the samples), since
+    the engine's opus tier never entropy-decodes."""
+    q = np.round(np.clip(pcm, -1.0, 1.0) * 32767.0).astype("<i2")
+    seed = zlib.crc32(q.tobytes())
+    return _opus.encode_ogg_opus(len(pcm), int(sr_hz), seed=seed)
 
 
 def _decode_opus(payload: bytes) -> tuple[np.ndarray, int]:
-    if len(payload) < 16 or payload[:4] != _MAGIC_OPUS:
-        raise CodecError("not an OPU0 payload")
-    sr_hz, n = struct.unpack("<IQ", payload[4:16])
-    try:
-        raw = zlib.decompress(payload[16:])
-    except zlib.error as e:
-        raise CodecError(f"opus inflate failed: {e}") from e
-    if len(raw) != n * 2:
-        raise CodecError("opus sample-count mismatch")
-    pcm = np.frombuffer(raw, dtype="<i2").astype(np.float32) / _OPUS_SCALE
-    return pcm, sr_hz
+    raise PcmUnsupportedError(
+        "audio_codec_unsupported_pcm(opus)"
+    )
 
 
 _ENCODERS = {
@@ -368,6 +374,70 @@ _DECODERS = {
 }
 
 
+# Metadata inspectors: codec -> callable(payload) -> dict with at
+# least {error, input_sr, duration_ms}. Used by the decode UDF when a
+# codec's PCM tier raises PcmUnsupportedError, so container-sanity
+# and duration-consistency checks stay REAL without entropy decode.
+_METADATA_INSPECTORS: dict[str, object] = {
+    "opus": _opus.inspect,
+}
+
+
+def register_pcm_decoder(codec: str, decoder, encoder=None) -> None:
+    """Plug-in seam for native decoders (libopus / libflac / libav):
+    registers `decoder(payload) -> (pcm float32, sr_hz)` (and
+    optionally an encoder) for `codec`, REPLACING a PcmUnsupported
+    stub or adding a brand-new codec. Everything downstream — the
+    decode UDF, SNR gate, per-codec thresholds, validation plan — is
+    keyed off these registries and needs no edit. The decoder must
+    raise CodecError (or any ValueError, which the UDF treats as
+    decode failure) on malformed payloads.
+
+    Cluster note: this mutates the REGISTRY OF THE IMPORTING PROCESS.
+    Spark executors run their own python workers, so register either
+    (a) at import time of a module shipped via --py-files and named in
+    $DVS_AUDIO_PLUGINS (imported by every worker when codecs.py
+    loads), or (b) per-call via run_audio_checks(decoder_plugins=...),
+    which ships the callables inside the UDF closure — the same
+    mechanism Spark uses for all user code."""
+    _DECODERS[codec] = decoder
+    if encoder is not None:
+        _ENCODERS[codec] = encoder
+
+
+def _load_env_plugins() -> None:
+    """Import plugin modules named in $DVS_AUDIO_PLUGINS (comma-
+    separated); each registers codecs at import. Runs once at module
+    import in EVERY process (driver and python workers alike), which
+    is what makes --py-files-shipped native decoders visible to the
+    decode UDF without any engine edit."""
+    import importlib
+    import os
+
+    for mod in filter(None, os.environ.get("DVS_AUDIO_PLUGINS", "").split(",")):
+        try:
+            importlib.import_module(mod.strip())
+        except Exception as e:  # a broken plugin must not kill validation
+            import sys
+
+            print(f"audio plugin {mod!r} failed to load: {e}", file=sys.stderr)
+
+
+def register_metadata_inspector(codec: str, inspector) -> None:
+    """Register `inspector(payload) -> {error, input_sr, duration_ms,
+    ...}` consulted when the codec's PCM tier is unsupported."""
+    _METADATA_INSPECTORS[codec] = inspector
+
+
+def inspect_metadata(codec: str, payload: bytes) -> dict | None:
+    """Metadata-tier inspection for codecs without PCM decode; None
+    when the codec has no registered inspector."""
+    ins = _METADATA_INSPECTORS.get(codec)
+    if ins is None:
+        return None
+    return ins(payload)
+
+
 def encode(codec: str, pcm: np.ndarray, sr_hz: int) -> bytes:
     try:
         enc = _ENCODERS[codec]
@@ -376,14 +446,18 @@ def encode(codec: str, pcm: np.ndarray, sr_hz: int) -> bytes:
     return enc(np.asarray(pcm, dtype=np.float32), int(sr_hz))
 
 
-def decode(codec: str, payload: bytes) -> tuple[np.ndarray, int]:
-    """-> (pcm float32 in [-1, 1], sr_hz). Raises CodecError."""
+def decode(
+    codec: str, payload: bytes, plugins: dict | None = None
+) -> tuple[np.ndarray, int]:
+    """-> (pcm float32 in [-1, 1], sr_hz). Raises CodecError.
+
+    `plugins` (codec -> decode callable) takes precedence over the
+    module registry — the closure-shipped per-call plug-in path."""
     if payload is None:
         raise CodecError("null payload")
-    try:
-        dec = _DECODERS[codec]
-    except KeyError:
-        raise CodecError(f"unknown codec {codec!r}") from None
+    dec = (plugins or {}).get(codec) or _DECODERS.get(codec)
+    if dec is None:
+        raise CodecError(f"unknown codec {codec!r}")
     return dec(bytes(payload))
 
 
@@ -407,3 +481,9 @@ def snr_db(reference: np.ndarray, decoded: np.ndarray) -> float:
     if sig == 0.0:
         return float("-inf")
     return 10.0 * np.log10(sig / noise)
+
+
+# import-time plugin discovery: every process that imports this module
+# (driver, spark python workers) loads $DVS_AUDIO_PLUGINS modules,
+# which call register_pcm_decoder/register_metadata_inspector
+_load_env_plugins()

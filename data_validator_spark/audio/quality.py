@@ -72,6 +72,7 @@ _RESULT_SCHEMA = T.StructType(
         T.StructField("snr_db", T.DoubleType()),
         T.StructField("container_sr", T.IntegerType()),
         T.StructField("n_samples", T.LongType()),
+        T.StructField("pcm_unsupported", T.BooleanType()),
     ]
     + [T.StructField(name, dt) for name, dt in _FEATURE_FIELDS]
 )
@@ -151,45 +152,82 @@ def analyze_pcm(pcm: np.ndarray, sr_hz: int) -> dict[str, float]:
     }
 
 
-@pandas_udf(_RESULT_SCHEMA)
-def audio_quality_udf(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """struct(clip_id, codec, sr_hz, bytes, skip) batches ->
+def make_audio_quality_udf(plugins: dict | None = None):
+    """Build the fused quality UDF, optionally closing over `plugins`
+    (codec -> decode callable) — mirrors checks.make_audio_check_udf:
+    the dict rides the UDF closure to every python worker."""
+
+    @pandas_udf(_RESULT_SCHEMA)
+    def _audio_quality_udf(
+        it: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield _quality_batch(pdf, plugins)
+
+    return _audio_quality_udf
+
+
+def _quality_batch(pdf: pd.DataFrame, plugins: dict | None) -> pd.DataFrame:
+    """struct(clip_id, codec, sr_hz, bytes, skip) batch ->
     decode outcome + SNR invariant + quality features, ONE decode per
     row (the fused path: a pipeline running both the per-row invariant
     and quality gating pays a single pass over the payload column).
     skip=True rows pass through all-null with no decode attempt,
     mirroring checks.audio_check_udf."""
     feat_names = [name for name, _ in _FEATURE_FIELDS]
-    for pdf in it:
-        n = len(pdf)
-        out = {
-            "decode_error": np.full(n, None, dtype=object),
-            "snr_db": np.full(n, np.nan),
-            "container_sr": np.full(n, -1, dtype=np.int64),
-            "n_samples": np.full(n, -1, dtype=np.int64),
-        }
-        for name in feat_names:
-            out[name] = np.full(n, np.nan)
-        clip_ids = pdf["clip_id"].to_numpy()
-        codec_col = pdf["codec"].to_numpy()
-        payloads = pdf["bytes"].to_numpy()
-        skips = pdf["skip"].to_numpy()
-        for i in range(n):
-            if skips[i]:
-                continue
-            try:
-                pcm, sr = codecs.decode(codec_col[i], payloads[i])
-            except codecs.CodecError as e:
-                out["decode_error"][i] = str(e)
-                continue
-            out["container_sr"][i] = sr
-            out["n_samples"][i] = len(pcm)
-            ref = synth.reference_pcm(str(clip_ids[i]), int(sr), len(pcm))
-            out["snr_db"][i] = codecs.snr_db(ref, pcm)
-            for name, val in analyze_pcm(pcm, sr).items():
-                out[name][i] = val
-        out["container_sr"] = pd.array(out["container_sr"], dtype="Int32")
-        yield pd.DataFrame(out)
+    n = len(pdf)
+    out = {
+        "decode_error": np.full(n, None, dtype=object),
+        "snr_db": np.full(n, np.nan),
+        "container_sr": np.full(n, -1, dtype=np.int64),
+        "n_samples": np.full(n, -1, dtype=np.int64),
+        "pcm_unsupported": np.zeros(n, dtype=bool),
+    }
+    for name in feat_names:
+        out[name] = np.full(n, np.nan)
+    clip_ids = pdf["clip_id"].to_numpy()
+    codec_col = pdf["codec"].to_numpy()
+    payloads = pdf["bytes"].to_numpy()
+    skips = pdf["skip"].to_numpy()
+    for i in range(n):
+        if skips[i]:
+            continue
+        try:
+            pcm, sr = codecs.decode(codec_col[i], payloads[i], plugins=plugins)
+        except codecs.PcmUnsupportedError:
+            # metadata tier: real container checks, no PCM features
+            meta = codecs.inspect_metadata(codec_col[i], payloads[i])
+            if meta is None:
+                out["decode_error"][i] = (
+                    "pcm decode unsupported, no metadata tier"
+                )
+            elif meta["error"] is not None:
+                out["decode_error"][i] = meta["error"]
+            else:
+                out["pcm_unsupported"][i] = True
+                in_sr = meta.get("input_sr") or 0
+                if in_sr > 0:
+                    out["container_sr"][i] = in_sr
+                    if meta.get("duration_ms") is not None:
+                        out["n_samples"][i] = int(round(
+                            meta["duration_ms"] / 1000.0 * in_sr
+                        ))
+            continue
+        except codecs.CodecError as e:
+            out["decode_error"][i] = str(e)
+            continue
+        out["container_sr"][i] = sr
+        out["n_samples"][i] = len(pcm)
+        ref = synth.reference_pcm(str(clip_ids[i]), int(sr), len(pcm))
+        out["snr_db"][i] = codecs.snr_db(ref, pcm)
+        for name, val in analyze_pcm(pcm, sr).items():
+            out[name][i] = val
+    out["container_sr"] = pd.array(out["container_sr"], dtype="Int32")
+    return pd.DataFrame(out)
+
+
+# default instance (no plugins) — the common path and the public name
+audio_quality_udf = make_audio_quality_udf()
 
 
 def quality_labels_expr(

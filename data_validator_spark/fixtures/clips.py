@@ -163,6 +163,15 @@ def meta_batch(idx: np.ndarray, cfg: ClipsConfig) -> pd.DataFrame:
     codec[flags["inj_codec_unknown"]] = "amr"
     codec[flags["inj_codec_null"]] = None
 
+    # opus has no PCM decode tier (metadata-only — audio/opus.py), so
+    # a low-SNR plant would be undetectable there; the same injection
+    # draw materializes instead as a REAL container defect (granule
+    # position inconsistent with the TOC frame sum -> hard
+    # audio_decode_failed), keeping every channel-A row a true plant
+    is_opus = np.array([c == "opus" for c in codec])
+    flags["inj_opus_meta"] = flags["inj_low_snr"] & is_opus
+    flags["inj_low_snr"] = flags["inj_low_snr"] & ~is_opus
+
     # dur_ms: lognormal via inverse-normal approximation of a uniform
     u_d = _u01(idx, seed, 7)
     z = np.sqrt(2.0) * _erfinv(2.0 * u_d.clip(1e-9, 1 - 1e-9) - 1.0)
@@ -235,6 +244,7 @@ def _synth_bytes(
     clip_id: str,
     inj_low_snr: bool,
     inj_corrupt: bool,
+    inj_opus_meta: bool,
 ) -> bytes | None:
     if inj_bytes_null:
         return None
@@ -242,6 +252,16 @@ def _synth_bytes(
     sr = int(sr_hz) if int(sr_hz or 0) > 0 else 8000
     dur = int(dur_ms) if pd.notna(dur_ms) else 3000
     n_samples = max(1, int(round(min(dur, cfg.max_synth_ms) / 1000.0 * sr)))
+    if inj_opus_meta:
+        # real Ogg-Opus container whose final granule overstates the
+        # TOC frame sum by 400ms -> the metadata tier's cross-check
+        # rejects it (audio/opus.py inspect)
+        from data_validator_spark.audio import opus as _opus
+
+        return _opus.encode_ogg_opus(
+            n_samples, sr, seed=synth.clip_seed(clip_id),
+            granule_skew_ms=400.0,
+        )
     src_id = clip_id + "#alt" if inj_low_snr else clip_id
     pcm = synth.reference_pcm(src_id, sr, n_samples)
     payload = codecs.encode(enc_codec, pcm, sr)
@@ -258,6 +278,7 @@ _SYNTH_COLS = [
     "clip_id",
     "inj_low_snr",
     "inj_corrupt",
+    "inj_opus_meta",
 ]
 
 
@@ -278,6 +299,7 @@ GOLDEN_FLAGS = [
     "inj_codec_unknown",
     "inj_corrupt",
     "inj_low_snr",
+    "inj_opus_meta",
     "inj_transcript_empty",
     "inj_transcript_mismatch",
     "inj_sr_invalid",

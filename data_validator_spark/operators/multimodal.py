@@ -40,7 +40,7 @@ _MAGIC_HEX = {
     "52494646": "riff",  # RIFF container — refined to wav/avi by form type
     "664C6143": "flac",  # real FLAC bitstream (audio/flac.py)
     "4D554C57": "mulaw_standin",
-    "4F505530": "opus_standin",
+    "4F676753": "ogg",  # Ogg encapsulation (real Ogg-Opus clips)
     "1A45DFA3": "mkv",
 }
 

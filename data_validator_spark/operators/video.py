@@ -268,13 +268,35 @@ def probe_avi(payload: bytes) -> AviInfo:
     )
 
 
+# frame-decoder registry keyed by fourcc: MJPG is built-in (real
+# baseline JPEG, operators/jpeg.py); a production deployment registers
+# H264/VP9/AV1 via register_frame_decoder("H264", libav_decode) — the
+# plug-in seam mirroring audio.codecs.register_pcm_decoder
+_FRAME_DECODERS: dict[str, object] = {}
+
+
+def register_frame_decoder(fourcc: str, decoder) -> None:
+    """decoder(frame_bytes) -> uint8 array (H,W) or (H,W,3). Same
+    cluster caveat as audio.codecs.register_pcm_decoder: register at
+    import time of a --py-files module for executor visibility."""
+    _FRAME_DECODERS[fourcc.upper()] = decoder
+
+
+def _frame_decoder_for(codec: str):
+    c = (codec or "").upper()
+    if c == "MJPG":
+        return jpeg.decode_jpeg
+    return _FRAME_DECODERS.get(c)
+
+
 def decode_avi_frames(
     payload: bytes, indices: Sequence[int] | None = None
 ) -> list[np.ndarray]:
     """Decode selected frames (all when indices is None) to uint8
     RGB arrays — index-seek, O(len(indices)) JPEG decodes."""
     info = probe_avi(payload)
-    if info.codec.upper() != "MJPG":
+    frame_decode = _frame_decoder_for(info.codec)
+    if frame_decode is None:
         raise VideoError(f"unsupported video codec ({info.codec or 'unknown'})")
     buf = bytes(payload)
     if indices is None:
@@ -286,8 +308,8 @@ def decode_avi_frames(
             raise VideoError(f"frame index {i} out of range")
         off, size = info.frame_spans[i]
         try:
-            px = jpeg.decode_jpeg(buf[off : off + size])
-        except jpeg.JpegError as e:
+            px = frame_decode(buf[off : off + size])
+        except (jpeg.JpegError, ValueError) as e:
             raise VideoError(f"frame {i} decode failed: {e}") from e
         if px.ndim == 2:
             px = np.stack([px] * 3, axis=2)

@@ -309,6 +309,13 @@ def run_validation(
         v = append_messages(
             v, ENTITY, F.col("_container_sr_label"), warning=True
         ).drop("_container_sr_label")
+        # metadata-tier codecs (opus): container checks were REAL and
+        # passed, but the SNR invariant could not be evaluated — an
+        # honest warning, never a synthetic pass (and never a hard
+        # fail: the clip may be perfectly fine)
+        v = append_messages(
+            v, ENTITY, F.col("_pcm_unsupported_label"), warning=True
+        ).drop("_pcm_unsupported_label")
         if cfg.check_quality:
             v = append_messages(v, ENTITY, F.col("_quality_labels")).drop(
                 "_quality_labels"

@@ -21,7 +21,10 @@ _SNR_FLOOR = {
 }
 
 
-@pytest.mark.parametrize("codec", codecs.SUPPORTED_CODECS)
+_PCM_CODECS = tuple(c for c in codecs.SUPPORTED_CODECS if c != "opus")
+
+
+@pytest.mark.parametrize("codec", _PCM_CODECS)
 def test_roundtrip_snr_above_gate(codec):
     pcm = synth.reference_pcm("clip-000000000042", 16000, 8000)
     payload = codecs.encode(codec, pcm, 16000)
@@ -31,12 +34,49 @@ def test_roundtrip_snr_above_gate(codec):
     assert codecs.snr_db(pcm, dec) >= _SNR_FLOOR[codec]
 
 
-@pytest.mark.parametrize("codec", codecs.SUPPORTED_CODECS)
+def test_opus_is_metadata_tier():
+    """Opus: PCM decode honestly unsupported (PcmUnsupportedError, no
+    synthetic pass); the REAL metadata tier roundtrips rate + duration
+    from the Ogg container within the 2.5ms CELT grid."""
+    pcm = synth.reference_pcm("clip-000000000042", 16000, 8000)
+    payload = codecs.encode("opus", pcm, 16000)
+    with pytest.raises(codecs.PcmUnsupportedError):
+        codecs.decode("opus", payload)
+    meta = codecs.inspect_metadata("opus", payload)
+    assert meta["error"] is None
+    assert meta["input_sr"] == 16000
+    assert abs(meta["duration_ms"] - 500.0) <= 1.3
+
+
+@pytest.mark.parametrize("codec", _PCM_CODECS)
 def test_truncated_payload_raises(codec):
     pcm = synth.reference_pcm("clip-000000000001", 8000, 1000)
     payload = codecs.encode(codec, pcm, 8000)
     with pytest.raises(codecs.CodecError):
         codecs.decode(codec, payload[: len(payload) // 2])
+
+
+def test_opus_truncated_payload_rejected_by_metadata_tier():
+    pcm = synth.reference_pcm("clip-000000000001", 8000, 1000)
+    payload = codecs.encode("opus", pcm, 8000)
+    meta = codecs.inspect_metadata("opus", payload[: len(payload) // 2])
+    assert meta["error"] is not None
+
+
+def test_register_pcm_decoder_plugin_seam():
+    """A native decoder (libopus in production) registers per codec and
+    the whole PCM tier lights up with no engine edit."""
+    import numpy as np
+
+    def fake_decode(payload):
+        return np.zeros(100, dtype=np.float32), 8000
+
+    codecs.register_pcm_decoder("fakecodec", fake_decode)
+    try:
+        dec, sr = codecs.decode("fakecodec", b"anything")
+        assert sr == 8000 and len(dec) == 100
+    finally:
+        codecs._DECODERS.pop("fakecodec", None)
 
 
 def test_garbage_and_unknown_codec():

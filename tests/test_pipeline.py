@@ -24,7 +24,9 @@ def test_row_conservation(result, clips):
 
 
 def test_decode_failures_diverted(result, golden):
-    exp = golden.filter("inj_corrupt").count()
+    # truncated payloads + the real opus container plants (granule/TOC
+    # inconsistency) both land in the hard audio_decode_failed tier
+    exp = golden.filter("inj_corrupt or inj_opus_meta").count()
     got = result.invalid.filter(F.col("rule") == "audio_decode_failed").count()
     assert got == exp
     # and none of those rows remain in the validated side

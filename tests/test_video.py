@@ -205,3 +205,37 @@ class TestVideoStage:
         )
         for r in df.collect():
             assert list(r.plan) == video.sample_indices(r.n, 4), r.n
+
+
+def test_register_frame_decoder_plugin_seam():
+    """A synthetic fourcc decoder registers and decode_avi_frames uses
+    it with no engine edit — the libav swap seam for H264/VP9/AV1."""
+    import numpy as np
+
+    from data_validator_spark.operators import video
+
+    payload = video.encode_avi_mjpeg(
+        [np.zeros((16, 16, 3), dtype=np.uint8)] * 3, fps=10
+    )
+    # rewrite the codec fourcc in the strh/strf headers to a fake one
+    fake = payload.replace(b"MJPG", b"FAKE")
+    info = video.probe_avi(fake)
+    assert info.codec == "FAKE"
+    try:
+        video.decode_avi_frames(fake, [0])
+        raise AssertionError("expected unsupported codec error")
+    except video.VideoError as e:
+        assert "unsupported video codec" in str(e)
+
+    seen = []
+
+    def fake_decode(frame_bytes):
+        seen.append(len(frame_bytes))
+        return np.zeros((16, 16, 3), dtype=np.uint8)
+
+    video.register_frame_decoder("FAKE", fake_decode)
+    try:
+        frames = video.decode_avi_frames(fake, [0, 2])
+        assert len(frames) == 2 and len(seen) == 2
+    finally:
+        video._FRAME_DECODERS.pop("FAKE", None)
