@@ -50,11 +50,15 @@ def profile(
     min/max are stringified so one schema fits all column types
     (mirrors the reference's stringly typed stats payloads).
 
-    hll_rsd: target relative standard deviation of the HLL++ sketch.
-    0.02 costs ~2^13 registers (~8 KB) per column — still a fixed-size
-    mergeable sketch at any row count — and keeps the estimate inside
-    the engine's ±5% cardinality contract with margin (the 0.05
-    default rsd breaches 5% routinely on low-cardinality columns).
+    hll_rsd: target relative standard deviation of the cardinality
+    estimate; mapped to the DataSketches HLL lgK via
+    rsd ~ 1.04/sqrt(2^lgK) (0.02 -> lgK 12, ~4 KB fixed per column).
+    The estimator is hll_sketch_agg over the stringified value, NOT
+    approx_count_distinct(rsd=...): HLL++ at low rsd stores ~700
+    unsafe-row words PER COLUMN in the aggregation buffer, which
+    stalls planning superlinearly on wide schemas (measured 39 s for
+    100 columns of 50 rows vs 2.4 s with the DataSketches binary
+    buffer — tests/test_wide_schema.py pins the 1,000-column bound).
 
     quantile_method: "approx" fuses percentile_approx into the one
     scalar Aggregate (single scan). "tdigest" runs the mergeable
@@ -67,6 +71,9 @@ def profile(
     if quantile_method not in ("approx", "tdigest"):
         raise ValueError(f"unknown quantile_method: {quantile_method!r}")
     use_td = quantile_method == "tdigest"
+    import math
+
+    lgk = min(21, max(4, math.ceil(2 * math.log2(1.04 / hll_rsd))))
     aggs: list[Column] = [F.count(F.lit(1)).alias("_n")]
     for s in specs:
         c = F.col(s.name)
@@ -74,7 +81,9 @@ def profile(
             F.sum(c.isNull().cast("long")).alias(f"{s.name}__nulls"),
             F.min(c).cast("string").alias(f"{s.name}__min"),
             F.max(c).cast("string").alias(f"{s.name}__max"),
-            F.approx_count_distinct(c, rsd=hll_rsd).alias(f"{s.name}__hll"),
+            F.hll_sketch_estimate(
+                F.hll_sketch_agg(c.cast("string"), F.lit(lgk))
+            ).alias(f"{s.name}__hll"),
         ]
         if s.kind == "numeric" and not use_td:
             aggs.append(
@@ -262,7 +271,12 @@ def kll_sketches(df: DataFrame, cols: Sequence[str], k: int = 800) -> DataFrame:
     return wide.select(F.explode(F.array(*structs)).alias("s")).select("s.*")
 
 
-def kll_drift(base: DataFrame, cur: DataFrame, n_probes: int = 128) -> DataFrame:
+def kll_drift(
+    base: DataFrame,
+    cur: DataFrame,
+    n_probes: int = 128,
+    chunk_cols: int = 64,
+) -> DataFrame:
     """KS drift from two persisted kll_sketches tables: probe values
     are the merged sketch's quantiles at i/(n_probes+1), and
     ks = max_i |rank_base(probe_i) − rank_cur(probe_i)|. Error is
@@ -277,7 +291,14 @@ def kll_drift(base: DataFrame, cur: DataFrame, n_probes: int = 128) -> DataFrame
     table is O(columns) kilobytes — driver-side by design, like every
     snapshot-state read-out); phase 2 evaluates all rank gaps
     JVM-side with the probes inlined as literals. Raw data is never
-    touched. Returns (column_name, ks, n_base, n_cur)."""
+    touched. Returns (column_name, ks, n_base, n_cur).
+
+    Wide-schema guard: the inlined literals are chunked `chunk_cols`
+    columns per plan branch (branches unioned) — a single when-chain
+    over O(5k) columns x O(100) probes would build a million-node
+    expression tree and stall codegen/analysis, while each chunked
+    branch stays bounded no matter how wide the table is. Each branch
+    filters to its own columns, so no row is evaluated twice."""
     b = base.select(
         "column_name", F.col("n").alias("n_base"), F.col("kll").alias("_kb")
     )
@@ -298,20 +319,39 @@ def kll_drift(base: DataFrame, cur: DataFrame, n_probes: int = 128) -> DataFrame
         ).alias("_probes"),
     ).collect()
     per_col = {r.column_name: r._probes for r in probe_rows}
-    ks = F.lit(None).cast("double")
-    for col_name, probes in per_col.items():
-        # dedup probes (repeated quantiles at heavy ties) to shrink
-        # the expression; order is irrelevant under max()
-        gaps = [
-            F.abs(
-                F.kll_sketch_get_rank_double("_kb", F.lit(float(v)))
-                - F.kll_sketch_get_rank_double("_kc", F.lit(float(v)))
+    col_names = sorted(per_col)
+    parts: list[DataFrame] = []
+    for lo in range(0, len(col_names), max(1, chunk_cols)):
+        chunk = col_names[lo : lo + chunk_cols]
+        ks = F.lit(None).cast("double")
+        for col_name in chunk:
+            # dedup probes (repeated quantiles at heavy ties) to shrink
+            # the expression; order is irrelevant under max()
+            gaps = [
+                F.abs(
+                    F.kll_sketch_get_rank_double("_kb", F.lit(float(v)))
+                    - F.kll_sketch_get_rank_double("_kc", F.lit(float(v)))
+                )
+                for v in sorted(set(per_col[col_name]))
+            ]
+            col_ks = gaps[0] if len(gaps) == 1 else F.greatest(*gaps)
+            ks = F.when(F.col("column_name") == col_name, col_ks).otherwise(ks)
+        parts.append(
+            j.filter(F.col("column_name").isin(chunk)).select(
+                "column_name", ks.alias("ks"), "n_base", "n_cur"
             )
-            for v in sorted(set(probes))
-        ]
-        col_ks = gaps[0] if len(gaps) == 1 else F.greatest(*gaps)
-        ks = F.when(F.col("column_name") == col_name, col_ks).otherwise(ks)
-    return j.select("column_name", ks.alias("ks"), "n_base", "n_cur")
+        )
+    if not parts:
+        return j.select(
+            "column_name",
+            F.lit(None).cast("double").alias("ks"),
+            "n_base",
+            "n_cur",
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def bucketize(spec: ColumnSpec) -> Column:

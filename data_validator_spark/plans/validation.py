@@ -61,6 +61,18 @@ class ValidationConfig:
     quality_min_effective_bits: int | None = None
     snr_min_db: float = 30.0
     decode_partitions: int | None = None  # repartition before decode stage
+    # co-batch the decode stage by this LOW-CARDINALITY key (e.g.
+    # "codec": same-codec Arrow batches keep the decode branch
+    # predictable) instead of the uniform (clip_id, order_col) hash.
+    # Only consulted when decode_partitions is set. A hot key value
+    # (one codec owning most of the corpus — the north star's skewed
+    # codec/sr_hz case) would turn this into a straggler, so the plan
+    # consults skew.skew_report first and salts the repartition ONLY
+    # when the advisory fires (auto_salt_decode below).
+    decode_partition_key: str | None = None
+    auto_salt_decode: bool = True
+    salt_imbalance_max: float = 10.0  # advisory threshold (max/mean)
+    decode_salt_n: int = 16
     # persist the post-audio row set (bytes already dropped) so the
     # fan-out actions (verdict rollup, violation write, stats) do not
     # re-run the decode stage once per action. Never caches `bytes`.
@@ -201,9 +213,41 @@ def run_validation(
             # optional: decouple decode parallelism from file layout
             # (shuffles the projected payload — only worth it when file
             # splits are pathologically few/skewed)
-            audio_in = audio_in.repartition(
-                cfg.decode_partitions, "clip_id", cfg.order_col
-            )
+            if cfg.decode_partition_key:
+                # co-batched decode keyed on a low-cardinality column;
+                # the skew advisory (operators/skew.skew_report — one
+                # bytes-free hash aggregate, one driver-side row)
+                # decides whether the hot-key salt is NEEDED, so the
+                # uniform case pays no salt and the Zipf case never
+                # stragglers
+                from data_validator_spark.operators import skew as _skew
+
+                key = cfg.decode_partition_key
+                do_salt = False
+                if cfg.auto_salt_decode:
+                    rep = _skew.skew_report(
+                        clips.select(key),
+                        key,
+                        imbalance_max=cfg.salt_imbalance_max,
+                    ).collect()[0]
+                    do_salt = bool(rep["salt_recommended"])
+                if do_salt:
+                    audio_in = _skew.add_salt(
+                        audio_in,
+                        ["clip_id", cfg.order_col],
+                        cfg.decode_salt_n,
+                    )
+                    audio_in = audio_in.repartition(
+                        cfg.decode_partitions, key, "_salt"
+                    ).drop("_salt")
+                else:
+                    audio_in = audio_in.repartition(
+                        cfg.decode_partitions, key
+                    )
+            else:
+                audio_in = audio_in.repartition(
+                    cfg.decode_partitions, "clip_id", cfg.order_col
+                )
         audio_res = run_audio_checks(
             audio_in,
             snr_min=cfg.snr_min_db,
