@@ -44,23 +44,39 @@ def ewma_chart(
     alpha: float = 0.2,
     n_sigma: float = 3.0,
     lookback: int = 64,
+    limits_from_history: bool = False,
 ) -> DataFrame:
     """-> input columns + (t, ewma, mu, sigma, ucl, lcl,
     out_of_control). NULL values are excluded up front; a series with
     zero variance never flags (its envelope is degenerate and every
-    point sits on it)."""
+    point sits on it).
+
+    limits_from_history=True switches to phase-II charting: each
+    point's mu/sigma come from STRICTLY EARLIER points only. The
+    default whole-series limits are right for retrospective audits,
+    but for live monitoring they let a large regression inflate its
+    own sigma enough to hide inside the widened envelope (a single
+    end-of-series spike R against near-zero history yields
+    sigma ~ 0.3R — the flag margin collapses to an ulp). With
+    history-only limits the spike is judged against the clean
+    baseline's tight envelope. The first point of a series has no
+    history (null sigma) and never flags."""
     a = float(alpha)
     d = df.filter(F.col(value_col).isNotNull())
     w = Window.partitionBy(series_col).orderBy(F.col(order_col).asc())
     w_arr = w.rowsBetween(-lookback, 0)
-    w_all = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    w_limits = (
+        w.rowsBetween(Window.unboundedPreceding, -1)
+        if limits_from_history
+        else w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
     x = F.col(value_col).cast("double")
     with_arr = d.withColumns(
         {
             "t": F.row_number().over(w) - 1,
             "_arr": F.collect_list(x).over(w_arr),
-            "mu": F.avg(x).over(w_all),
-            "sigma": F.stddev_samp(x).over(w_all),
+            "mu": F.avg(x).over(w_limits),
+            "sigma": F.stddev_samp(x).over(w_limits),
         }
     )
     m = F.size("_arr")
@@ -92,14 +108,21 @@ def ewma_chart(
         .withColumn("lcl", F.col("mu") - half_width)
         .withColumn(
             "out_of_control",
-            # sigma > 0 guard: a zero-variance series has a zero-width
-            # envelope, and the truncated-convolution ewma can miss mu
-            # by an ulp — never flag a series that never varied.
+            # zero-variance handling: the envelope is zero-width and
+            # the truncated-convolution ewma can miss mu by an ulp, so
+            # a constant series never flags — but a point that TRULY
+            # departs from a zero-variance baseline (ewma beyond a
+            # relative-epsilon band around mu) is the strongest
+            # possible signal and must flag (phase-II watch: a clean
+            # history can legitimately be exactly constant).
             F.coalesce(
-                (F.col("sigma") > 0)
-                & (
+                F.when(
+                    F.col("sigma") > 0,
                     (F.col("ewma") > F.col("ucl"))
-                    | (F.col("ewma") < F.col("lcl"))
+                    | (F.col("ewma") < F.col("lcl")),
+                ).otherwise(
+                    F.abs(F.col("ewma") - F.col("mu"))
+                    > F.lit(1e-9) + F.lit(1e-9) * F.abs(F.col("mu"))
                 ),
                 F.lit(False),
             ),
@@ -113,6 +136,7 @@ def manifest_monitor(
     alpha: float = 0.2,
     n_sigma: float = 3.0,
     lookback: int = 64,
+    limits_from_history: bool = False,
 ) -> DataFrame:
     """EWMA control charts over the engine's OWN checkpoint metrics:
     the manifest (plans/manifest.py) already persists per-partition
@@ -151,4 +175,5 @@ def manifest_monitor(
         alpha=alpha,
         n_sigma=n_sigma,
         lookback=lookback,
+        limits_from_history=limits_from_history,
     )

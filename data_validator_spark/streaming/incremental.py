@@ -142,6 +142,11 @@ def run_incremental(
     cfg: ValidationConfig = ValidationConfig(),
     on_batch: Callable[[DataFrame, int], None] | None = None,
     dedup_flags: bool = False,
+    quality_watch: bool = False,
+    watch_cols: tuple[str, ...] = ("dur_ms",),
+    baseline_sketches: DataFrame | None = None,
+    watch_n_sigma: float = 3.0,
+    watch_alpha: float = 0.2,
 ) -> StreamingQuery:
     """One incremental validation pass: process every not-yet-seen file
     under `input_path`, run the FULL pipeline (incl. audio decode +
@@ -175,8 +180,76 @@ def run_incremental(
     an ids-only merge, the payload never enters the state operator.
     The return value is then a QueryGroup (same awaitTermination /
     stop surface).
+
+    quality_watch=True composes the two standalone monitors into the
+    SAME invocation (no second pass over the data):
+
+      * per batch, one t-digest partial-sketch row per watch_col
+        appends under `watch/partials/batch_id=N` (the
+        sketch_monitor recipe, but overwrite-per-batch so crash
+        replays converge like the main outputs), and one metrics row
+        (batch_id as the series position, row/violation counts)
+        under `watch/metrics/batch_id=N`;
+      * each batch then evaluates the watch: EWMA control charts over
+        the accumulated metrics series (operators/control.
+        manifest_monitor — a regression planted in batch N is flagged
+        out_of_control BY batch N's own monitor output) written to
+        `watch/alerts/batch_id=N`, plus — when baseline_sketches is
+        given — KS/PSI sketch drift of the running merged snapshot vs
+        the baseline to `watch/drift/batch_id=N`. Raw history is
+        never re-scanned: the state read back is O(columns + batches)
+        sketch/metric rows.
     """
     stream = clips_stream(spark, input_path)
+
+    def _watch(res, batch_id: int) -> None:
+        from data_validator_spark.operators.control import manifest_monitor
+        from data_validator_spark.operators.drift import sketch_drift
+        from data_validator_spark.operators.tdigest import (
+            merge_sketch_table,
+            tdigest_profile,
+        )
+
+        valid_side = res.validated
+        tdigest_profile(valid_side, list(watch_cols)).withColumn(
+            "batch_id", F.lit(int(batch_id)).cast("long")
+        ).coalesce(1).write.mode("overwrite").parquet(
+            f"{output_dir}/watch/partials/batch_id={batch_id}"
+        )
+        res.partition_verdicts.agg(
+            F.sum("n_rows").cast("long").alias("n_rows"),
+            F.sum("n_soft_invalid").cast("long").alias("n_soft_invalid"),
+            F.sum("n_hard_invalid").cast("long").alias("n_hard_invalid"),
+            F.sum("n_warnings").cast("long").alias("n_warnings"),
+        ).select(
+            F.lit(int(batch_id)).cast("long").alias("partition_value"),
+            "n_rows",
+            "n_soft_invalid",
+            "n_hard_invalid",
+            "n_warnings",
+        ).coalesce(1).write.mode("overwrite").parquet(
+            f"{output_dir}/watch/metrics/batch_id={batch_id}"
+        )
+        metrics = spark.read.parquet(f"{output_dir}/watch/metrics").drop(
+            "batch_id"
+        )
+        manifest_monitor(
+            metrics,
+            alpha=watch_alpha,
+            n_sigma=watch_n_sigma,
+            limits_from_history=True,
+        ).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{output_dir}/watch/alerts/batch_id={batch_id}")
+        if baseline_sketches is not None:
+            merged = merge_sketch_table(
+                spark.read.parquet(f"{output_dir}/watch/partials").drop(
+                    "batch_id"
+                )
+            )
+            sketch_drift(baseline_sketches, merged).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(f"{output_dir}/watch/drift/batch_id={batch_id}")
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         res = run_validation(batch_df, transcripts_ref, cfg=cfg)
@@ -189,6 +262,8 @@ def run_incremental(
         res.partition_verdicts.coalesce(1).write.mode("overwrite").parquet(
             f"{output_dir}/verdicts/batch_id={batch_id}"
         )
+        if quality_watch:
+            _watch(res, batch_id)
         if on_batch is not None:
             on_batch(batch_df, batch_id)
 

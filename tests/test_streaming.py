@@ -198,3 +198,73 @@ def test_windowed_verdicts_with_watermark(spark, stream_dirs, tmp_path):
     # open window stays in state — so strictly fewer rows than windows
     assert len(rows) >= 1
     assert all(r.n_rows > 0 for r in rows)
+
+
+def test_quality_watch_flags_planted_regression(spark, tmp_path):
+    """Composed quality-watch loop (verdict task 6): ten clean waves
+    establish the control baseline; wave 11 plants a duration-rule
+    regression (p_dur_low jumps 0.01 -> 0.45). That batch's OWN
+    monitor output must flag soft_invalid_rate out_of_control, AND the
+    sketch-drift branch must fail dur_ms against the clean baseline —
+    two independent alarms from persisted state alone."""
+    from data_validator_spark.operators.tdigest import tdigest_profile
+    from data_validator_spark.plans import ValidationConfig
+    from data_validator_spark.streaming import run_incremental
+
+    in_dir = str(tmp_path / "landing")
+    out_dir = str(tmp_path / "out")
+    vcfg = ValidationConfig(check_audio=False)
+
+    def wave(i, cfg):
+        generate_clips(spark, cfg).write.mode("overwrite").parquet(
+            f"{in_dir}/wave={i}"
+        )
+
+    clean_cfg = dict(n_rows=150, n_partitions=1)
+    baseline_df = generate_clips(spark, ClipsConfig(seed=999, **clean_cfg))
+    baseline = tdigest_profile(baseline_df, ["dur_ms"]).cache()
+    baseline.count()
+
+    n_waves = 6
+    for i in range(n_waves):
+        wave(i, ClipsConfig(seed=100 + i, **clean_cfg))
+        q = run_incremental(
+            spark, in_dir, out_dir, cfg=vcfg,
+            quality_watch=True, baseline_sketches=baseline,
+        )
+        q.awaitTermination(300)
+
+    # clean batches: the last clean batch's monitor must be quiet on
+    # the rate series and its drift verdict must pass for dur_ms
+    alerts = spark.read.parquet(f"{out_dir}/watch/alerts/batch_id={n_waves - 1}")
+    quiet = alerts.filter(
+        (F.col("metric") == "soft_invalid_rate") & F.col("out_of_control")
+    )
+    assert quiet.count() == 0
+    drift = spark.read.parquet(f"{out_dir}/watch/drift/batch_id={n_waves - 1}")
+    assert drift.filter(F.col("column_name") == "dur_ms").count() == 1
+
+    # planted regression wave: dur bounds rule trips on ~60% of rows
+    wave(n_waves, ClipsConfig(
+        seed=4242, p_dur_low=0.45, p_dur_high=0.15, **clean_cfg
+    ))
+    q = run_incremental(
+        spark, in_dir, out_dir, cfg=vcfg,
+        quality_watch=True, baseline_sketches=baseline,
+    )
+    q.awaitTermination(300)
+
+    alerts = spark.read.parquet(f"{out_dir}/watch/alerts/batch_id={n_waves}")
+    flagged = alerts.filter(
+        (F.col("metric") == "soft_invalid_rate")
+        & (F.col("partition_value") == n_waves)
+        & F.col("out_of_control")
+    )
+    assert flagged.count() == 1, alerts.orderBy(
+        "metric", "partition_value"
+    ).collect()
+    # the planted batch shifts dur_ms mass below 100ms -> KS drift
+    drift = spark.read.parquet(f"{out_dir}/watch/drift/batch_id={n_waves}")
+    d = {r["column_name"]: r for r in drift.collect()}
+    assert d["dur_ms"]["ks"] > 0.02
+    baseline.unpersist()
