@@ -47,24 +47,32 @@ _RESULT_SCHEMA = T.StructType(
 )
 
 
-def make_audio_check_udf(plugins: dict | None = None):
+def make_audio_check_udf(
+    plugins: dict | None = None, inspectors: dict | None = None
+):
     """Build the decode-check pandas UDF, optionally closing over
-    `plugins` (codec -> decode callable): the dict rides the UDF
-    closure to every python worker — the same serialization path as
-    all user code — so native decoders (libopus/libflac) plug in
-    per-call with zero engine edits and no worker-side imports."""
+    `plugins` (codec -> decode callable) and `inspectors` (codec ->
+    metadata-inspect callable): the dicts ride the UDF closure to
+    every python worker — the same serialization path as all user
+    code — so native decoders (libopus/libflac) and container
+    inspectors plug in per-call with zero engine edits and no
+    worker-side imports."""
 
     @pandas_udf(_RESULT_SCHEMA)
     def _audio_check_udf(
         it: Iterator[pd.DataFrame],
     ) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            yield _check_batch(pdf, plugins)
+            yield _check_batch(pdf, plugins, inspectors)
 
     return _audio_check_udf
 
 
-def _check_batch(pdf: pd.DataFrame, plugins: dict | None) -> pd.DataFrame:
+def _check_batch(
+    pdf: pd.DataFrame,
+    plugins: dict | None,
+    inspectors: dict | None = None,
+) -> pd.DataFrame:
     """Batch body of the decode-check UDF: struct(clip_id, codec,
     sr_hz, bytes, skip) batch -> (decode_error, snr_db, container_sr,
     n_samples, pcm_unsupported).
@@ -100,7 +108,9 @@ def _check_batch(pdf: pd.DataFrame, plugins: dict | None) -> pd.DataFrame:
         try:
             pcm, sr = codecs.decode(codecs_col[i], payload, plugins=plugins)
         except codecs.PcmUnsupportedError:
-            meta = codecs.inspect_metadata(codecs_col[i], payload)
+            meta = codecs.inspect_metadata(
+                codecs_col[i], payload, inspectors=inspectors
+            )
             if meta is None:
                 err[i] = "pcm decode unsupported, no metadata tier"
             elif meta["error"] is not None:
@@ -149,6 +159,7 @@ def run_audio_checks(
     upsample_min_ratio: float | None = None,
     min_effective_bits: int | None = None,
     decoder_plugins: dict | None = None,
+    inspector_plugins: dict | None = None,
 ) -> DataFrame:
     """Append audio-check outcome columns:
 
@@ -182,14 +193,14 @@ def run_audio_checks(
         from data_validator_spark.audio import quality as _q
 
         udf = (
-            _q.make_audio_quality_udf(decoder_plugins)
-            if decoder_plugins
+            _q.make_audio_quality_udf(decoder_plugins, inspector_plugins)
+            if decoder_plugins or inspector_plugins
             else _q.audio_quality_udf
         )
     else:
         udf = (
-            make_audio_check_udf(decoder_plugins)
-            if decoder_plugins
+            make_audio_check_udf(decoder_plugins, inspector_plugins)
+            if decoder_plugins or inspector_plugins
             else audio_check_udf
         )
     res = udf(

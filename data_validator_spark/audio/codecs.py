@@ -429,13 +429,25 @@ def register_metadata_inspector(codec: str, inspector) -> None:
     _METADATA_INSPECTORS[codec] = inspector
 
 
-def inspect_metadata(codec: str, payload: bytes) -> dict | None:
+def inspect_metadata(
+    codec: str, payload: bytes, inspectors: dict | None = None
+) -> dict | None:
     """Metadata-tier inspection for codecs without PCM decode; None
-    when the codec has no registered inspector."""
-    ins = _METADATA_INSPECTORS.get(codec)
+    when the codec has no registered inspector.
+
+    `inspectors` (codec -> inspect callable) takes precedence over the
+    module registry — the closure-shipped per-call plug-in path, the
+    inspector analogue of `decode(plugins=...)` (module-registry
+    registration happens on the driver; spark python workers import
+    this module fresh, so per-call plug-ins must ride the UDF
+    closure or $DVS_AUDIO_PLUGINS)."""
+    ins = (inspectors or {}).get(codec) or _METADATA_INSPECTORS.get(codec)
     if ins is None:
         return None
-    return ins(payload)
+    try:
+        return ins(payload)
+    except Exception as e:  # plugin isolation, same contract as decode()
+        return {"error": f"{codec}: {e}"}
 
 
 def encode(codec: str, pcm: np.ndarray, sr_hz: int) -> bytes:
@@ -458,7 +470,14 @@ def decode(
     dec = (plugins or {}).get(codec) or _DECODERS.get(codec)
     if dec is None:
         raise CodecError(f"unknown codec {codec!r}")
-    return dec(bytes(payload))
+    try:
+        return dec(bytes(payload))
+    except CodecError:
+        raise
+    except Exception as e:  # plugin isolation: native bindings raise
+        # arbitrary exception types; one bad payload must become a
+        # decode_error ROW, never a task crash that kills the batch
+        raise CodecError(f"{codec}: {e}") from e
 
 
 def snr_db(reference: np.ndarray, decoded: np.ndarray) -> float:

@@ -152,22 +152,29 @@ def analyze_pcm(pcm: np.ndarray, sr_hz: int) -> dict[str, float]:
     }
 
 
-def make_audio_quality_udf(plugins: dict | None = None):
+def make_audio_quality_udf(
+    plugins: dict | None = None, inspectors: dict | None = None
+):
     """Build the fused quality UDF, optionally closing over `plugins`
-    (codec -> decode callable) — mirrors checks.make_audio_check_udf:
-    the dict rides the UDF closure to every python worker."""
+    (codec -> decode callable) and `inspectors` (codec -> metadata
+    inspect callable) — mirrors checks.make_audio_check_udf: the
+    dicts ride the UDF closure to every python worker."""
 
     @pandas_udf(_RESULT_SCHEMA)
     def _audio_quality_udf(
         it: Iterator[pd.DataFrame],
     ) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            yield _quality_batch(pdf, plugins)
+            yield _quality_batch(pdf, plugins, inspectors)
 
     return _audio_quality_udf
 
 
-def _quality_batch(pdf: pd.DataFrame, plugins: dict | None) -> pd.DataFrame:
+def _quality_batch(
+    pdf: pd.DataFrame,
+    plugins: dict | None,
+    inspectors: dict | None = None,
+) -> pd.DataFrame:
     """struct(clip_id, codec, sr_hz, bytes, skip) batch ->
     decode outcome + SNR invariant + quality features, ONE decode per
     row (the fused path: a pipeline running both the per-row invariant
@@ -196,7 +203,9 @@ def _quality_batch(pdf: pd.DataFrame, plugins: dict | None) -> pd.DataFrame:
             pcm, sr = codecs.decode(codec_col[i], payloads[i], plugins=plugins)
         except codecs.PcmUnsupportedError:
             # metadata tier: real container checks, no PCM features
-            meta = codecs.inspect_metadata(codec_col[i], payloads[i])
+            meta = codecs.inspect_metadata(
+                codec_col[i], payloads[i], inspectors=inspectors
+            )
             if meta is None:
                 out["decode_error"][i] = (
                     "pcm decode unsupported, no metadata tier"
