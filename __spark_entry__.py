@@ -4043,6 +4043,90 @@ def q116_opus_metadata(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q117_transcript_wer(spark: SparkSession, sf: str) -> DataFrame:
+    """Word-level WER (operators/transcripts.word_error_rate — exact
+    per-row word->char mapping, Levenshtein DP JVM-side): documents'
+    first 8 words as the reference transcript, five planted
+    hypothesis classes with ANALYTICALLY-FORCED word distances —
+    exact (0), sub_first (1), del_last (1), ins_tail (1), and
+    empty (8 -> WER 1.0). Distances/WER are class constants
+    regardless of text content, so the DuckDB oracle derives the
+    whole result from per-class eligible-doc counts. Exercises the
+    general (vocabulary-free) path end-to-end; the reference's strict
+    transcript-equality invariant is the WER==0 special case."""
+    from data_validator_spark.operators.transcripts import word_error_rate
+
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    toks = F.filter(
+        F.split(F.trim(F.col("text")), r"\s+"), lambda x: x != F.lit("")
+    )
+    d = d.withColumn("_toks", toks).filter(F.size("_toks") >= 8)
+    ref8 = F.slice("_toks", 1, 8)
+    cls = (F.col("doc_id") % 5).cast("int")
+    hyp = (
+        F.when(cls == 0, F.array_join(ref8, " "))
+        .when(
+            cls == 1,
+            F.array_join(
+                F.concat(F.array(F.lit("xxsub9")), F.slice("_toks", 2, 7)),
+                " ",
+            ),
+        )
+        .when(cls == 2, F.array_join(F.slice("_toks", 1, 7), " "))
+        .when(
+            cls == 3,
+            F.array_join(F.concat(ref8, F.array(F.lit("xxins9"))), " "),
+        )
+        .otherwise(F.lit(""))
+    )
+    names = F.array(
+        F.lit("exact"),
+        F.lit("sub_first"),
+        F.lit("del_last"),
+        F.lit("ins_tail"),
+        F.lit("empty"),
+    )
+    pairs = d.select(
+        F.element_at(names, cls + 1).alias("planted"),
+        hyp.alias("hyp"),
+        F.array_join(ref8, " ").alias("ref"),
+    )
+    scored = word_error_rate(pairs, "hyp", "ref")
+    return (
+        scored.groupBy("planted")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("wer_distance").cast("long").alias("sum_distance"),
+            F.round(F.avg("wer"), 6).alias("avg_wer"),
+        )
+        .orderBy("planted")
+    )
+
+
+def q118_pii_scan(spark: SparkSession, sf: str) -> DataFrame:
+    """PII screening (operators/privacy.pii_scan): five PII classes
+    planted deterministically into documents text (doc_id % 6 picks
+    email / SSN / E.164 phone / IPv4 / 16-digit card / clean), then
+    ONE fused aggregate counts hit rows per (column, pii_type). The
+    natural corpus text is digit/@-free, so per-type hit counts equal
+    the planted class counts exactly — the DuckDB oracle replays the
+    same plant + regex (Java-regex/RE2 common subset only)."""
+    from data_validator_spark.operators.privacy import pii_scan
+
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    cls = (F.col("doc_id") % 6).cast("int")
+    plant = (
+        F.when(cls == 0, F.lit(" contact bob.smith+x@example.com"))
+        .when(cls == 1, F.lit(" ssn 123-45-6789"))
+        .when(cls == 2, F.lit(" call +14155550123"))
+        .when(cls == 3, F.lit(" host 192.168.10.42"))
+        .when(cls == 4, F.lit(" card 4111 1111 1111 1111"))
+        .otherwise(F.lit(""))
+    )
+    planted = d.select(F.concat(F.col("text"), plant).alias("text"))
+    return pii_scan(planted, ["text"]).orderBy("pii_type")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -4161,6 +4245,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q114_outlier_rows": q114_outlier_rows,
         "q115_pinned_values": q115_pinned_values,
         "q116_opus_metadata": q116_opus_metadata,
+        "q117_transcript_wer": q117_transcript_wer,
+        "q118_pii_scan": q118_pii_scan,
     }
 
 
@@ -6456,6 +6542,56 @@ _ORACLES: dict[str, str] = {
         ) AS t(planted, n, n_container_rejected, n_pcm_unsupported,
                n_dur_flagged, n_snr_evaluated)
         ORDER BY planted
+    """,
+    "q117_transcript_wer": """
+        WITH el AS (
+          SELECT doc_id % 5 AS cls FROM documents
+          WHERE len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                x -> x <> '')) >= 8
+        ), cnt AS (
+          SELECT cls, count(*)::BIGINT AS n FROM el GROUP BY cls
+        )
+        SELECT c.planted, cnt.n,
+               (cnt.n * c.dist)::BIGINT AS sum_distance,
+               round(c.wer, 6)::DOUBLE AS avg_wer
+        FROM cnt
+        JOIN (VALUES (0, 'exact', 0, 0.0),
+                     (1, 'sub_first', 1, 0.125),
+                     (2, 'del_last', 1, 0.125),
+                     (3, 'ins_tail', 1, 0.125),
+                     (4, 'empty', 8, 1.0))
+             AS c(cls, planted, dist, wer) ON cnt.cls = c.cls
+        ORDER BY c.planted
+    """,
+    "q118_pii_scan": """
+        WITH planted AS (
+          SELECT text || CASE doc_id % 6
+            WHEN 0 THEN ' contact bob.smith+x@example.com'
+            WHEN 1 THEN ' ssn 123-45-6789'
+            WHEN 2 THEN ' call +14155550123'
+            WHEN 3 THEN ' host 192.168.10.42'
+            WHEN 4 THEN ' card 4111 1111 1111 1111'
+            ELSE '' END AS text
+          FROM documents
+        ), pats AS (
+          SELECT * FROM (VALUES
+            ('email', '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'),
+            ('ssn', '\\b\\d{3}-\\d{2}-\\d{4}\\b'),
+            ('phone_e164', '\\+\\d{10,13}\\b'),
+            ('ipv4', '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b'),
+            ('card16', '\\b\\d{4}[ -]\\d{4}[ -]\\d{4}[ -]\\d{4}\\b')
+          ) AS t(pii_type, rx)
+        )
+        SELECT 'text' AS column_name, p.pii_type,
+               (SELECT count(*) FROM planted)::BIGINT AS n_rows,
+               (SELECT count(*) FROM planted d
+                WHERE regexp_matches(d.text, p.rx))::BIGINT AS n_hit_rows,
+               round((SELECT count(*) FROM planted d
+                      WHERE regexp_matches(d.text, p.rx))
+                     / greatest((SELECT count(*) FROM planted), 1),
+                     6) AS hit_rate
+        FROM pats p
+        ORDER BY p.pii_type
     """,
     "q115_pinned_values": """
         WITH vals AS (

@@ -62,6 +62,13 @@ _BENCH_CONF = {
 def build(cores: int):
     from data_validator_spark.session import build_session
 
+    # 24g heap for bench sessions (host has 128 GiB): at the 1M-row
+    # curve point, 32 concurrent dynamic-partition write tasks each
+    # buffer a parquet row group of ~30KB payload rows plus the
+    # partition-sort spill headroom — the session default 8g OOM'd
+    # there. Cluster analogue: size executor memory to concurrent
+    # write tasks x row-group size, not to the input split size.
+    os.environ.setdefault("SPARK_DRIVER_MEM", "24g")
     return build_session(app_name=f"bench_local{cores}", cores=cores,
                          extra_conf=dict(_BENCH_CONF))
 
@@ -264,10 +271,15 @@ def run_curve(args) -> dict:
                 "clips_per_sec_cold": r["clips_per_sec_cold"],
                 "clips_per_sec_warm": r["clips_per_sec_warm"],
             })
+            # checkpoint after every point: a crash at the largest
+            # scale (the likeliest) must not lose the finished rows
+            _write_full_detail({"throughput_curve": curve})
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
-            spark.stop()
-    _write_full_detail({"throughput_curve": curve})
+            try:
+                spark.stop()
+            except Exception:
+                pass  # a dead JVM must not mask the real error
     return {
         "metric": "throughput_curve_rows",
         "value": len(curve),
