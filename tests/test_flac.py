@@ -298,3 +298,29 @@ def test_codecs_dispatch_uses_real_flac():
     assert codecs.snr_db(pcm, out) > 80  # lossless up to 16-bit quantization
     with pytest.raises(codecs.CodecError):
         codecs.decode("flac", payload[:30])
+
+
+def test_lpc_kernel_bit_exact_vs_naive_all_orders():
+    """The order-specialized codegen kernel (_make_lpc_kernel) must be
+    bit-exact against the straightforward indexed recurrence for every
+    legal LPC order (1..32), including the truncating-shift feedback."""
+    import math
+
+    def naive(warm, coefs, shift, res):
+        order = len(coefs)
+        cl = [int(c) for c in coefs]
+        out = [int(v) for v in warm]
+        for rv in res.tolist():
+            acc = sum(cl[j] * out[-1 - j] for j in range(order))
+            out.append(int(rv) + (acc >> shift))
+        return np.asarray(out, dtype=np.int64)
+
+    rng = np.random.default_rng(11)
+    for order in range(1, 33):
+        coefs = rng.integers(-60, 60, order)
+        # contractive filter (sum|c| < 2^shift) so outputs stay bounded
+        shift = max(1, int(math.ceil(math.log2(max(1, np.abs(coefs).sum())))) + 1)
+        warm = rng.integers(-(1 << 15), 1 << 15, order)
+        res = rng.integers(-80, 80, 400)
+        got = flac._restore_lpc(warm, coefs, shift, res)
+        assert np.array_equal(got, naive(warm, coefs, shift, res)), order
