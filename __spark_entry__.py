@@ -4127,6 +4127,192 @@ def q118_pii_scan(spark: SparkSession, sf: str) -> DataFrame:
     return pii_scan(planted, ["text"]).orderBy("pii_type")
 
 
+def q119_loudness(spark: SparkSession, sf: str) -> DataFrame:
+    """BS.1770-4 integrated loudness (audio/loudness.loudness_report)
+    against PLANTED level classes: 240 deterministic clips —
+      nominal  reference recipe x0.5 (measured -13.6..-10.6 LUFS over
+               every sr/seed in the set) -> inside [-30, -6]
+      quiet    x0.004 (-52.7..-55.7 LUFS) -> out_of_range flagged
+      hot      x1.6 hard-clipped (-4.3..-1.1 LUFS) -> flagged
+      silent   digital zero -> every block gates out -> unmeasurable
+    — encoded with the lossless codecs (pcm16/flac alternating) and
+    run through the SHIPPED operator (FFT-domain K-weighting with the
+    EXACT biquad power response, 400ms/75% blocks, -70 abs + -10 rel
+    gating; the 997 Hz / 0 dBFS anchor pins -3.01 LUFS in pytest).
+    Class margins to the [-30, -6] rule bounds are >= 1.7 dB, so the
+    per-class flag counts are config-determined -> literal oracle."""
+    from data_validator_spark.audio.loudness import loudness_report
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        from data_validator_spark.audio import codecs, synth
+
+        classes = ["nominal", "quiet", "hot", "silent"]
+        srs = [16000, 22050, 44100, 48000]
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                planted = classes[i % 4]
+                sr = srs[(i // 4) % 4]
+                dur_ms = 500 + (i * 37) % 800
+                n = int(sr * dur_ms / 1000)
+                cid = f"q119-{i:06d}"
+                pcm = synth.reference_pcm(cid, sr, n)
+                if planted == "nominal":
+                    pcm = pcm * np.float32(0.5)
+                elif planted == "quiet":
+                    pcm = pcm * np.float32(0.004)
+                elif planted == "hot":
+                    pcm = np.clip(pcm * 1.6, -1, 1)
+                else:
+                    pcm = np.zeros(n, np.float32)
+                codec = ["pcm16", "flac"][(i // 2) % 2]
+                payload = codecs.encode(codec, np.clip(pcm, -1, 1), sr)
+                rows.append((cid, codec, sr, payload, planted))
+            yield pd.DataFrame(
+                rows,
+                columns=["clip_id", "codec", "sr_hz", "bytes", "planted"],
+            )
+
+    clips = spark.range(0, 240, numPartitions=8).mapInPandas(
+        gen,
+        "clip_id string, codec string, sr_hz int, bytes binary, "
+        "planted string",
+    )
+    rep = loudness_report(clips, lufs_min=-30.0, lufs_max=-6.0)
+    return (
+        rep.groupBy("planted")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(
+                F.coalesce(
+                    F.col("_loudness_label").startswith(
+                        "audio_loudness_out_of_range"
+                    ),
+                    F.lit(False),
+                ).cast("long")
+            ).alias("n_out_of_range"),
+            F.sum(
+                F.coalesce(
+                    F.col("_loudness_label")
+                    == "audio_loudness_unmeasurable",
+                    F.lit(False),
+                ).cast("long")
+            ).alias("n_unmeasurable"),
+            F.sum(
+                (
+                    F.col("loudness_lufs").isNotNull()
+                    & ~F.isnan(F.col("loudness_lufs"))
+                ).cast("long")
+            ).alias("n_measured"),
+        )
+        .orderBy("planted")
+    )
+
+
+def q120_alignment(spark: SparkSession, sf: str) -> DataFrame:
+    """Reference-alignment diagnostics (audio/align.align_report)
+    against PLANTED time-shift defects: 200 deterministic clips —
+      aligned    payload == reference        -> lag 0, no label
+      head_drop  first 10-59 ms dropped      -> audio_misaligned,
+                 detected lag == planted drop exactly, aligned SNR
+                 recovers (worst 88 dB over the set)
+      lead_in    10-59 ms of zeros prepended -> audio_misaligned with
+                 the negative lag
+      mismatch   different clip's content    -> audio_content_mismatch
+                 (best alignment still < 30 dB)
+    The raw SNR invariant fails for every shifted clip (worst planted
+    raw SNR 12.7 dB < 30) while the FFT cross-correlation pinpoints
+    the shift — the 'WHY did SNR fail' triage row. All outcomes
+    config-determined over the deterministic set -> literal oracle."""
+    from data_validator_spark.audio.align import align_report
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        from data_validator_spark.audio import codecs, synth
+
+        classes = ["aligned", "head_drop", "lead_in", "mismatch"]
+        srs = [8000, 16000, 48000]
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                planted = classes[i % 4]
+                sr = srs[(i // 4) % 3]
+                dur_ms = 300 + (i * 29) % 700
+                n = int(sr * dur_ms / 1000)
+                cid = f"q120-{i:06d}"
+                d = int(sr * (10 + (i * 13) % 50) / 1000)
+                max_lag = int(sr * 0.1)
+                ref = synth.reference_pcm(cid, sr, n + max_lag)
+                if planted == "aligned":
+                    pcm, lag = ref[:n], 0
+                elif planted == "head_drop":
+                    pcm, lag = ref[d : d + n], d
+                elif planted == "lead_in":
+                    pcm = np.concatenate(
+                        [np.zeros(d, np.float32), ref[: n - d]]
+                    )
+                    lag = -d
+                else:
+                    pcm = synth.reference_pcm(cid + "-other", sr, n)
+                    lag = 0  # unused for mismatch
+                codec = ["pcm16", "flac"][(i // 2) % 2]
+                payload = codecs.encode(codec, np.clip(pcm, -1, 1), sr)
+                rows.append((cid, codec, sr, payload, planted, lag))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "clip_id", "codec", "sr_hz", "bytes", "planted",
+                    "planted_lag",
+                ],
+            )
+
+    clips = spark.range(0, 200, numPartitions=8).mapInPandas(
+        gen,
+        "clip_id string, codec string, sr_hz int, bytes binary, "
+        "planted string, planted_lag int",
+    )
+    rep = align_report(clips)
+    lag_ok = F.when(
+        F.col("planted").isin("aligned", "head_drop", "lead_in"),
+        F.col("lag_samples") == F.col("planted_lag"),
+    )
+    return (
+        rep.withColumn("_lag_ok", lag_ok)
+        .groupBy("planted")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(
+                F.coalesce(
+                    F.col("_align_label").startswith("audio_misaligned"),
+                    F.lit(False),
+                ).cast("long")
+            ).alias("n_misaligned"),
+            F.sum(
+                F.coalesce(
+                    F.col("_align_label").startswith(
+                        "audio_content_mismatch"
+                    ),
+                    F.lit(False),
+                ).cast("long")
+            ).alias("n_mismatch"),
+            F.sum((F.col("raw_snr_db") < 30.0).cast("long")).alias(
+                "n_raw_fail"
+            ),
+            F.min(F.coalesce(F.col("_lag_ok"), F.lit(True))).alias(
+                "all_lags_exact"
+            ),
+        )
+        .orderBy("planted")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -4247,6 +4433,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q116_opus_metadata": q116_opus_metadata,
         "q117_transcript_wer": q117_transcript_wer,
         "q118_pii_scan": q118_pii_scan,
+        "q119_loudness": q119_loudness,
+        "q120_alignment": q120_alignment,
     }
 
 
@@ -6592,6 +6780,29 @@ _ORACLES: dict[str, str] = {
                      6) AS hit_rate
         FROM pats p
         ORDER BY p.pii_type
+    """,
+    # Config-determined planted-class outcomes (q65/q116 pattern): the
+    # Spark side measures real decoded audio; every class sits >=1.7dB
+    # from the rule bounds over the whole deterministic set, so the
+    # aggregate is a literal truth table.
+    "q119_loudness": """
+        SELECT * FROM (VALUES
+          ('hot',     60::BIGINT, 60::BIGINT, 0::BIGINT,  60::BIGINT),
+          ('nominal', 60::BIGINT, 0::BIGINT,  0::BIGINT,  60::BIGINT),
+          ('quiet',   60::BIGINT, 60::BIGINT, 0::BIGINT,  60::BIGINT),
+          ('silent',  60::BIGINT, 0::BIGINT,  60::BIGINT, 0::BIGINT)
+        ) AS t(planted, n, n_out_of_range, n_unmeasurable, n_measured)
+        ORDER BY planted
+    """,
+    "q120_alignment": """
+        SELECT * FROM (VALUES
+          ('aligned',   50::BIGINT, 0::BIGINT,  0::BIGINT,  0::BIGINT,  true),
+          ('head_drop', 50::BIGINT, 50::BIGINT, 0::BIGINT,  50::BIGINT, true),
+          ('lead_in',   50::BIGINT, 50::BIGINT, 0::BIGINT,  50::BIGINT, true),
+          ('mismatch',  50::BIGINT, 0::BIGINT,  50::BIGINT, 50::BIGINT, true)
+        ) AS t(planted, n, n_misaligned, n_mismatch, n_raw_fail,
+               all_lags_exact)
+        ORDER BY planted
     """,
     "q115_pinned_values": """
         WITH vals AS (
