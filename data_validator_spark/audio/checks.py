@@ -158,6 +158,8 @@ def run_audio_checks(
     silence_max: float | None = None,
     upsample_min_ratio: float | None = None,
     min_effective_bits: int | None = None,
+    lufs_min: float | None = None,
+    lufs_max: float | None = None,
     decoder_plugins: dict | None = None,
     inspector_plugins: dict | None = None,
 ) -> DataFrame:
@@ -235,6 +237,8 @@ def run_audio_checks(
                 silence_max if silence_max is not None else SILENCE_MAX_RATIO,
                 upsample_min_ratio=upsample_min_ratio,
                 min_effective_bits=min_effective_bits,
+                lufs_min=lufs_min,
+                lufs_max=lufs_max,
             ),
         )
     # per-codec threshold override: the audio analogue of the

@@ -64,6 +64,9 @@ _FEATURE_FIELDS = [
     ("spectral_flatness", T.DoubleType()),
     ("bandwidth_hz", T.DoubleType()),
     ("effective_bits", T.DoubleType()),
+    # BS.1770-4 K-weighted integrated loudness (audio/loudness.py);
+    # NaN for clips shorter than one 400 ms block or fully gated out
+    ("loudness_lufs", T.DoubleType()),
 ]
 
 _RESULT_SCHEMA = T.StructType(
@@ -140,6 +143,9 @@ def analyze_pcm(pcm: np.ndarray, sr_hz: int) -> dict[str, float]:
             bw = 0.0
     else:
         dom, flatness, bw = 0.0, 1.0, 0.0
+    from data_validator_spark.audio.loudness import integrated_lufs
+
+    lufs = integrated_lufs(x, sr_hz)[0]
     return {
         "clipping_ratio": clipping,
         "dc_offset": dc,
@@ -149,6 +155,7 @@ def analyze_pcm(pcm: np.ndarray, sr_hz: int) -> dict[str, float]:
         "spectral_flatness": flatness,
         "bandwidth_hz": float(bw),
         "effective_bits": float(eff_bits),
+        "loudness_lufs": float(lufs),
     }
 
 
@@ -246,6 +253,8 @@ def quality_labels_expr(
     silence_max: float = SILENCE_MAX_RATIO,
     upsample_min_ratio: float | None = None,
     min_effective_bits: int | None = None,
+    lufs_min: float | None = None,
+    lufs_max: float | None = None,
 ) -> Column:
     """';'-joined soft-tier quality labels (NULL when clean) over the
     named decode-result struct column — the same value-echoing shape
@@ -300,9 +309,31 @@ def quality_labels_expr(
         if min_effective_bits is not None
         else F.lit(None).cast("string")
     )
+    # loudness bounds are opt-in like the other policies: the target
+    # window is a corpus-normalization choice (speech ~-16..-23 LUFS),
+    # not a universal constant. Unmeasurable clips (NaN/NULL: shorter
+    # than one 400 ms block, or fully gated silence) are NOT flagged
+    # here — the silence rule owns that defect class.
+    lufs = s.getField("loudness_lufs")
+    loud_rule = (
+        F.when(
+            decoded
+            & lufs.isNotNull()
+            & ~F.isnan(lufs)
+            & ((lufs < F.lit(lufs_min)) | (lufs > F.lit(lufs_max))),
+            F.concat(
+                F.lit("audio_loudness_out_of_range("),
+                F.round(lufs, 1).cast("string"),
+                F.lit(")"),
+            ),
+        )
+        if lufs_min is not None and lufs_max is not None
+        else F.lit(None).cast("string")
+    )
     labels = F.array(
         upsample,
         low_depth,
+        loud_rule,
         F.when(
             decoded & (s.getField("clipping_ratio") > clipping_max),
             F.concat(
@@ -340,6 +371,8 @@ def run_quality_checks(
     silence_max: float = SILENCE_MAX_RATIO,
     upsample_min_ratio: float | None = None,
     min_effective_bits: int | None = None,
+    lufs_min: float | None = None,
+    lufs_max: float | None = None,
 ) -> DataFrame:
     """Append quality feature columns + soft-tier labels. Input needs
     (clip_id, codec, sr_hz, bytes); output adds every feature column
@@ -357,4 +390,6 @@ def run_quality_checks(
         silence_max=silence_max,
         upsample_min_ratio=upsample_min_ratio,
         min_effective_bits=min_effective_bits,
+        lufs_min=lufs_min,
+        lufs_max=lufs_max,
     )

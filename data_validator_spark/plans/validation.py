@@ -59,6 +59,11 @@ class ValidationConfig:
     # both are dataset policies, not universal thresholds).
     quality_upsample_min_ratio: float | None = None
     quality_min_effective_bits: int | None = None
+    # integrated-loudness window (BS.1770 LUFS, audio/loudness.py via
+    # the fused quality pass); both set -> out-of-window clips get the
+    # audio_loudness_out_of_range soft label. None disables (default).
+    quality_lufs_min: float | None = None
+    quality_lufs_max: float | None = None
     snr_min_db: float = 30.0
     decode_partitions: int | None = None  # repartition before decode stage
     # co-batch the decode stage by this LOW-CARDINALITY key (e.g.
@@ -255,6 +260,8 @@ def run_validation(
             quality=cfg.check_quality,
             upsample_min_ratio=cfg.quality_upsample_min_ratio,
             min_effective_bits=cfg.quality_min_effective_bits,
+            lufs_min=cfg.quality_lufs_min,
+            lufs_max=cfg.quality_lufs_max,
         ).drop("codec", "sr_hz", "bytes")
         if cfg.persist:
             audio_res = audio_res.persist()

@@ -170,3 +170,36 @@ def test_quality_policy_knobs_flow_through_plan(spark, clips, transcripts_ref):
     assert n_upsampled > 0
     assert "bandwidth_hz" in res2.validated.columns
     assert "effective_bits" in res2.validated.columns
+
+
+def test_loudness_window_knob_flows_through_plan(spark, clips, transcripts_ref):
+    """quality_lufs_min/max gate the BS.1770 loudness computed in the
+    SAME fused decode pass: default off (no labels), and an absurdly
+    tight window flags every measurable clip while sub-400ms /
+    silent clips (loudness NaN) are never flagged by this rule."""
+    res = run_validation(
+        clips, transcripts_ref, cfg=ValidationConfig(check_quality=True)
+    )
+    assert "loudness_lufs" in res.validated.columns
+    assert (
+        res.validated.filter(
+            F.col("validation_msg_clip").contains(
+                "audio_loudness_out_of_range"
+            )
+        ).count()
+        == 0
+    )
+    res2 = run_validation(
+        clips,
+        transcripts_ref,
+        cfg=ValidationConfig(
+            check_quality=True, quality_lufs_min=-0.5, quality_lufs_max=0.0
+        ),
+    )
+    flagged = res2.validated.filter(
+        F.col("validation_msg_clip").contains("audio_loudness_out_of_range(")
+    ).count()
+    measurable = res2.validated.filter(
+        F.col("loudness_lufs").isNotNull() & ~F.isnan("loudness_lufs")
+    ).count()
+    assert 0 < flagged <= measurable
