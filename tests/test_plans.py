@@ -226,3 +226,24 @@ def test_auto_salt_decode_fires_only_on_hot_key(spark):
     a = sorted(r["clip_id"] for r in res_hot.validated.collect())
     b = sorted(r["clip_id"] for r in res_hot_nosalt.validated.collect())
     assert a == b
+
+
+def test_loudness_and_align_payload_never_shuffled(spark, clips):
+    """The loudness/alignment report operators read `bytes` in the
+    scan feeding their pandas UDF but must never put the payload into
+    an Exchange — even when the caller aggregates downstream."""
+    from data_validator_spark.audio.align import align_report
+    from data_validator_spark.audio.loudness import loudness_report
+
+    for op, out_col in (
+        (loudness_report, "loudness_lufs"),
+        (align_report, "aligned_snr_db"),
+    ):
+        # aggregate CONSUMES the UDF output, so the decode stage must
+        # survive column pruning (a groupBy on an input column alone
+        # lets Catalyst prune the UDF away entirely — also correct)
+        df = op(clips).groupBy("codec").agg(F.avg(out_col))
+        for keys, cols in _exchanges(df):
+            assert "bytes" not in cols, (op.__name__, keys, cols)
+        scans = _scans(_plan(df))
+        assert any("bytes" in s for s in scans), (op.__name__, scans)
