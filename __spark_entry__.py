@@ -4313,6 +4313,47 @@ def q120_alignment(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q121_decontamination(spark: SparkSession, sf: str) -> DataFrame:
+    """Benchmark decontamination (operators/decontaminate.py): a
+    5-sentence 'benchmark set' is planted verbatim into documents
+    where doc_id % 7 == 0 (appended, so the doc also keeps natural
+    text), then contamination_report screens every document by
+    distinct 5-gram containment against the broadcast benchmark
+    hash set. The DuckDB oracle replays the ENTIRE algorithm —
+    normalization, 5-gram construction, md5 hashing, semi-join,
+    per-doc ratios — not a literal table. Aggregated to corpus level
+    so the result is one stable row."""
+    from data_validator_spark.operators.decontaminate import (
+        contamination_report,
+    )
+
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    bench_rows = [
+        ("b1", "the quick brown fox jumps over the lazy dog tonight"),
+        ("b2", "large language models memorize benchmark answers easily"),
+        ("b3", "every valid clip carries a transcript and a codec tag"),
+        ("b4", "spark shuffles only the columns the plan still needs"),
+        ("b5", "winnowing guarantees shared runs produce shared prints"),
+    ]
+    bench = spark.createDataFrame(bench_rows, "bid string, text string")
+    plant = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" " + bench_rows[2][1]),
+        ),
+    ).otherwise(F.col("text"))
+    planted = d.select(F.col("doc_id"), plant.alias("text"))
+    rep = contamination_report(planted, bench, n=5)
+    return rep.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.col("contaminated").cast("long")).alias("n_contaminated"),
+        F.sum(F.col("n_matched")).cast("long").alias("total_matched"),
+        F.round(F.avg(F.col("containment")), 6).alias("mean_containment"),
+        F.max(F.col("n_grams")).cast("long").alias("max_doc_grams"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -4435,6 +4476,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q118_pii_scan": q118_pii_scan,
         "q119_loudness": q119_loudness,
         "q120_alignment": q120_alignment,
+        "q121_decontamination": q121_decontamination,
     }
 
 
@@ -6803,6 +6845,58 @@ _ORACLES: dict[str, str] = {
         ) AS t(planted, n, n_misaligned, n_mismatch, n_raw_fail,
                all_lags_exact)
         ORDER BY planted
+    """,
+    # Full algorithm replay (q24/q106 style): normalization, 5-gram
+    # lists, md5 hashes, the semi-join, per-doc ratios — all in SQL.
+    "q121_decontamination": """
+        WITH planted AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 7 = 0 THEN text ||
+                   ' every valid clip carries a transcript and a codec tag'
+                 ELSE text END AS text
+          FROM documents
+        ),
+        bench AS (
+          SELECT unnest([
+            'the quick brown fox jumps over the lazy dog tonight',
+            'large language models memorize benchmark answers easily',
+            'every valid clip carries a transcript and a codec tag',
+            'spark shuffles only the columns the plan still needs',
+            'winnowing guarantees shared runs produce shared prints'
+          ]) AS text
+        ),
+        bt AS (SELECT string_split(lower(regexp_replace(trim(text),
+                       '\\s+', ' ', 'g')), ' ') tk FROM bench),
+        bg AS (SELECT DISTINCT md5(g) gram_h FROM (
+                 SELECT unnest(list_distinct(
+                   [tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' ||
+                    tk[i+3] || ' ' || tk[i+4]
+                    for i in range(1, len(tk) - 3)])) g
+                 FROM bt WHERE len(tk) >= 5)),
+        dt AS (SELECT doc_id, string_split(lower(regexp_replace(trim(text),
+                       '\\s+', ' ', 'g')), ' ') tk FROM planted),
+        dg AS (SELECT doc_id, unnest(CASE WHEN len(tk) >= 5 THEN
+                 list_distinct(
+                   [tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' ||
+                    tk[i+3] || ' ' || tk[i+4]
+                    for i in range(1, len(tk) - 3)])
+                 ELSE [] END) g
+               FROM dt),
+        per_doc AS (
+          SELECT d.doc_id,
+                 count(g) AS n_grams,
+                 coalesce(sum(CASE WHEN md5(g) IN (SELECT gram_h FROM bg)
+                              THEN 1 ELSE 0 END), 0) AS n_matched
+          FROM dt d LEFT JOIN dg ON d.doc_id = dg.doc_id
+          GROUP BY d.doc_id
+        )
+        SELECT count(*)::BIGINT AS n_docs,
+               sum((n_matched >= 1)::INT)::BIGINT AS n_contaminated,
+               sum(n_matched)::BIGINT AS total_matched,
+               round(avg(round(n_matched / greatest(n_grams, 1), 6)), 6)
+                 AS mean_containment,
+               max(n_grams)::BIGINT AS max_doc_grams
+        FROM per_doc
     """,
     "q115_pinned_values": """
         WITH vals AS (
