@@ -104,3 +104,64 @@ def test_generator_hash_stream_uniform_and_stable(seed, salt, start):
     assert float(u1.min()) >= 0.0 and float(u1.max()) < 1.0
     other = _u01(idx, seed, salt + 1)
     assert not np.array_equal(u1, other)
+
+
+@settings(max_examples=120, deadline=None)
+@given(data=st.binary(min_size=0, max_size=400))
+def test_flac_decoder_total_on_garbage(data):
+    """decode_flac is TOTAL over arbitrary bytes: it either decodes or
+    raises the typed FlacError — never an IndexError/struct.error/
+    OverflowError escaping from the bitstream reader. A validator's
+    decode stage meets adversarial payloads by design."""
+    from data_validator_spark.audio.flac import FlacError, decode_flac
+
+    try:
+        decode_flac(data)
+    except FlacError:
+        pass
+
+
+@settings(max_examples=120, deadline=None)
+@given(data=st.binary(min_size=0, max_size=400))
+def test_flac_decoder_total_on_corrupted_prefix(data):
+    """Same totality with a valid magic + plausible header prefix
+    grafted on, which drives the parser deeper before it fails."""
+    from data_validator_spark.audio import synth
+    from data_validator_spark.audio.flac import (
+        FlacError,
+        decode_flac,
+        encode_flac,
+    )
+
+    good = encode_flac(synth.reference_pcm("fuzz", 8000, 1600), 8000)
+    try:
+        decode_flac(good[:60] + data)
+    except FlacError:
+        pass
+
+
+@settings(max_examples=120, deadline=None)
+@given(data=st.binary(min_size=0, max_size=400))
+def test_opus_inspect_total_on_garbage(data):
+    """opus.inspect returns a dict with an `error` field for malformed
+    containers instead of raising anything but OpusError."""
+    from data_validator_spark.audio import opus
+
+    try:
+        meta = opus.inspect(data)
+        assert isinstance(meta, dict) and "error" in meta
+    except opus.OpusError:
+        pass
+
+
+@settings(max_examples=80, deadline=None)
+@given(data=st.binary(min_size=0, max_size=300))
+def test_adpcm_and_alaw_total_on_garbage(data):
+    """The remaining binary codec parsers share the totality bar."""
+    from data_validator_spark.audio import codecs
+
+    for codec in ("adpcm", "alaw", "mulaw", "pcm16"):
+        try:
+            codecs.decode(codec, data)
+        except codecs.CodecError:
+            pass
