@@ -4354,6 +4354,107 @@ def q121_decontamination(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q122_resample(spark: SparkSession, sf: str) -> DataFrame:
+    """Sample-rate normalization (audio/resample.resample_clips,
+    Kaiser-windowed-sinc) against PLANTED classes, target 16 kHz:
+      up        997 Hz tone at 8 kHz  -> upsampled, SNR vs the
+                analytic 16 kHz tone >= 60 dB (measured ~90)
+      down      997 Hz tone at 48 kHz -> downsampled, SNR >= 60
+      identity  997 Hz tone already at 16 kHz -> passthrough + pcm16
+                quantization only
+      alias     11.025 kHz tone at 48 kHz (above the 8 kHz target
+                Nyquist) -> the anti-aliasing filter must REMOVE it:
+                output RMS < -35 dBFS (measured ~-44)
+    The assertion UDF recomputes the analytic reference tone at the
+    target rate (trimmed of the documented half_taps edge transient) —
+    the scenario embeds its own exact ground truth. Class outcomes are
+    config-determined -> literal oracle."""
+    from data_validator_spark.audio.resample import resample_clips
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        from data_validator_spark.audio import codecs
+
+        classes = ["up", "down", "identity", "alias"]
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                planted = classes[i % 4]
+                sr = {"up": 8000, "down": 48000,
+                      "identity": 16000, "alias": 48000}[planted]
+                freq = 11025.0 if planted == "alias" else 997.0
+                n = sr // 2 + (i * 61) % 3000
+                pcm = (
+                    0.5 * np.sin(2 * np.pi * freq * np.arange(n) / sr)
+                ).astype(np.float32)
+                rows.append(
+                    (f"q122-{i:06d}", "pcm16", sr,
+                     codecs.encode("pcm16", pcm, sr), planted, float(freq))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["clip_id", "codec", "sr_hz", "bytes", "planted",
+                         "freq"],
+            )
+
+    clips = spark.range(0, 160, numPartitions=8).mapInPandas(
+        gen,
+        "clip_id string, codec string, sr_hz int, bytes binary, "
+        "planted string, freq double",
+    )
+    norm = resample_clips(clips, 16000)
+
+    def check(batches):
+        import numpy as np
+        import pandas as pd
+
+        from data_validator_spark.audio import codecs
+
+        trim = 200
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                pcm, sr = codecs.decode("pcm16", r["bytes"])
+                body = pcm[trim:-trim].astype(np.float64)
+                rms = float(np.sqrt(np.mean(body * body))) if len(body) else 0.0
+                ref = 0.5 * np.sin(
+                    2 * np.pi * r["freq"] * np.arange(len(pcm)) / sr
+                )
+                e = body - ref[trim:-trim]
+                snr = (
+                    10 * np.log10(np.dot(ref[trim:-trim], ref[trim:-trim])
+                                  / max(np.dot(e, e), 1e-300))
+                    if len(body)
+                    else float("-inf")
+                )
+                rows.append((r["planted"], int(sr), snr, rms))
+            yield pd.DataFrame(
+                rows, columns=["planted", "sr_out", "snr_db", "rms"]
+            )
+
+    measured = norm.select("planted", "freq", "bytes").mapInPandas(
+        check, "planted string, sr_out int, snr_db double, rms double"
+    )
+    return (
+        measured.groupBy("planted")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.min(F.col("sr_out") == 16000).alias("all_at_target"),
+            F.sum((F.col("snr_db") >= 60.0).cast("long")).alias(
+                "n_tone_preserved"
+            ),
+            F.sum(
+                (20.0 * F.log10(F.greatest(F.col("rms"), F.lit(1e-12)))
+                 < -35.0).cast("long")
+            ).alias("n_silenced"),
+        )
+        .orderBy("planted")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -4477,6 +4578,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q119_loudness": q119_loudness,
         "q120_alignment": q120_alignment,
         "q121_decontamination": q121_decontamination,
+        "q122_resample": q122_resample,
     }
 
 
@@ -6897,6 +6999,18 @@ _ORACLES: dict[str, str] = {
                  AS mean_containment,
                max(n_grams)::BIGINT AS max_doc_grams
         FROM per_doc
+    """,
+    # Config-determined planted-class outcomes: every tone class sits
+    # ~30 dB from its bound (measured ~90 dB SNR vs the 60 dB bar;
+    # alias residual ~-44 dBFS vs the -35 bar).
+    "q122_resample": """
+        SELECT * FROM (VALUES
+          ('alias',    40::BIGINT, true, 0::BIGINT,  40::BIGINT),
+          ('down',     40::BIGINT, true, 40::BIGINT, 0::BIGINT),
+          ('identity', 40::BIGINT, true, 40::BIGINT, 0::BIGINT),
+          ('up',       40::BIGINT, true, 40::BIGINT, 0::BIGINT)
+        ) AS t(planted, n, all_at_target, n_tone_preserved, n_silenced)
+        ORDER BY planted
     """,
     "q115_pinned_values": """
         WITH vals AS (
