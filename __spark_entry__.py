@@ -4455,6 +4455,96 @@ def q122_resample(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q123_audio_content_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-codec audio CONTENT dedup (audio/features.py log-mel
+    embeddings |> cosine): 240 planted pairs —
+      reencode_16k_flac  same content, resampled 48k->16k + flac
+                         (measured cosine >= 0.9998 over the set)
+      reencode_8k_mulaw  same content through the lossy G.711 path at
+                         8 kHz (measured >= 0.995)
+      different          different recordings (measured <= 0.970)
+    — the exact-md5 dedup tier CANNOT pair any of these (every payload
+    byte-differs); the mel-statistics embedding pairs the re-encodes
+    and rejects the rest at threshold 0.985 (>= 0.01 margin both sides
+    on the deterministic set). Embeddings come from the SHIPPED
+    audio_embeddings operator; the cosine is computed JVM-side
+    (zip_with + aggregate) on the array<float> column — the same
+    shape the similarity tier consumes. Literal oracle."""
+    from data_validator_spark.audio.features import audio_embeddings
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        from data_validator_spark.audio import codecs, synth
+        from data_validator_spark.audio.resample import resample
+
+        classes = ["reencode_16k_flac", "reencode_8k_mulaw", "different"]
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                planted = classes[i % 3]
+                cid = f"q123-{i:06d}"
+                n = 24000 + (i * 97) % 24000
+                pcm = np.clip(synth.reference_pcm(cid, 48000, n), -1, 1)
+                rows.append(
+                    (i, "a", planted, "pcm16", 48000,
+                     codecs.encode("pcm16", pcm, 48000))
+                )
+                if planted == "reencode_16k_flac":
+                    y = np.clip(resample(pcm, 48000, 16000), -1, 1)
+                    b = ("flac", 16000, codecs.encode("flac", y, 16000))
+                elif planted == "reencode_8k_mulaw":
+                    y = np.clip(resample(pcm, 48000, 8000), -1, 1)
+                    b = ("mulaw", 8000, codecs.encode("mulaw", y, 8000))
+                else:
+                    o = np.clip(
+                        synth.reference_pcm(f"q123-other-{i:06d}", 48000, n),
+                        -1, 1,
+                    )
+                    b = ("pcm16", 48000, codecs.encode("pcm16", o, 48000))
+                rows.append((i, "b", planted, b[0], b[1], b[2]))
+            yield pd.DataFrame(
+                rows,
+                columns=["pair_id", "side", "planted", "codec", "sr_hz",
+                         "bytes"],
+            )
+
+    clips = spark.range(0, 240, numPartitions=8).mapInPandas(
+        gen,
+        "pair_id long, side string, planted string, codec string, "
+        "sr_hz int, bytes binary",
+    ).withColumn("clip_id", F.concat(F.col("pair_id"), F.lit("-"), F.col("side")))
+    emb = audio_embeddings(clips, n_mels=64).select(
+        "pair_id", "side", "planted", "embedding"
+    )
+    a = emb.filter(F.col("side") == "a").select(
+        "pair_id", "planted", F.col("embedding").alias("ea")
+    )
+    b = emb.filter(F.col("side") == "b").select(
+        "pair_id", F.col("embedding").alias("eb")
+    )
+    pairs = a.join(b, "pair_id")
+    # JVM-side cosine: both vectors are L2-normalized by construction
+    dot = F.aggregate(
+        F.zip_with("ea", "eb", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        pairs.withColumn("cosine", dot)
+        .groupBy("planted")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum((F.col("cosine") >= 0.985).cast("long")).alias(
+                "n_content_dup"
+            ),
+        )
+        .orderBy("planted")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -4579,6 +4669,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q120_alignment": q120_alignment,
         "q121_decontamination": q121_decontamination,
         "q122_resample": q122_resample,
+        "q123_audio_content_dedup": q123_audio_content_dedup,
     }
 
 
@@ -7010,6 +7101,17 @@ _ORACLES: dict[str, str] = {
           ('identity', 40::BIGINT, true, 40::BIGINT, 0::BIGINT),
           ('up',       40::BIGINT, true, 40::BIGINT, 0::BIGINT)
         ) AS t(planted, n, all_at_target, n_tone_preserved, n_silenced)
+        ORDER BY planted
+    """,
+    # Config-determined planted-pair outcomes at threshold 0.985
+    # (measured over the deterministic set: re-encodes >= 0.995,
+    # different pairs <= 0.970 — >= 0.01 margin both sides).
+    "q123_audio_content_dedup": """
+        SELECT * FROM (VALUES
+          ('different',         80::BIGINT, 0::BIGINT),
+          ('reencode_16k_flac', 80::BIGINT, 80::BIGINT),
+          ('reencode_8k_mulaw', 80::BIGINT, 80::BIGINT)
+        ) AS t(planted, n, n_content_dup)
         ORDER BY planted
     """,
     "q115_pinned_values": """
