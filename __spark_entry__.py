@@ -4545,6 +4545,91 @@ def q123_audio_content_dedup(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q124_segmentation(spark: SparkSession, sf: str) -> DataFrame:
+    """Clip segmentation (audio/segment.segment_clips) against PLANTED
+    duration/boundary classes, max 1000 ms / min 300 ms:
+      short      400 ms clip -> 1 segment, nothing dropped
+      exact3     3000 ms -> exactly 3 segments, nothing dropped
+      tail_drop  3250 ms -> 3 segments + the 250 ms stub DROPPED
+                 (under the 300 ms minimum), flagged via
+                 n_dropped_tail_ms
+      gap_snap   3250 ms with 150 ms silence gaps planted at
+                 1070/1970/2770 ms, snap_ms=200 -> every cut lands
+                 INSIDE a gap (zero-energy frames win the valley
+                 search; never mid-tone), tail kept -> 4 segments
+    Counts and boundary placement are config-determined over the
+    deterministic tone fixture -> literal oracle."""
+    from data_validator_spark.audio.segment import segment_clips
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        from data_validator_spark.audio import codecs
+
+        classes = ["short", "exact3", "tail_drop", "gap_snap"]
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                planted = classes[i % 4]
+                sr = 16000
+                dur_ms = {"short": 400, "exact3": 3000,
+                          "tail_drop": 3250, "gap_snap": 3250}[planted]
+                n = int(sr * dur_ms / 1000)
+                f = 300.0 + (i * 7) % 500
+                pcm = (
+                    0.5 * np.sin(2 * np.pi * f * np.arange(n) / sr)
+                ).astype(np.float32)
+                if planted == "gap_snap":
+                    for g0 in (1.07, 1.97, 2.77):
+                        pcm[int(g0 * sr): int((g0 + 0.15) * sr)] = 0.0
+                rows.append(
+                    (f"q124-{i:06d}", "pcm16", sr,
+                     codecs.encode("pcm16", pcm, sr), planted)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["clip_id", "codec", "sr_hz", "bytes", "planted"],
+            )
+
+    clips = spark.range(0, 160, numPartitions=8).mapInPandas(
+        gen,
+        "clip_id string, codec string, sr_hz int, bytes binary, "
+        "planted string",
+    )
+    tag = F.element_at(F.split(F.col("clip_id"), "-"), 2).cast("int") % 4
+    plain = clips.filter(F.col("planted") != "gap_snap")
+    gap = clips.filter(F.col("planted") == "gap_snap")
+    segs_plain = segment_clips(plain, max_ms=1000, min_ms=300, snap_ms=0)
+    segs_gap = segment_clips(gap, max_ms=1000, min_ms=300, snap_ms=200)
+    segs = segs_plain.unionByName(segs_gap)
+    planted = F.when(tag == 0, "short").when(tag == 1, "exact3").when(
+        tag == 2, "tail_drop"
+    ).otherwise("gap_snap")
+    segs = segs.withColumn("planted", planted)
+    cut_in_gap = F.when(
+        (F.col("planted") == "gap_snap") & (F.col("seg_idx") == 0),
+        (F.col("seg_dur_ms") >= 1070.0) & (F.col("seg_dur_ms") <= 1190.0),
+    )
+    return (
+        segs.withColumn("_gap_ok", cut_in_gap)
+        .groupBy("planted")
+        .agg(
+            F.countDistinct("clip_id").cast("long").alias("n_clips"),
+            F.count(F.lit(1)).cast("long").alias("n_segments"),
+            F.sum(
+                (F.col("n_dropped_tail_ms") > 0).cast("long")
+            ).alias("n_seg_rows_with_drop"),
+            F.min(F.coalesce(F.col("_gap_ok"), F.lit(True))).alias(
+                "all_first_cuts_in_gap"
+            ),
+            F.min(F.col("seg_dur_ms") <= 1200.0).alias("all_bounded"),
+        )
+        .orderBy("planted")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -4670,6 +4755,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q121_decontamination": q121_decontamination,
         "q122_resample": q122_resample,
         "q123_audio_content_dedup": q123_audio_content_dedup,
+        "q124_segmentation": q124_segmentation,
     }
 
 
@@ -7112,6 +7198,18 @@ _ORACLES: dict[str, str] = {
           ('reencode_16k_flac', 80::BIGINT, 80::BIGINT),
           ('reencode_8k_mulaw', 80::BIGINT, 80::BIGINT)
         ) AS t(planted, n, n_content_dup)
+        ORDER BY planted
+    """,
+    # Config-determined planted segmentation outcomes (see q124
+    # docstring for the boundary arithmetic).
+    "q124_segmentation": """
+        SELECT * FROM (VALUES
+          ('exact3',    40::BIGINT, 120::BIGINT, 0::BIGINT,   true, true),
+          ('gap_snap',  40::BIGINT, 160::BIGINT, 0::BIGINT,   true, true),
+          ('short',     40::BIGINT, 40::BIGINT,  0::BIGINT,   true, true),
+          ('tail_drop', 40::BIGINT, 120::BIGINT, 120::BIGINT, true, true)
+        ) AS t(planted, n_clips, n_segments, n_seg_rows_with_drop,
+               all_first_cuts_in_gap, all_bounded)
         ORDER BY planted
     """,
     "q115_pinned_values": """
