@@ -160,6 +160,7 @@ def run_audio_checks(
     min_effective_bits: int | None = None,
     lufs_min: float | None = None,
     lufs_max: float | None = None,
+    embed_mels: int | None = None,
     decoder_plugins: dict | None = None,
     inspector_plugins: dict | None = None,
 ) -> DataFrame:
@@ -195,8 +196,10 @@ def run_audio_checks(
         from data_validator_spark.audio import quality as _q
 
         udf = (
-            _q.make_audio_quality_udf(decoder_plugins, inspector_plugins)
-            if decoder_plugins or inspector_plugins
+            _q.make_audio_quality_udf(
+                decoder_plugins, inspector_plugins, embed_mels
+            )
+            if decoder_plugins or inspector_plugins or embed_mels
             else _q.audio_quality_udf
         )
     else:
@@ -228,6 +231,8 @@ def run_audio_checks(
 
         for name, _ in _FEATURE_FIELDS:
             out = out.withColumn(name, F.col(f"_audio.{name}"))
+        if embed_mels:
+            out = out.withColumn("embedding", F.col("_audio.embedding"))
         out = out.withColumn(
             "_quality_labels",
             quality_labels_expr(

@@ -160,19 +160,32 @@ def analyze_pcm(pcm: np.ndarray, sr_hz: int) -> dict[str, float]:
 
 
 def make_audio_quality_udf(
-    plugins: dict | None = None, inspectors: dict | None = None
+    plugins: dict | None = None,
+    inspectors: dict | None = None,
+    embed_mels: int | None = None,
 ):
     """Build the fused quality UDF, optionally closing over `plugins`
     (codec -> decode callable) and `inspectors` (codec -> metadata
     inspect callable) — mirrors checks.make_audio_check_udf: the
-    dicts ride the UDF closure to every python worker."""
+    dicts ride the UDF closure to every python worker.
 
-    @pandas_udf(_RESULT_SCHEMA)
+    embed_mels (opt-in): also emit the log-mel content `embedding`
+    (audio/features.py, 2*embed_mels floats) from the SAME decode —
+    a pipeline that validates AND content-dedups pays exactly one
+    pass over the payload column."""
+    schema = _RESULT_SCHEMA
+    if embed_mels:
+        schema = T.StructType(
+            schema.fields
+            + [T.StructField("embedding", T.ArrayType(T.FloatType()))]
+        )
+
+    @pandas_udf(schema)
     def _audio_quality_udf(
         it: Iterator[pd.DataFrame],
     ) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            yield _quality_batch(pdf, plugins, inspectors)
+            yield _quality_batch(pdf, plugins, inspectors, embed_mels)
 
     return _audio_quality_udf
 
@@ -181,6 +194,7 @@ def _quality_batch(
     pdf: pd.DataFrame,
     plugins: dict | None,
     inspectors: dict | None = None,
+    embed_mels: int | None = None,
 ) -> pd.DataFrame:
     """struct(clip_id, codec, sr_hz, bytes, skip) batch ->
     decode outcome + SNR invariant + quality features, ONE decode per
@@ -197,6 +211,10 @@ def _quality_batch(
         "n_samples": np.full(n, -1, dtype=np.int64),
         "pcm_unsupported": np.zeros(n, dtype=bool),
     }
+    if embed_mels:
+        from data_validator_spark.audio import features
+
+        emb = np.full(n, None, dtype=object)
     for name in feat_names:
         out[name] = np.full(n, np.nan)
     clip_ids = pdf["clip_id"].to_numpy()
@@ -238,7 +256,14 @@ def _quality_batch(
         out["snr_db"][i] = codecs.snr_db(ref, pcm)
         for name, val in analyze_pcm(pcm, sr).items():
             out[name][i] = val
+        if embed_mels:
+            emb[i] = [
+                float(v)
+                for v in features.log_mel_embedding(pcm, sr, embed_mels)
+            ]
     out["container_sr"] = pd.array(out["container_sr"], dtype="Int32")
+    if embed_mels:
+        out["embedding"] = emb
     return pd.DataFrame(out)
 
 
@@ -373,6 +398,7 @@ def run_quality_checks(
     min_effective_bits: int | None = None,
     lufs_min: float | None = None,
     lufs_max: float | None = None,
+    embed_mels: int | None = None,
 ) -> DataFrame:
     """Append quality feature columns + soft-tier labels. Input needs
     (clip_id, codec, sr_hz, bytes); output adds every feature column
@@ -392,4 +418,5 @@ def run_quality_checks(
         min_effective_bits=min_effective_bits,
         lufs_min=lufs_min,
         lufs_max=lufs_max,
+        embed_mels=embed_mels,
     )

@@ -44,7 +44,11 @@ def _norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return _dot(a, b) / (_norm(a) * _norm(b))
+    """NULL (not a crash) for zero-norm vectors: under Spark 4's
+    default ANSI mode a plain division throws DIVIDE_BY_ZERO, and
+    zero vectors are a legal embedding outcome (digital silence /
+    sub-frame clips in audio/features.py)."""
+    return F.try_divide(_dot(a, b), _norm(a) * _norm(b))
 
 
 def brute_force_topk(

@@ -64,6 +64,10 @@ class ValidationConfig:
     # audio_loudness_out_of_range soft label. None disables (default).
     quality_lufs_min: float | None = None
     quality_lufs_max: float | None = None
+    # opt-in: emit the log-mel content embedding (audio/features.py,
+    # 2*n floats) from the SAME fused decode — validate + content-
+    # dedup in one payload pass. None disables (default).
+    quality_embed_mels: int | None = None
     snr_min_db: float = 30.0
     decode_partitions: int | None = None  # repartition before decode stage
     # co-batch the decode stage by this LOW-CARDINALITY key (e.g.
@@ -262,6 +266,7 @@ def run_validation(
             min_effective_bits=cfg.quality_min_effective_bits,
             lufs_min=cfg.quality_lufs_min,
             lufs_max=cfg.quality_lufs_max,
+            embed_mels=cfg.quality_embed_mels,
         ).drop("codec", "sr_hz", "bytes")
         if cfg.persist:
             audio_res = audio_res.persist()

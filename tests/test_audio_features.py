@@ -4,6 +4,7 @@ from __future__ import annotations
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from data_validator_spark.audio import codecs, synth
 from data_validator_spark.audio.features import (
@@ -85,3 +86,58 @@ def test_embedding_udf_plugin_seam(spark):
         df, n_mels=32, plugins={"fakecodec": fake_decode}
     ).collect()[0]
     assert out.embed_error is None and len(out.embedding) == 64
+
+
+def test_fused_quality_pass_emits_embedding(spark):
+    """One decode serves invariant + quality + embedding: the fused
+    run_quality_checks(embed_mels=...) output must match the
+    standalone audio_embeddings vector exactly."""
+    from data_validator_spark.audio.quality import run_quality_checks
+
+    pcm = np.clip(synth.reference_pcm("fuse", 16000, 16000), -1, 1)
+    df = spark.createDataFrame(
+        [("fuse", "pcm16", 16000, bytearray(codecs.encode("pcm16", pcm, 16000)))],
+        "clip_id string, codec string, sr_hz int, bytes binary",
+    )
+    fused = run_quality_checks(df, embed_mels=64).collect()[0]
+    standalone = audio_embeddings(df, n_mels=64).collect()[0]
+    assert fused.embedding == standalone.embedding
+    assert len(fused.embedding) == 128
+    assert fused.audio_snr_db is not None  # invariant rode the same pass
+
+
+def test_validation_plan_embed_knob(spark, clips, transcripts_ref):
+    """quality_embed_mels flows through the full plan: validated rows
+    carry the embedding column; default config does not."""
+    from data_validator_spark.plans.validation import (
+        ValidationConfig,
+        run_validation,
+    )
+
+    res = run_validation(
+        clips,
+        transcripts_ref,
+        cfg=ValidationConfig(check_quality=True, quality_embed_mels=32),
+    )
+    assert "embedding" in res.validated.columns
+    row = res.validated.filter(
+        res.validated.embedding.isNotNull()
+    ).select("embedding").first()
+    assert row is not None and len(row.embedding) == 64
+    res2 = run_validation(
+        clips, transcripts_ref, cfg=ValidationConfig(check_quality=True)
+    )
+    assert "embedding" not in res2.validated.columns
+
+
+def test_zero_norm_embedding_yields_null_cosine_not_crash(spark):
+    """Digital silence embeds as the zero vector; under ANSI mode the
+    cosine must come back NULL, not DIVIDE_BY_ZERO."""
+    from data_validator_spark.operators.similarity import cosine
+
+    df = spark.createDataFrame(
+        [([0.0, 0.0], [1.0, 0.0]), ([1.0, 0.0], [1.0, 0.0])],
+        "a array<double>, b array<double>",
+    )
+    got = df.select(cosine(F.col("a"), F.col("b")).alias("c")).collect()
+    assert got[0].c is None and got[1].c == 1.0
