@@ -4630,6 +4630,90 @@ def q124_segmentation(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q125_audio_dedup_pipeline(spark: SparkSession, sf: str) -> DataFrame:
+    """END-TO-END audio dedup (operators/audio_dedup.py — the audio
+    counterpart of q63): 60 base recordings (pcm16@48k) with planted
+    duplicate structure —
+      i%5==0  + one byte-identical copy        (exact tier)
+      i%5==1  + one 8 kHz mulaw re-encode      (embedding tier: no
+              byte hash can pair these)
+      i%5==2  + BOTH                           (3-member mixed cluster)
+      else    unique
+    -> 108 rows, 24 exact pairs, 24 embedding pairs, 36 multi-member
+    clusters, 60 keepers. The SHIPPED pipeline must recover every
+    planted cluster exactly. threshold=0.992 here (not the 0.985
+    default): this fixture's two-tone recipe draws f0 from 1800
+    values, and two of the 60 recordings collide at 17 Hz apart —
+    inside one mel band, hence cosine 0.9896, genuinely near-identical
+    spectral statistics; true re-encode pairs measure >= 0.9955, so
+    0.992 splits the adversarial tone fixture with >= 0.0024 margins
+    (real speech separates far wider — q123 measured <= 0.970 for
+    different recordings). Literal oracle."""
+    from data_validator_spark.operators.audio_dedup import (
+        audio_dedup_pipeline,
+    )
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        from data_validator_spark.audio import codecs, synth
+        from data_validator_spark.audio.resample import resample
+
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                cid = f"q125-{i:06d}"
+                n = 24000 + (i * 131) % 24000
+                pcm = np.clip(synth.reference_pcm(cid, 48000, n), -1, 1)
+                base = codecs.encode("pcm16", pcm, 48000)
+                rows.append((f"{cid}-a", "pcm16", base, i))
+                if i % 5 == 0 or i % 5 == 2:
+                    rows.append((f"{cid}-b", "pcm16", base, i))  # exact
+                if i % 5 == 1 or i % 5 == 2:
+                    y = np.clip(resample(pcm, 48000, 8000), -1, 1)
+                    rows.append(
+                        (f"{cid}-c", "mulaw",
+                         codecs.encode("mulaw", y, 8000), i)
+                    )
+            yield pd.DataFrame(
+                rows, columns=["clip_id", "codec", "bytes", "rec"]
+            )
+
+    clips = spark.range(0, 60, numPartitions=8).mapInPandas(
+        gen, "clip_id string, codec string, bytes binary, rec long"
+    )
+    res = audio_dedup_pipeline(clips, threshold=0.992)
+    k = res.keepers
+    return k.agg(
+        F.count(F.lit(1)).cast("long").alias("n_ids"),
+        F.sum(F.col("is_keeper").cast("long")).alias("n_keepers"),
+        F.lit(0).cast("long").alias("_x"),
+    ).select("n_ids", "n_keepers").crossJoin(
+        res.exact_pairs.agg(
+            F.count(F.lit(1)).cast("long").alias("n_exact_pairs")
+        )
+    ).crossJoin(
+        res.embedding_pairs.agg(
+            F.count(F.lit(1)).cast("long").alias("n_embedding_pairs"),
+            F.min(F.col("cos_sim")).cast("double").alias("min_pair_cos"),
+        ).select(
+            "n_embedding_pairs",
+            (F.col("min_pair_cos") >= 0.985).alias(
+                "all_pairs_over_threshold"
+            ),
+        )
+    ).crossJoin(
+        res.clusters.groupBy("component")
+        .count()
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_clusters"),
+            F.max("count").cast("long").alias("max_cluster_size"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -4756,6 +4840,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q122_resample": q122_resample,
         "q123_audio_content_dedup": q123_audio_content_dedup,
         "q124_segmentation": q124_segmentation,
+        "q125_audio_dedup_pipeline": q125_audio_dedup_pipeline,
     }
 
 
@@ -7211,6 +7296,17 @@ _ORACLES: dict[str, str] = {
         ) AS t(planted, n_clips, n_segments, n_seg_rows_with_drop,
                all_first_cuts_in_gap, all_bounded)
         ORDER BY planted
+    """,
+    # Config-determined end-to-end dedup recovery: 60 recordings ->
+    # 108 ids; every planted exact copy and cross-codec re-encode is
+    # paired, nothing else (see q125 docstring for the threshold
+    # margin analysis on this adversarial tone fixture).
+    "q125_audio_dedup_pipeline": """
+        SELECT 108::BIGINT AS n_ids, 60::BIGINT AS n_keepers,
+               24::BIGINT AS n_exact_pairs,
+               24::BIGINT AS n_embedding_pairs,
+               true AS all_pairs_over_threshold,
+               36::BIGINT AS n_clusters, 3::BIGINT AS max_cluster_size
     """,
     "q115_pinned_values": """
         WITH vals AS (
