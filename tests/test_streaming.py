@@ -268,3 +268,39 @@ def test_quality_watch_flags_planted_regression(spark, tmp_path):
     d = {r["column_name"]: r for r in drift.collect()}
     assert d["dur_ms"]["ks"] > 0.02
     baseline.unpersist()
+
+
+def test_incremental_fused_embedding_and_loudness_knobs(spark, tmp_path):
+    """The round-4 fused-decode knobs compose into the streaming path
+    unchanged: a micro-batch run with quality_embed_mels/lufs window
+    writes validated rows carrying the embedding column and loudness
+    labels, from the one decode per batch."""
+    in_dir, out_dir = str(tmp_path / "landing"), str(tmp_path / "out")
+    generate_clips(
+        spark, ClipsConfig(n_rows=300, n_partitions=1, max_synth_ms=600)
+    ).write.mode("append").parquet(in_dir)
+    q = run_incremental(
+        spark,
+        in_dir,
+        out_dir,
+        cfg=ValidationConfig(
+            check_quality=True,
+            quality_embed_mels=16,
+            quality_lufs_min=-0.5,
+            quality_lufs_max=0.0,  # absurd window: every measurable clip flags
+        ),
+    )
+    q.awaitTermination(600)
+    validated = spark.read.parquet(f"{out_dir}/validated")
+    assert "embedding" in validated.columns
+    with_emb = validated.filter(F.col("embedding").isNotNull())
+    assert with_emb.count() > 0
+    assert len(with_emb.select("embedding").first().embedding) == 32
+    assert (
+        validated.filter(
+            F.col("validation_msg_clip").contains(
+                "audio_loudness_out_of_range("
+            )
+        ).count()
+        > 0
+    )
