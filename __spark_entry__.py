@@ -4714,6 +4714,49 @@ def q125_audio_dedup_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q126_repetition(spark: SparkSession, sf: str) -> DataFrame:
+    """Repetition quality filters (text.repetition_flag) with planted
+    structure: documents gain a line layout — doc_id % 4 == 0 docs get
+    their first 8 words repeated as 5 identical extra lines (the
+    boilerplate/spam shape the filter exists for), everyone else gets
+    a clean 2-line split. The DuckDB oracle replays the ENTIRE
+    computation (line splits, nested duplicate-count comprehensions,
+    2-gram top-frequency with the same tiebreak) — corpus-level
+    aggregate so the result is one stable row."""
+    from data_validator_spark.operators.text import repetition_flag
+
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    head = F.array_join(
+        F.slice(F.split(F.trim(F.col("text")), "\\s+"), 1, 8), " "
+    )
+    planted = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat_ws(
+                "\n", F.col("text"), head, head, head, head, head
+            ),
+        ).otherwise(
+            F.concat_ws("\n", head, F.col("text"))
+        ).alias("text"),
+    )
+    rep = repetition_flag(planted, dup_line_max=0.5)
+    return rep.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.col("rep_flagged").cast("long")).alias("n_flagged"),
+        F.sum(
+            (F.col("rep_dup_line_frac") > 0.5).cast("long")
+        ).alias("n_dup_line"),
+        F.round(F.avg("rep_dup_line_char_frac"), 6).alias(
+            "mean_dup_char_frac"
+        ),
+        F.round(F.avg("rep_top2gram_char_frac"), 6).alias(
+            "mean_top2gram_frac"
+        ),
+        F.max("rep_n_lines").cast("long").alias("max_lines"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -4841,6 +4884,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q123_audio_content_dedup": q123_audio_content_dedup,
         "q124_segmentation": q124_segmentation,
         "q125_audio_dedup_pipeline": q125_audio_dedup_pipeline,
+        "q126_repetition": q126_repetition,
     }
 
 
@@ -7307,6 +7351,80 @@ _ORACLES: dict[str, str] = {
                24::BIGINT AS n_embedding_pairs,
                true AS all_pairs_over_threshold,
                36::BIGINT AS n_clusters, 3::BIGINT AS max_cluster_size
+    """,
+    # Full algorithm replay: line splits, nested duplicate-count
+    # comprehensions, 2-gram top frequency with the identical
+    # (cnt, glen, gram) tiebreak.
+    "q126_repetition": """
+        WITH planted AS (
+          SELECT doc_id,
+            CASE WHEN doc_id % 4 = 0 THEN
+              text || repeat(chr(10) || array_to_string(
+                string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'),
+                             ' ')[1:8], ' '), 5)
+            ELSE
+              array_to_string(
+                string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'),
+                             ' ')[1:8], ' ') || chr(10) || text
+            END AS text
+          FROM documents
+        ),
+        feat0 AS (
+          SELECT doc_id, text,
+                 string_split(text, chr(10)) AS lines,
+                 lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS nt
+          FROM planted
+        ),
+        feat AS (
+          SELECT doc_id,
+                 len(lines) AS n_lines,
+                 round((len(lines) - len(list_distinct(lines)))
+                       / len(lines), 6) AS dup_line_frac,
+                 round(coalesce(list_sum(
+                         [len(x) for x in lines
+                          if len([y for y in lines if y = x]) > 1]), 0)
+                       / list_sum([len(x) for x in lines]), 6)
+                   AS dup_char_frac,
+                 string_split(nt, ' ') AS tk,
+                 len(nt) AS norm_len
+          FROM feat0
+        ),
+        grams AS (
+          SELECT doc_id, norm_len, dup_line_frac, dup_char_frac,
+                 n_lines,
+                 unnest(list_distinct(
+                   [tk[i] || ' ' || tk[i+1]
+                    for i in range(1, len(tk))])) AS g,
+                 [tk[i] || ' ' || tk[i+1]
+                  for i in range(1, len(tk))] AS gs
+          FROM feat
+        ),
+        counted AS (
+          SELECT doc_id, norm_len, dup_line_frac, dup_char_frac,
+                 n_lines, g,
+                 len([x for x in gs if x = g]) AS cnt,
+                 len(g) AS glen
+          FROM grams
+        ),
+        top AS (
+          SELECT doc_id, norm_len, dup_line_frac, dup_char_frac,
+                 n_lines,
+                 CASE WHEN cnt >= 2
+                      THEN round(cnt * glen / norm_len, 6)
+                      ELSE 0.0 END AS top2
+          FROM counted
+          QUALIFY row_number() OVER (
+            PARTITION BY doc_id
+            ORDER BY cnt DESC, glen DESC, g DESC) = 1
+        )
+        SELECT count(*)::BIGINT AS n_docs,
+               sum(((dup_line_frac > 0.5) OR (dup_char_frac > 0.2)
+                    OR (top2 > 0.2))::INT)::BIGINT AS n_flagged,
+               sum((dup_line_frac > 0.5)::INT)::BIGINT AS n_dup_line,
+               round(avg(dup_char_frac), 6) AS mean_dup_char_frac,
+               round(avg(top2), 6) AS mean_top2gram_frac,
+               max(n_lines)::BIGINT AS max_lines
+        FROM top
     """,
     "q115_pinned_values": """
         WITH vals AS (

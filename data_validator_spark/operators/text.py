@@ -212,3 +212,99 @@ def mojibake_flag(c: Column, per_kchar_max: float = 1.0) -> Column:
             F.lit("text_mojibake("), n.cast("string"), F.lit(")")
         ),
     )
+
+
+def repetition_features(
+    df: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Repetition quality filters (the published massive-corpus
+    heuristics: documents dominated by repeated lines or a single
+    repeated phrase are boilerplate/spam, not prose):
+
+      rep_n_lines             newline-separated line count
+      rep_dup_line_frac       (n_lines - n_distinct_lines) / n_lines:
+                              the fraction of line slots beyond each
+                              line's first occurrence (0 when every
+                              line is unique)
+      rep_dup_line_char_frac  fraction of line characters living in
+                              duplicated lines
+      rep_top2gram_char_frac  characters covered by occurrences of the
+                              most frequent word 2-gram / total
+                              normalized text length (ties break to
+                              the longer gram, then lexicographically
+                              — fully deterministic). 0 when no
+                              2-gram repeats: a short document whose
+                              top gram occurs once has no REPETITION,
+                              which is what this feature measures
+
+    Pure Column algebra (array_distinct + nested filter), O(L^2) /
+    O(G^2) per document — L and G are per-document line/gram counts,
+    fine at prose scale and embarrassingly parallel across rows; a
+    book-length outlier pays its own quadratic cost only. Replayable
+    verbatim in DuckDB list comprehensions (oracle q126)."""
+    c = F.col(text_col)
+    lines = F.split(c, "\n")
+    n_lines = F.size(lines)
+    n_distinct = F.size(F.array_distinct(lines))
+    dup_lines = F.filter(
+        lines,
+        lambda x: F.size(F.filter(lines, lambda y: y == x)) > 1,
+    )
+    chars = lambda arr: F.aggregate(  # noqa: E731
+        F.transform(arr, F.length), F.lit(0), lambda a, v: a + v
+    )
+    total_chars = chars(lines)
+    grams = word_ngrams(c, 2)
+    stats = F.transform(
+        F.array_distinct(grams),
+        lambda g: F.struct(
+            F.size(F.filter(grams, lambda x: x == g)).alias("cnt"),
+            F.length(g).alias("glen"),
+            g.alias("gram"),
+        ),
+    )
+    top = F.array_max(stats)
+    norm_len = F.length(normalized_text(c))
+    return df.select(
+        "*",
+        n_lines.alias("rep_n_lines"),
+        F.when(
+            n_lines > 0,
+            F.round(
+                (n_lines - n_distinct) / n_lines.cast("double"), 6
+            ),
+        ).otherwise(F.lit(0.0)).alias("rep_dup_line_frac"),
+        F.when(
+            total_chars > 0,
+            F.round(chars(dup_lines) / total_chars.cast("double"), 6),
+        ).otherwise(F.lit(0.0)).alias("rep_dup_line_char_frac"),
+        F.when(
+            (F.size(grams) > 0)
+            & (norm_len > 0)
+            & (top.getField("cnt") >= 2),
+            F.round(
+                top.getField("cnt")
+                * top.getField("glen")
+                / norm_len.cast("double"),
+                6,
+            ),
+        ).otherwise(F.lit(0.0)).alias("rep_top2gram_char_frac"),
+    )
+
+
+def repetition_flag(
+    df: DataFrame,
+    text_col: str = "text",
+    dup_line_max: float = 0.3,
+    dup_line_char_max: float = 0.2,
+    top2gram_char_max: float = 0.2,
+) -> DataFrame:
+    """repetition_features + the boolean `rep_flagged` (any heuristic
+    over its published-default bound)."""
+    feat = repetition_features(df, text_col)
+    return feat.withColumn(
+        "rep_flagged",
+        (F.col("rep_dup_line_frac") > dup_line_max)
+        | (F.col("rep_dup_line_char_frac") > dup_line_char_max)
+        | (F.col("rep_top2gram_char_frac") > top2gram_char_max),
+    )

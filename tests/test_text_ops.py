@@ -325,3 +325,36 @@ def test_mojibake_detection(spark):
     assert got["accent"][0] == 4 and got["accent"][1] is not None
     assert got["repl"][0] == 1
     assert got["empty"] == (0, None)
+
+
+def test_repetition_features_planted_shapes(spark):
+    from data_validator_spark.operators.text import (
+        repetition_features,
+        repetition_flag,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha bravo\ncharlie delta\nalpha bravo\nalpha bravo"),
+            (2, "unique one\nunique two\nunique three"),
+            (3, "spam spam spam spam spam spam spam spam"),
+            (4, ""),
+        ],
+        "doc_id int, text string",
+    )
+    got = {r.doc_id: r for r in repetition_features(docs).collect()}
+    # doc 1: 4 lines, 2 distinct -> dup_line_frac = 0.5; the three
+    # 'alpha bravo' lines hold 33 of 46 chars
+    assert got[1].rep_n_lines == 4
+    assert got[1].rep_dup_line_frac == 0.5
+    assert got[1].rep_dup_line_char_frac == round(33 / 46, 6)
+    assert got[2].rep_dup_line_frac == 0.0
+    assert got[2].rep_dup_line_char_frac == 0.0
+    # doc 3: 'spam spam' 2-gram occurs 7x, len 9, norm_len 39
+    assert got[3].rep_top2gram_char_frac == round(7 * 9 / 39, 6)
+    # doc 2: top 2-gram occurs once -> NO repetition -> 0
+    assert got[2].rep_top2gram_char_frac == 0.0
+    # empty text: single empty line, no grams -> all zeros, no crash
+    assert got[4].rep_top2gram_char_frac == 0.0
+    flags = {r.doc_id: r.rep_flagged for r in repetition_flag(docs).collect()}
+    assert flags[1] and flags[3] and not flags[2]
