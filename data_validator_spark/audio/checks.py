@@ -191,6 +191,26 @@ def run_audio_checks(
     pipeline gating on both the invariant and quality never decodes
     twice.
     """
+    if not quality:
+        # these knobs only take effect on the fused quality pass —
+        # silently ignoring them would hand a caller a loudness window
+        # that never fires
+        ignored = {
+            "clipping_max": clipping_max,
+            "dc_max": dc_max,
+            "silence_max": silence_max,
+            "upsample_min_ratio": upsample_min_ratio,
+            "min_effective_bits": min_effective_bits,
+            "lufs_min": lufs_min,
+            "lufs_max": lufs_max,
+            "embed_mels": embed_mels,
+        }
+        set_knobs = [k for k, v in ignored.items() if v is not None]
+        if set_knobs:
+            raise ValueError(
+                "run_audio_checks: quality-only options "
+                f"{set_knobs} require quality=True"
+            )
     skip = F.col(skip_col) if skip_col else F.lit(False)
     if quality:
         from data_validator_spark.audio import quality as _q

@@ -61,27 +61,36 @@ def resample(
         return np.zeros(0, np.float32)
     g = math.gcd(sr_in, sr_out)
     m, l = sr_in // g, sr_out // g  # noqa: E741 - standard L/M names
-    j = np.arange(n_out, dtype=np.int64)
-    # exact rational positions: p = j * M / L in input-sample units
-    base = (j * m) // l
-    frac = ((j * m) % l).astype(np.float64) / l
     k = np.arange(-half_taps + 1, half_taps + 1, dtype=np.int64)
-    # t = p - (base + k) = frac - k
-    t = frac[:, None] - k[None, :]
     c = rolloff * min(sr_out / sr_in, 1.0)
-    h = c * np.sinc(c * t)
-    w_arg = t / half_taps
-    inside = np.abs(w_arg) <= 1.0
-    win = np.zeros_like(t)
-    win[inside] = np.i0(
-        beta * np.sqrt(1.0 - w_arg[inside] * w_arg[inside])
-    ) / np.i0(beta)
-    h *= win
-    idx = base[:, None] + k[None, :]
     pad = half_taps + 1
     xp = np.concatenate([np.zeros(pad), x, np.zeros(pad)])
-    y = (xp[idx + pad] * h).sum(axis=1)
-    return y.astype(np.float32)
+    y = np.empty(n_out, np.float32)
+    # Chunk the output positions: the gather materializes several
+    # (block x 2*half_taps) float64 temporaries (t, h, win, idx) — an
+    # unchunked hour-long 48 kHz clip would allocate tens of GB in one
+    # executor. 1 Mi positions x 32 taps x ~5 temporaries ~= 1.3 GB
+    # peak regardless of clip length; bit-identical to the one-shot
+    # form (each output row's arithmetic is independent).
+    block = 1 << 20
+    for s in range(0, n_out, block):
+        j = np.arange(s, min(s + block, n_out), dtype=np.int64)
+        # exact rational positions: p = j * M / L in input-sample units
+        base = (j * m) // l
+        frac = ((j * m) % l).astype(np.float64) / l
+        # t = p - (base + k) = frac - k
+        t = frac[:, None] - k[None, :]
+        h = c * np.sinc(c * t)
+        w_arg = t / half_taps
+        inside = np.abs(w_arg) <= 1.0
+        win = np.zeros_like(t)
+        win[inside] = np.i0(
+            beta * np.sqrt(1.0 - w_arg[inside] * w_arg[inside])
+        ) / np.i0(beta)
+        h *= win
+        idx = base[:, None] + k[None, :]
+        y[s : s + len(j)] = (xp[idx + pad] * h).sum(axis=1)
+    return y
 
 
 _SCHEMA = T.StructType(

@@ -147,10 +147,18 @@ def segment_clips(
                             )
                         )
                 except codecs.CodecError as e:
+                    # sr_hz may be null/NaN on exactly the broken rows
+                    # that land here — a bare int() would crash the
+                    # whole UDF task instead of emitting the error row
+                    sr_raw = r["sr_hz"] if "sr_hz" in r else None
+                    try:
+                        sr_val = int(sr_raw) if pd.notna(sr_raw) else -1
+                    except (TypeError, ValueError):
+                        sr_val = -1
                     rows.append(
                         (cid, 0, f"{cid}:seg0", 0.0, 0.0,
                          str(r["codec"]),
-                         int(r["sr_hz"]) if "sr_hz" in r else -1,
+                         sr_val,
                          None, 0.0, str(e))
                     )
             yield pd.DataFrame(

@@ -70,16 +70,18 @@ def audio_dedup_pipeline(
 
     ids = clips.select(F.col(id_col).alias("id")).distinct()
 
-    # tier 1: byte-identical groups, one representative each
-    fp = clips.select(
+    # tier 1: byte-identical groups, one representative each.
+    # Persist ONLY the (id, hash) projection — 48 bytes/row, never the
+    # payloads — so the md5-over-every-payload scan runs exactly once;
+    # unpersisted, the keep aggregate, the exact_pairs join and the
+    # reps join would each re-hash the corpus.
+    hashes = clips.select(
         F.col(id_col).alias("id"),
-        F.col("codec"),
-        F.col("bytes"),
         F.md5(F.col("bytes")).alias("_fp"),
-    )
-    keep = fp.groupBy("_fp").agg(F.min("id").alias("keep_id"))
+    ).persist()
+    keep = hashes.groupBy("_fp").agg(F.min("id").alias("keep_id"))
     exact_pairs = (
-        fp.join(keep, "_fp")
+        hashes.join(keep, "_fp")
         .filter(F.col("id") != F.col("keep_id"))
         .select(
             F.col("_fp").alias("fingerprint"),
@@ -87,7 +89,19 @@ def audio_dedup_pipeline(
             F.col("id").alias("dup_id"),
         )
     )
-    reps = fp.join(keep, "_fp").filter(F.col("id") == F.col("keep_id"))
+    # representatives re-acquire (codec, bytes) via a keys-only join
+    # against the source — only rep payloads are read for decode
+    reps = (
+        hashes.join(keep, "_fp")
+        .filter(F.col("id") == F.col("keep_id"))
+        .select("id", "_fp")
+        .join(
+            clips.select(
+                F.col(id_col).alias("id"), F.col("codec"), F.col("bytes")
+            ),
+            "id",
+        )
+    )
 
     # tier 2: one decode per representative -> content embedding;
     # persisted because the banding pass and the verification re-join
@@ -146,5 +160,5 @@ def audio_dedup_pipeline(
         embedding_pairs=embedding_pairs,
         clusters=clusters,
         keepers=keepers,
-        _persisted=[emb],
+        _persisted=[hashes, emb],
     )

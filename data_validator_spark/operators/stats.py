@@ -686,37 +686,28 @@ def pinned_value_report(df: DataFrame, cols: Sequence[str]) -> DataFrame:
         .groupBy("column_name", "value")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
     )
+    # Values are unique per column after the (column, value) groupBy, so
+    # min/max over struct(value, cnt) picks the extreme value AND its count
+    # in the SAME aggregate — no self-joins back onto the freqs lineage
+    # (the previous two-join form tripped Spark's "trivially true equals
+    # predicate" resolution and re-scanned the unpivot twice).
     per_col = freqs.groupBy("column_name").agg(
         F.sum("cnt").cast("long").alias("n_nonnull"),
         F.max(F.struct(F.col("cnt"), F.col("value"))).alias("_mode"),
-        F.min("value").alias("_lo"),
-        F.max("value").alias("_hi"),
+        F.min(F.struct(F.col("value"), F.col("cnt"))).alias("_lo_s"),
+        F.max(F.struct(F.col("value"), F.col("cnt"))).alias("_hi_s"),
         F.sum(F.when(F.col("value") == 0.0, F.col("cnt")).otherwise(0))
         .cast("long")
         .alias("_zeros"),
     )
-    extreme = freqs.select(
-        "column_name", F.col("value").alias("_v"), F.col("cnt").alias("_c")
-    )
-    lo_cnt = per_col.join(
-        extreme,
-        (per_col.column_name == extreme.column_name)
-        & (per_col._lo == extreme._v),
-    ).select(per_col.column_name, F.col("_c").alias("_lo_cnt"))
-    hi_cnt = per_col.join(
-        extreme,
-        (per_col.column_name == extreme.column_name)
-        & (per_col._hi == extreme._v),
-    ).select(per_col.column_name, F.col("_c").alias("_hi_cnt"))
-    out = per_col.join(lo_cnt, "column_name").join(hi_cnt, "column_name")
-    filled = out.select(
+    filled = per_col.select(
         "column_name",
         "n_nonnull",
         F.col("_mode.value").alias("mode_value"),
         F.round(F.col("_mode.cnt") / F.col("n_nonnull"), 6).alias("mode_share"),
         F.round(F.col("_zeros") / F.col("n_nonnull"), 6).alias("zero_share"),
-        F.round(F.col("_lo_cnt") / F.col("n_nonnull"), 6).alias("min_share"),
-        F.round(F.col("_hi_cnt") / F.col("n_nonnull"), 6).alias("max_share"),
+        F.round(F.col("_lo_s.cnt") / F.col("n_nonnull"), 6).alias("min_share"),
+        F.round(F.col("_hi_s.cnt") / F.col("n_nonnull"), 6).alias("max_share"),
     )
     col_names = df.sparkSession.createDataFrame(
         [(c,) for c in cols], "column_name string"

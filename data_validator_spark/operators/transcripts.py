@@ -34,6 +34,7 @@ max(n_ref, 1)); both empty -> 0.0.
 
 from __future__ import annotations
 
+import re
 from typing import Iterator, Sequence
 
 import pandas as pd
@@ -45,6 +46,12 @@ from pyspark.sql.functions import pandas_udf
 # injective word->char range: BMP only (see module docstring)
 _CHAR_BASE = 0x0100
 _CHAR_MAX = 0xD7FF
+
+# ONE tokenizer for both paths: Java's \s class ([ \t\n\x0B\f\r]) —
+# the vocab path splits JVM-side with split(_, "\\s+"), so the pandas
+# path must use the same ASCII class (python str.split() would also
+# split on U+00A0 etc. and yield a different WER for the same row)
+_JAVA_WS = re.compile(r"[ \t\n\x0b\f\r]+")
 _UNK = ""  # single <unk> char, outside the mapped range
 
 
@@ -94,7 +101,9 @@ def _map_word_pairs(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
             def enc(s: str) -> str:
                 out = []
-                for t in s.split():
+                for t in _JAVA_WS.split(s):
+                    if not t:
+                        continue
                     c = m.get(t)
                     if c is None:
                         code = _CHAR_BASE + len(m)

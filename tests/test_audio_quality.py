@@ -280,3 +280,23 @@ def test_effective_bits_rule(spark):
     # default: rule off
     off = {r["clip_id"]: r["_quality_labels"] for r in run_quality_checks(df).collect()}
     assert all(lbl is None or "low_bitdepth" not in lbl for lbl in off.values())
+
+
+def test_quality_only_knobs_require_quality_flag(spark):
+    """round-5 ADVICE: lufs/embed/clipping knobs are consumed only by
+    the fused quality pass — setting one with quality=False must raise,
+    not silently produce a run with the rule missing."""
+    from data_validator_spark.audio.checks import run_audio_checks
+
+    df = spark.createDataFrame(
+        [("c1", "pcm16", 16000, None)],
+        "clip_id string, codec string, sr_hz int, bytes binary",
+    )
+    with pytest.raises(ValueError, match="lufs_min.*quality=True"):
+        run_audio_checks(df, lufs_min=-30.0)
+    with pytest.raises(ValueError, match="embed_mels"):
+        run_audio_checks(df, embed_mels=32, quality=False)
+    # quality=True with the same knobs is the supported path
+    assert "audio_snr_db" in run_audio_checks(
+        df, quality=True, lufs_min=-30.0
+    ).columns

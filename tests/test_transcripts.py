@@ -111,3 +111,28 @@ def test_wer_label_echoes_value(spark):
     assert got[1] is None
     assert got[2] == "transcript_wer_above(0.75)"
     assert got[3] is None  # null wer never labels
+
+
+def test_tokenizer_parity_unicode_whitespace(spark):
+    """Both paths tokenize with Java's \\s class: U+00A0 (NBSP) is NOT
+    a separator in either, so the same row yields the same WER whether
+    or not a vocab is passed (round-5 ADVICE: the general path used
+    python str.split(), which also splits on Unicode whitespace)."""
+    nbsp = "alpha\u00a0bravo"  # ONE token under Java \s+
+    df = spark.createDataFrame(
+        [Row(i=1, hyp=nbsp, ref="alpha bravo"), Row(i=2, hyp=nbsp, ref=nbsp)]
+    )
+    gen = {
+        r["i"]: (r["wer_distance"], r["wer_ref_words"])
+        for r in word_error_rate(df, "hyp", "ref").collect()
+    }
+    voc = {
+        r["i"]: (r["wer_distance"], r["wer_ref_words"])
+        for r in word_error_rate(
+            df, "hyp", "ref", vocab=VOCAB + [nbsp]
+        ).collect()
+    }
+    assert gen == voc
+    # the NBSP-joined pair is one token vs two -> substitution+deletion
+    assert gen[1] == (2, 2)
+    assert gen[2] == (0, 1)
