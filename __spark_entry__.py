@@ -4757,6 +4757,42 @@ def q126_repetition(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q127_exact_substring(spark: SparkSession, sf: str) -> DataFrame:
+    """Substring-level exact dedup (text_dedup.exact_substring_spans,
+    the ExactSubstr modality of Lee et al. 2022): documents gain
+    planted verbatim passages — doc_id % 7 == 0 docs get a 40-token
+    passage appended, doc_id % 11 == 0 a different one prepended — and
+    the operator emits per-doc cut spans of >= 30 shared tokens with
+    the corpus-wide FIRST occurrence of each passage exempt (the
+    paper's leave-one policy). The oracle replays tokenization, k-gram
+    windows, global occurrence counting with the same first-exempt
+    tiebreak, and the gap-> run merge."""
+    from data_validator_spark.operators.text_dedup import exact_substring_spans
+
+    pa = " ".join(f"a{i}" for i in range(40))
+    pb = " ".join(f"b{i}" for i in range(40))
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    planted = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat_ws(" ", F.col("text"), F.lit(pa)),
+        )
+        .otherwise(F.col("text"))
+        .alias("t1"),
+    ).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 11 == 0,
+            F.concat_ws(" ", F.lit(pb), F.col("t1")),
+        )
+        .otherwise(F.col("t1"))
+        .alias("text"),
+    )
+    spans = exact_substring_spans(planted, "doc_id", "text", k=30)
+    return spans.orderBy("doc_id", "span_start")
+
+
 # The driver's correctness gate samples the FIRST 50 queries() entries,
 # so dict order is the gate's coverage window. The window below spans
 # every tier (flagship plan, audio decode/quality/metadata, audio+text
@@ -4960,6 +4996,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q124_segmentation": q124_segmentation,
         "q125_audio_dedup_pipeline": q125_audio_dedup_pipeline,
         "q126_repetition": q126_repetition,
+        "q127_exact_substring": q127_exact_substring,
     }
 
 
@@ -7569,6 +7606,66 @@ _ORACLES: dict[str, str] = {
         )
         SELECT * FROM rows_ok UNION ALL SELECT * FROM defects
         ORDER BY vid_id
+    """,
+    "q127_exact_substring": """
+        WITH pas AS (
+          SELECT array_to_string(list_transform(range(0, 40),
+                   x -> 'a' || x::VARCHAR), ' ') AS pa,
+                 array_to_string(list_transform(range(0, 40),
+                   x -> 'b' || x::VARCHAR), ' ') AS pb
+        ),
+        planted AS (
+          SELECT doc_id,
+            CASE WHEN doc_id % 11 = 0 THEN pb || ' ' || t1
+                 ELSE t1 END AS text
+          FROM (SELECT doc_id,
+                  CASE WHEN doc_id % 7 = 0 THEN text || ' ' || pa
+                       ELSE text END AS t1
+                FROM documents, pas), pas
+        ),
+        toks AS (
+          SELECT doc_id,
+                 string_split(lower(trim(regexp_replace(text, '\\s+',
+                   ' ', 'g'))), ' ') AS t
+          FROM planted
+        ),
+        pos AS (
+          SELECT doc_id, unnest(range(0, len(t) - 30 + 1)) AS pos, t
+          FROM toks WHERE len(t) >= 30
+        ),
+        grams AS (
+          SELECT doc_id, pos,
+                 array_to_string(t[pos + 1 : pos + 30], ' ') AS g
+          FROM pos
+        ),
+        marked AS (
+          SELECT doc_id, pos,
+                 count(*) OVER (PARTITION BY g) AS cnt,
+                 row_number() OVER (PARTITION BY g
+                   ORDER BY doc_id, pos) AS rn
+          FROM grams
+        ),
+        kept AS (
+          SELECT doc_id, pos FROM marked WHERE cnt >= 2 AND rn > 1
+        ),
+        runs AS (
+          SELECT doc_id, pos,
+                 CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id
+                        ORDER BY pos) > 30 THEN 1 ELSE 0 END AS brk
+          FROM kept
+        ),
+        grp AS (
+          SELECT doc_id, pos,
+                 sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                   ROWS UNBOUNDED PRECEDING) AS run
+          FROM runs
+        )
+        SELECT doc_id,
+               min(pos)::BIGINT AS span_start,
+               (max(pos) + 30)::BIGINT AS span_end,
+               (max(pos) + 30 - min(pos))::BIGINT AS span_tokens
+        FROM grp GROUP BY doc_id, run
+        ORDER BY doc_id, span_start
     """,
     "q68_transcript_near_match": """
         WITH d AS (

@@ -533,3 +533,94 @@ def winnow_candidates(
         .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+
+
+# ------------------------------------------------------------------ ExactSubstr
+
+
+def exact_substring_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 50,
+    keep_first: bool = True,
+) -> DataFrame:
+    """Substring-level exact deduplication (the ExactSubstr modality of
+    Lee et al. 2022, "Deduplicating Training Data Makes Language
+    Models Better"): find every maximal token span of >= k tokens that
+    appears verbatim more than once in the corpus and emit per-document
+    CUT-LISTS -> (doc_id, span_start, span_end, span_tokens), token
+    positions 0-based, span_end exclusive.
+
+    The paper builds a corpus-wide suffix array — inherently
+    single-machine. The distributed reformulation: a span of >= k
+    tokens is repeated iff every one of its overlapping token k-grams
+    is repeated, so
+      1. tokenize (whitespace, lowercased — text.normalized_text);
+      2. emit every overlapping k-gram WITH its position (posexplode);
+         the k-gram string exists only inside the scan-fused
+         projection — what shuffles is md5(gram) + (id, pos), never
+         the text;
+      3. one groupBy(md5) aggregate -> occurrence count + global-first
+         occurrence (min struct). Hot boilerplate grams are handled by
+         map-side partial aggregation — this formulation never builds
+         candidate PAIRS, so there is no doc-frequency blow-up to cap
+         (contrast winnow_candidates' max_doc_freq);
+      4. join the tiny verdict back on the hash and keep duplicated
+         positions (keep_first exempts the corpus-wide first
+         occurrence per gram, so one copy of every passage survives —
+         the paper's "leave one" policy);
+      5. merge per-doc positions into maximal runs: spans [p, p+k)
+         for kept positions p, q overlap/touch iff q - p <= k, so a
+         gap > k starts a new run (one window pass) — the exact
+         union of the duplicated-span intervals.
+
+    At 10^12 rows every stage is a map or one hash shuffle keyed by
+    128-bit gram hash / doc id; nothing is O(pairs) and no suffix
+    array ever materializes.
+    """
+    from data_validator_spark.operators.text import word_ngrams
+
+    grams = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(word_ngrams(F.col(text_col), k)).alias("_pos", "_g"),
+    ).select("_id", "_pos", F.md5("_g").alias("_h"))
+    agg = grams.groupBy("_h").agg(
+        F.count(F.lit(1)).alias("_cnt"),
+        F.min(F.struct("_id", "_pos")).alias("_first"),
+    )
+    marked = grams.join(agg.filter(F.col("_cnt") >= 2), "_h")
+    if keep_first:
+        marked = marked.filter(
+            ~(
+                (F.col("_first._id") == F.col("_id"))
+                & (F.col("_first._pos") == F.col("_pos"))
+            )
+        )
+    w = Window.partitionBy("_id").orderBy("_pos")
+    runs = (
+        marked.select("_id", "_pos")
+        .withColumn(
+            "_brk",
+            F.when(
+                F.col("_pos") - F.lag("_pos").over(w) > k, F.lit(1)
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn(
+            "_run",
+            F.sum("_brk").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+    )
+    return (
+        runs.groupBy(F.col("_id").alias(id_col), "_run")
+        .agg(
+            F.min("_pos").cast("long").alias("span_start"),
+            (F.max("_pos") + k).cast("long").alias("span_end"),
+            (F.max("_pos") + k - F.min("_pos")).cast("long").alias(
+                "span_tokens"
+            ),
+        )
+        .drop("_run")
+    )
