@@ -4793,6 +4793,64 @@ def q127_exact_substring(spark: SparkSession, sf: str) -> DataFrame:
     return spans.orderBy("doc_id", "span_start")
 
 
+def q128_incremental_state(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental content dedup against persisted corpus state
+    (text_dedup.incremental_dedup_pipeline + plans.snapshots.
+    DedupStateStore): even doc_ids ingest as batch 1 (state written),
+    odd doc_ids as batch 2 with plants — every 10th even doc re-enters
+    byte-identical (id + 10M), every 14th long-enough even doc
+    re-enters with 3 appended tokens (id + 20M, a near-dup only the
+    persisted band buckets can resolve). The oracle replays the plant
+    arithmetic and asserts total resolution: every exact plant lands
+    on a batch-1 keeper via the state fingerprint map, every near
+    plant resolves away from itself (state signature match at ~0.89
+    true jaccard, accept margin 0.1 — >5 sigma above the noise floor
+    of the 64-hash estimate, so the outcome is structural)."""
+    import tempfile
+
+    from data_validator_spark.operators.text_dedup import (
+        incremental_dedup_pipeline,
+    )
+    from data_validator_spark.plans.snapshots import DedupStateStore
+
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    k = F.col("doc_id")
+    b1 = d.filter(k % 2 == 0)
+    exact_pl = b1.filter(k % 10 == 0).select(
+        (k + 10_000_000).alias("doc_id"), "text"
+    )
+    near_pl = b1.filter((k % 14 == 0) & (F.length("text") >= 150)).select(
+        (k + 20_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz0 zz1 zz2")).alias("text"),
+    )
+    b2 = d.filter(k % 2 == 1).unionByName(exact_pl).unionByName(near_pl)
+
+    store = DedupStateStore(tempfile.mkdtemp(prefix="q128_state_"))
+    r1 = incremental_dedup_pipeline(b1, store)
+    r1.unpersist()
+    r2 = incremental_dedup_pipeline(
+        b2, store, state_margin=0.1, update_state=False
+    )
+    a = r2.assignments
+    is_exact_pl = (F.col("id") >= 10_000_000) & (F.col("id") < 20_000_000)
+    is_near_pl = F.col("id") >= 20_000_000
+    return a.agg(
+        F.count(F.lit(1)).cast("long").alias("n_batch2"),
+        F.sum(is_exact_pl.cast("long")).alias("n_exact_planted"),
+        F.sum(
+            (
+                is_exact_pl
+                & (F.col("keep_id") % 2 == 0)
+                & (F.col("keep_id") < 10_000_000)
+            ).cast("long")
+        ).alias("n_exact_to_batch1"),
+        F.sum(is_near_pl.cast("long")).alias("n_near_planted"),
+        F.sum(
+            (is_near_pl & (F.col("keep_id") != F.col("id"))).cast("long")
+        ).alias("n_near_resolved"),
+    )
+
+
 # The driver's correctness gate samples the FIRST 50 queries() entries,
 # so dict order is the gate's coverage window. The window below spans
 # every tier (flagship plan, audio decode/quality/metadata, audio+text
@@ -4997,6 +5055,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q125_audio_dedup_pipeline": q125_audio_dedup_pipeline,
         "q126_repetition": q126_repetition,
         "q127_exact_substring": q127_exact_substring,
+        "q128_incremental_state": q128_incremental_state,
     }
 
 
@@ -7666,6 +7725,26 @@ _ORACLES: dict[str, str] = {
                (max(pos) + 30 - min(pos))::BIGINT AS span_tokens
         FROM grp GROUP BY doc_id, run
         ORDER BY doc_id, span_start
+    """,
+    "q128_incremental_state": """
+        WITH nat AS (
+          SELECT count(*) AS n FROM documents WHERE doc_id % 2 = 1
+        ),
+        exp AS (
+          SELECT count(*) AS n FROM documents
+          WHERE doc_id % 2 = 0 AND doc_id % 10 = 0
+        ),
+        nearp AS (
+          SELECT count(*) AS n FROM documents
+          WHERE doc_id % 2 = 0 AND doc_id % 14 = 0
+            AND length(text) >= 150
+        )
+        SELECT (nat.n + exp.n + nearp.n)::BIGINT AS n_batch2,
+               exp.n::BIGINT AS n_exact_planted,
+               exp.n::BIGINT AS n_exact_to_batch1,
+               nearp.n::BIGINT AS n_near_planted,
+               nearp.n::BIGINT AS n_near_resolved
+        FROM nat, exp, nearp
     """,
     "q68_transcript_near_match": """
         WITH d AS (

@@ -46,6 +46,13 @@ class AudioDedupResult:
     clusters: DataFrame         # (component, member_id, is_keeper)
     keepers: DataFrame          # (id, component, is_keeper) for ALL ids
     _persisted: list = field(default_factory=list)
+    # the persisted (vec_id, embedding) table over the exact-tier
+    # representatives (decodable, non-silent) — exposed so
+    # incremental_audio_dedup can match against persisted state
+    # without a second decode pass
+    embeddings: DataFrame | None = None
+    # the persisted (id, _fp) byte-hash projection
+    hashes: DataFrame | None = None
 
     def unpersist(self) -> None:
         for df in self._persisted:
@@ -161,4 +168,181 @@ def audio_dedup_pipeline(
         clusters=clusters,
         keepers=keepers,
         _persisted=[hashes, emb],
+        embeddings=emb,
+        hashes=hashes,
     )
+
+
+# ---------------------------------------------------------------- incremental
+
+
+@dataclass
+class IncrementalAudioDedupResult:
+    """`assignments`: every batch clip id with its final keeper and
+    resolution path — 'exact_state' (byte-identical to a persisted
+    clip), 'near_state' (its component keeper's content embedding
+    matched a persisted keeper at cosine >= threshold), 'batch_dup',
+    or 'new'."""
+
+    assignments: DataFrame  # (id, keep_id, via)
+    within: AudioDedupResult
+
+    def unpersist(self) -> None:
+        self.within.unpersist()
+
+
+def incremental_audio_dedup(
+    clips: DataFrame,
+    store,
+    id_col: str = "clip_id",
+    threshold: float = 0.985,
+    n_mels: int = 64,
+    n_planes: int = 12,
+    n_bands: int = 6,
+    bucket_cap: int = 4096,
+    plugins: dict | None = None,
+    algorithm: str = "star",
+    update_state: bool = True,
+) -> IncrementalAudioDedupResult:
+    """Audio content dedup of ONE NEW BATCH against the persisted
+    corpus state (plans.snapshots.DedupStateStore) — prior batches'
+    payloads are never re-read OR re-decoded; the state carries only
+    (fp, keep_id) byte hashes and fixed-size log-mel embeddings + band
+    buckets per keeper.
+
+    Unlike the text path (where cross-batch verification falls back to
+    the minhash ESTIMATE), audio cross-batch matches are verified
+    EXACTLY: the stored artifact IS the content embedding, so the
+    batch keeper's vector takes exact cosine against the persisted
+    vector — identical semantics to the within-batch tier. The
+    hyperplane family is deterministic in (dim, n_planes), so buckets
+    computed this batch join buckets stored last month.
+
+    State reads are pinned (read_pinned) so the batch never matches
+    its own appended rows. Per-keeper state is fixed-size: the widest
+    cross-batch operation is the (band, bucket) join.
+    """
+    from data_validator_spark.operators.similarity import _banded, cosine
+
+    spark = clips.sparkSession
+    store.check_meta(
+        spark,
+        "audio",
+        {"n_mels": n_mels, "n_planes": n_planes, "n_bands": n_bands},
+    )
+    within = audio_dedup_pipeline(
+        clips, id_col, threshold, n_mels, n_planes, n_bands,
+        bucket_cap, plugins, algorithm,
+    )
+    base = within.keepers.select("id", F.col("component").alias("_bk"))
+    fp = within.hashes  # (id, _fp) — persisted, payloads hashed once
+
+    has_fp = store.exists(spark, "audio_fp")
+    if has_fp:
+        st_fp = store.read_pinned(spark, "audio_fp").select(
+            F.col("fp").alias("_fp"), F.col("keep_id").alias("_st_exact")
+        )
+        ex = fp.join(st_fp, "_fp", "left").select("id", "_st_exact")
+    else:
+        ex = fp.select(
+            "id", F.lit(None).cast(fp.schema["id"].dataType).alias("_st_exact")
+        )
+
+    near = None
+    if store.exists(spark, "audio_bands"):
+        dim = 2 * n_mels
+        keeper_ids = base.select(F.col("_bk").alias("vec_id")).dropDuplicates(
+            ["vec_id"]
+        )
+        emb_k = within.embeddings.join(keeper_ids, "vec_id", "left_semi")
+        banded_k = _banded(
+            emb_k.select(F.col("vec_id").alias("_id"), F.col("embedding")),
+            "_id", "embedding", dim, n_planes, n_bands,
+        ).select("_id", "band", "bucket")
+        st_bands = store.read_pinned(spark, "audio_bands").select(
+            F.col("id").alias("_old"), "band", "bucket"
+        )
+        cand = (
+            banded_k.join(st_bands, ["band", "bucket"])
+            .select("_id", "_old")
+            .dropDuplicates(["_id", "_old"])
+        )
+        st_emb = store.read_pinned(spark, "audio_emb").select(
+            F.col("id").alias("_old"), F.col("embedding").alias("_v_old")
+        )
+        scored = (
+            cand.join(
+                emb_k.select(F.col("vec_id").alias("_id"), "embedding"), "_id"
+            )
+            .join(st_emb, "_old")
+            .withColumn("_cos", cosine(F.col("embedding"), F.col("_v_old")))
+            .filter(F.col("_cos") >= threshold)
+        )
+        from pyspark.sql import Window
+
+        near = (
+            scored.withColumn(
+                "_rn",
+                F.row_number().over(
+                    Window.partitionBy("_id").orderBy(
+                        F.col("_cos").desc(), F.col("_old").asc()
+                    )
+                ),
+            )
+            .filter(F.col("_rn") == 1)
+            .select(F.col("_id").alias("_bk"), F.col("_old").alias("_st_near"))
+        )
+
+    k_res = ex.withColumnRenamed("id", "_bk").withColumnRenamed(
+        "_st_exact", "_k_exact"
+    )
+    res = base.join(ex, "id", "left").join(k_res, "_bk", "left")
+    if near is not None:
+        res = res.join(near, "_bk", "left")
+    else:
+        res = res.withColumn(
+            "_st_near", F.lit(None).cast(fp.schema["id"].dataType)
+        )
+    assignments = res.select(
+        "id",
+        F.coalesce("_st_exact", "_k_exact", "_st_near", "_bk").alias("keep_id"),
+        F.when(F.col("_st_exact").isNotNull(), F.lit("exact_state"))
+        .when(F.col("_k_exact").isNotNull(), F.lit("exact_state"))
+        .when(F.col("_st_near").isNotNull(), F.lit("near_state"))
+        .when(F.col("_bk") != F.col("id"), F.lit("batch_dup"))
+        .otherwise(F.lit("new"))
+        .alias("via"),
+    ).persist()
+    within._persisted.append(assignments)
+
+    if update_state:
+        fp_map = (
+            fp.join(assignments, "id")
+            .select(F.col("_fp").alias("fp"), "keep_id")
+            .filter(F.col("fp").isNotNull())
+            .dropDuplicates(["fp"])
+        )
+        if has_fp:
+            fp_map = fp_map.join(
+                store.read_pinned(spark, "audio_fp").select("fp"),
+                "fp",
+                "left_anti",
+            )
+        store.append(fp_map, "audio_fp")
+        new_ids = assignments.filter(
+            (F.col("via") == "new") & (F.col("keep_id") == F.col("id"))
+        ).select(F.col("id").alias("vec_id"))
+        emb_new = within.embeddings.join(new_ids, "vec_id", "left_semi")
+        store.append(
+            emb_new.select(F.col("vec_id").alias("id"), "embedding"),
+            "audio_emb",
+        )
+        store.append(
+            _banded(
+                emb_new.select(F.col("vec_id").alias("_id"), "embedding"),
+                "_id", "embedding", 2 * n_mels, n_planes, n_bands,
+            ).select(F.col("_id").alias("id"), "band", "bucket"),
+            "audio_bands",
+        )
+
+    return IncrementalAudioDedupResult(assignments=assignments, within=within)

@@ -198,6 +198,31 @@ def minhash_signatures(
     )
 
 
+def _band_signature(sig: DataFrame, n_hashes: int, bands: int) -> DataFrame:
+    """(_id, band, bucket) band-bucket rows from a (_id, _sig)
+    signature table — shared by the self-join LSH path and the
+    incremental state-join path (buckets must be identical across
+    batches, so this is the single definition)."""
+    rows_per_band = n_hashes // bands
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    *[
+                        F.element_at("_sig", b * rows_per_band + r + 1)
+                        for r in range(rows_per_band)
+                    ]
+                ).alias("bucket"),
+            )
+            for b in range(bands)
+        ]
+    )
+    return sig.select("_id", F.explode(band_structs).alias("bb")).select(
+        "_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     id_col: str,
@@ -230,24 +255,10 @@ def minhash_lsh_candidates(
     when the session drops it (LRU) — or materialize it yourself via
     minhash_signatures() and manage its lifecycle.
     """
-    rows_per_band = n_hashes // bands
     sig = minhash_signatures(df, id_col, text_col, n, n_hashes, shingled=shingled)
     if persist_signatures:
         sig = sig.persist()
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.xxhash64(
-                    *[F.element_at("_sig", b * rows_per_band + r + 1) for r in range(rows_per_band)]
-                ).alias("bucket"),
-            )
-            for b in range(bands)
-        ]
-    )
-    banded = sig.select("_id", F.explode(band_structs).alias("bb")).select(
-        "_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
-    )
+    banded = _band_signature(sig, n_hashes, bands)
     pairs = (
         salted_self_join(banded, "_id", ["band", "bucket"], cap=bucket_cap)
         .select("id_a", "id_b")
@@ -332,6 +343,10 @@ class DedupResult:
     clusters: DataFrame         # (component, member_id, is_keeper), multi-member
     keepers: DataFrame          # (id, component, is_keeper) for ALL ids
     _persisted: list = field(default_factory=list)
+    # the persisted (_id, _grams) shingle table over the exact-tier
+    # representatives — exposed so incremental_dedup_pipeline can
+    # derive keeper signatures without re-shingling the batch
+    shingles: DataFrame | None = None
 
     def unpersist(self) -> None:
         for df in self._persisted:
@@ -438,6 +453,7 @@ def dedup_pipeline(
         clusters=clusters,
         keepers=keepers,
         _persisted=[sh],
+        shingles=sh,
     )
 
 
@@ -624,3 +640,219 @@ def exact_substring_spans(
         )
         .drop("_run")
     )
+
+
+# ------------------------------------------------------------------ incremental
+
+
+@dataclass
+class IncrementalDedupResult:
+    """Outputs of incremental_dedup_pipeline. `assignments` is the
+    actionable table: every batch id with its final keeper and how it
+    resolved — 'exact_state' (fingerprint matched the persisted
+    corpus), 'near_state' (its within-batch component keeper matched a
+    persisted keeper by signature similarity), 'batch_dup' (duplicate
+    of another doc in this batch), or 'new' (a genuinely new keeper,
+    appended to state)."""
+
+    assignments: DataFrame  # (id, keep_id, via)
+    within: DedupResult     # the full within-batch dedup result
+
+    def unpersist(self) -> None:
+        self.within.unpersist()
+
+
+def incremental_dedup_pipeline(
+    df: DataFrame,
+    store,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    n_hashes: int = 64,
+    bands: int = 32,
+    threshold: float = 0.8,
+    bucket_cap: int = 4096,
+    est_margin: float = 0.15,
+    state_margin: float = 0.0,
+    algorithm: str = "star",
+    update_state: bool = True,
+) -> IncrementalDedupResult:
+    """Content dedup of ONE NEW BATCH against the persisted corpus
+    state (plans.snapshots.DedupStateStore) — prior batches' parquet
+    is never re-read; only their small derived artifacts join in.
+
+    Tier order:
+      1. full within-batch dedup (dedup_pipeline: exact -> LSH ->
+         exact-jaccard verify -> components);
+      2. per-id EXACT state match: batch fingerprints join the
+         persisted (fp, keep_id) map — byte-level re-ingests resolve
+         here, and a doc's own exact match takes precedence over its
+         component's resolution;
+      3. NEAR state match for within-batch component keepers: keeper
+         signatures (reusing the batch's persisted shingle table) are
+         banded with the SAME bucket definition as the stored state
+         (_band_signature), joined against the persisted band buckets,
+         and candidate (new, old) pairs scored by signature agreement
+         est_jaccard >= threshold - state_margin. Cross-batch pairs
+         are verified by the 64-hash ESTIMATE, not exact jaccard —
+         the honest scale tradeoff: exact verification would require
+         persisting per-doc shingle sets (~the corpus size again),
+         while signatures are fixed 512 B/keeper. Members inherit
+         their keeper's resolution;
+      4. state update: every previously-unseen fingerprint is appended
+         with its final keeper, and signatures + band buckets of NEW
+         keepers are appended — so the next batch resolves against
+         this one without re-reading it.
+
+    The widest cross-batch operation is the (band, bucket) join; state
+    rows per keeper are fixed-size. At 10^12 docs the state is ~3
+    orders of magnitude smaller than the corpus.
+    """
+    spark = df.sparkSession
+    store.check_meta(
+        spark, "text", {"n": n, "n_hashes": n_hashes, "bands": bands}
+    )
+    within = dedup_pipeline(
+        df, id_col, text_col, n, n_hashes, bands, threshold,
+        bucket_cap, est_margin, algorithm,
+    )
+    # (id, batch_keep): the within-batch component keeper (min id)
+    base = within.keepers.select("id", F.col("component").alias("_bk"))
+
+    fp = df.select(
+        F.col(id_col).alias("id"), fingerprint(F.col(text_col)).alias("fp")
+    ).persist()
+
+    has_fp = store.exists(spark, "text_fp")
+    if has_fp:
+        st_fp = store.read_pinned(spark, "text_fp").select(
+            "fp", F.col("keep_id").alias("_st_exact")
+        )
+        ex = fp.join(st_fp, "fp", "left").select("id", "_st_exact")
+    else:
+        ex = fp.select(
+            "id", F.lit(None).cast(fp.schema["id"].dataType).alias("_st_exact")
+        )
+
+    # near-state resolution of component keepers (batch docs whose
+    # component found no exact state match may still be near-dups of
+    # persisted keepers)
+    keeper_ids = base.select(F.col("_bk").alias("_id")).dropDuplicates(["_id"])
+    near = None
+    if store.exists(spark, "text_bands"):
+        sig_k = minhash_signatures(
+            None, "_id", None, n, n_hashes,
+            shingled=within.shingles.join(keeper_ids, "_id", "left_semi"),
+        ).persist()
+        banded_k = _band_signature(sig_k, n_hashes, bands)
+        st_bands = store.read_pinned(spark, "text_bands").select(
+            F.col("id").alias("_old"), "band", "bucket"
+        )
+        cand = (
+            banded_k.join(st_bands, ["band", "bucket"])
+            .select(F.col("_id"), F.col("_old"))
+            .dropDuplicates(["_id", "_old"])
+        )
+        st_sig = store.read_pinned(spark, "text_sig").select(
+            F.col("id").alias("_old"), F.col("sig").alias("_sig_old")
+        )
+        est = (
+            cand.join(sig_k, "_id")
+            .join(st_sig, "_old")
+            .withColumn(
+                "_est",
+                F.size(
+                    F.filter(
+                        F.zip_with("_sig", "_sig_old", lambda x, y: x == y),
+                        lambda m: m,
+                    )
+                )
+                / F.lit(float(n_hashes)),
+            )
+            .filter(F.col("_est") >= threshold - state_margin)
+        )
+        # best persisted keeper per batch keeper (highest agreement,
+        # ties to the smallest old id — deterministic)
+        near = (
+            est.withColumn(
+                "_rn",
+                F.row_number().over(
+                    Window.partitionBy("_id").orderBy(
+                        F.col("_est").desc(), F.col("_old").asc()
+                    )
+                ),
+            )
+            .filter(F.col("_rn") == 1)
+            .select(F.col("_id").alias("_bk"), F.col("_old").alias("_st_near"))
+        )
+
+    # component keeper's own resolution: exact beats near
+    k_res = ex.withColumnRenamed("id", "_bk").withColumnRenamed(
+        "_st_exact", "_k_exact"
+    )
+    res = base.join(ex, "id", "left").join(k_res, "_bk", "left")
+    if near is not None:
+        res = res.join(near, "_bk", "left")
+    else:
+        res = res.withColumn(
+            "_st_near", F.lit(None).cast(fp.schema["id"].dataType)
+        )
+    assignments = res.select(
+        "id",
+        F.coalesce("_st_exact", "_k_exact", "_st_near", "_bk").alias("keep_id"),
+        F.when(F.col("_st_exact").isNotNull(), F.lit("exact_state"))
+        .when(F.col("_k_exact").isNotNull(), F.lit("exact_state"))
+        .when(F.col("_st_near").isNotNull(), F.lit("near_state"))
+        .when(F.col("_bk") != F.col("id"), F.lit("batch_dup"))
+        .otherwise(F.lit("new"))
+        .alias("via"),
+    )
+    # totality: null-text rows never enter dedup_pipeline (nothing to
+    # match on) but must still appear in the batch verdict — they keep
+    # themselves and contribute no state (null fp filtered below)
+    missing = (
+        df.select(F.col(id_col).alias("id"))
+        .join(assignments.select("id"), "id", "left_anti")
+        .select("id", F.col("id").alias("keep_id"), F.lit("new").alias("via"))
+    )
+    assignments = assignments.unionByName(missing).persist()
+    within._persisted.append(fp)
+    within._persisted.append(assignments)
+
+    if update_state:
+        # fingerprint map: one row per previously-unseen fp, mapped to
+        # the FINAL keeper its exact-group resolved to
+        fp_map = (
+            fp.join(assignments, "id")
+            .select("fp", "keep_id")
+            .filter(F.col("fp").isNotNull())
+            .dropDuplicates(["fp"])
+        )
+        if has_fp:
+            fp_map = fp_map.join(
+                store.read_pinned(spark, "text_fp").select("fp"),
+                "fp",
+                "left_anti",
+            )
+        store.append(fp_map, "text_fp")
+        # signatures + buckets for NEW keepers only
+        new_ids = assignments.filter(
+            (F.col("via") == "new") & (F.col("keep_id") == F.col("id"))
+        ).select(F.col("id").alias("_id"))
+        sig_new = minhash_signatures(
+            None, "_id", None, n, n_hashes,
+            shingled=within.shingles.join(new_ids, "_id", "left_semi"),
+        ).persist()
+        store.append(
+            sig_new.select(F.col("_id").alias("id"), F.col("_sig").alias("sig")),
+            "text_sig",
+        )
+        store.append(
+            _band_signature(sig_new, n_hashes, bands).select(
+                F.col("_id").alias("id"), "band", "bucket"
+            ),
+            "text_bands",
+        )
+        sig_new.unpersist()
+
+    return IncrementalDedupResult(assignments=assignments, within=within)

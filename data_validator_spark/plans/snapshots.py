@@ -172,3 +172,102 @@ class SnapshotStore:
             self.read(spark, baseline_id, "theta"),
             self.read(spark, current_id, "theta"),
         )
+
+
+# ---------------------------------------------------------------- dedup state
+
+
+@dataclass(frozen=True)
+class DedupStateStore:
+    """Persisted corpus-level CONTENT-dedup state for incremental
+    ingest: production pipelines dedup each NEW batch against the
+    existing corpus without re-scanning it, so the state carries the
+    small derived artifacts cross-batch matching needs — never the
+    text or payload bytes:
+
+        text_fp      (fp, keep_id)           md5 of normalized text
+        text_sig     (id, sig)               minhash signatures, keepers only
+        text_bands   (id, band, bucket)      LSH band buckets, keepers only
+        audio_fp     (fp, keep_id)           md5 of payload bytes
+        audio_emb    (id, embedding)         log-mel embeddings, keepers only
+        audio_bands  (id, band, bucket)      hyperplane buckets, keepers only
+        *_meta       one-row parquet pinning the banding parameters
+
+    Per-keeper state is FIXED-SIZE (one 64-long signature / one
+    2*n_mels-float embedding + a handful of band rows), so state for a
+    10^12-doc corpus is ~3 orders of magnitude smaller than the corpus
+    and every cross-batch operation is a join keyed on (band, bucket)
+    or a 128-bit fingerprint — the old batches' parquet is never read
+    again (gated by tests/test_incremental_dedup.py, which deletes the
+    batch-1 input before ingesting batch 2).
+
+    Banding parameters must agree across every ingest into one store
+    (different n_hashes/bands/planes produce incomparable buckets);
+    check_meta() writes them on first ingest and raises on mismatch.
+
+    Reference counterpart: the reference dedups only within one run
+    (survey_prep.py winner-selection); incremental corpus state is the
+    training-pipeline tier on top.
+    """
+
+    root: str
+
+    def _p(self, artifact: str) -> str:
+        return f"{self.root}/{artifact}"
+
+    def exists(self, spark: SparkSession, artifact: str) -> bool:
+        jvm = spark.sparkContext._jvm
+        path = jvm.org.apache.hadoop.fs.Path(self._p(artifact))
+        fs = path.getFileSystem(
+            spark.sparkContext._jsc.hadoopConfiguration()
+        )
+        return bool(fs.exists(path))
+
+    def read(self, spark: SparkSession, artifact: str) -> DataFrame:
+        return spark.read.parquet(self._p(artifact))
+
+    def read_pinned(self, spark: SparkSession, artifact: str) -> DataFrame:
+        """Read the artifact AS OF NOW: the file list is captured
+        eagerly, so rows appended later in the same run never leak
+        into this DataFrame's lazy re-evaluations. The incremental
+        pipelines resolve a batch against the state at ingest START
+        and then append — with a plain read, Spark's execution-time
+        file listing would make the batch match its own just-written
+        rows (a doc would resolve to itself as 'exact_state')."""
+        sc = spark.sparkContext
+        path = sc._jvm.org.apache.hadoop.fs.Path(self._p(artifact))
+        fs = path.getFileSystem(sc._jsc.hadoopConfiguration())
+        files = [
+            st.getPath().toString()
+            for st in fs.listStatus(path)
+            if st.isFile()
+            and not st.getPath().getName().startswith(("_", "."))
+        ]
+        return spark.read.parquet(*files)
+
+    def append(self, df: DataFrame, artifact: str) -> None:
+        df.write.mode("append").parquet(self._p(artifact))
+
+    def check_meta(self, spark: SparkSession, family: str, params: dict) -> None:
+        """First ingest writes the banding parameters; later ingests
+        must present identical ones (state buckets would otherwise be
+        silently incomparable — fail loudly instead)."""
+        art = f"{family}_meta"
+        if not self.exists(spark, art):
+            spark.createDataFrame(
+                [{k: int(v) for k, v in sorted(params.items())}]
+            ).coalesce(1).write.mode("overwrite").parquet(self._p(art))
+            return
+        stored = self.read(spark, art).collect()[0].asDict()
+        mismatched = {
+            k: (stored.get(k), int(v))
+            for k, v in params.items()
+            if stored.get(k) != int(v)
+        }
+        if mismatched:
+            raise ValueError(
+                f"DedupStateStore {self.root} was built with different "
+                f"{family} banding parameters: {mismatched} "
+                "(stored, requested) — use a fresh store root or the "
+                "original parameters"
+            )
