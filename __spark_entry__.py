@@ -4851,6 +4851,84 @@ def q128_incremental_state(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q129_transcript_plausibility(spark: SparkSession, sf: str) -> DataFrame:
+    """Transcript <-> audio plausibility rules (operators/
+    plausibility.py) against PLANTED pairing defects: 160 deterministic
+    clips in four classes — ok (1 s tone, 3 words -> 3.0 wps), fast
+    (1 s, 10 words -> 10 wps, outside the [0.5, 6] window), slow (8 s,
+    3 words -> 0.375 wps), silent (1 s digital silence, 5 words -> wps
+    in range but speech share 0 under a real transcript). Durations
+    come from the DECODED sample count (exactly n/sr by construction),
+    silence share from the fused quality pass — both rules ride the
+    single decode. All verdicts are config-determined -> literal
+    oracle."""
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        from data_validator_spark.audio import codecs, synth
+
+        classes = ["ok", "fast", "slow", "silent"]
+        words = {"ok": 3, "fast": 10, "slow": 3, "silent": 5}
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                planted = classes[i % 4]
+                sr = [8000, 16000][(i // 4) % 2]
+                n = 8 * sr if planted == "slow" else sr
+                clip_id = f"q129-{i:06d}"
+                if planted == "silent":
+                    pcm = np.zeros(n, np.float32)
+                else:
+                    pcm = np.clip(synth.reference_pcm(clip_id, sr, n), -1, 1)
+                tx = " ".join(f"w{j}" for j in range(words[planted]))
+                rows.append(
+                    (clip_id, "pcm16", sr, codecs.encode("pcm16", pcm, sr),
+                     tx, planted)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["clip_id", "codec", "sr_hz", "bytes", "transcript",
+                         "planted"],
+            )
+
+    from data_validator_spark.audio.checks import run_audio_checks
+    from data_validator_spark.operators.plausibility import (
+        transcript_plausibility,
+    )
+
+    clips = spark.range(0, 160, numPartitions=8).mapInPandas(
+        gen,
+        "clip_id string, codec string, sr_hz int, bytes binary, "
+        "transcript string, planted string",
+    )
+    checked = run_audio_checks(clips, quality=True)
+    p = transcript_plausibility(
+        checked,
+        "transcript",
+        dur_ms_col=None,
+        n_samples_col="audio_n_samples",
+        container_sr_col="audio_container_sr",
+        silence_ratio_col="silence_ratio",
+    )
+    return (
+        p.groupBy("planted")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.col("_wps_label").isNotNull().cast("long")).alias(
+                "n_wps_flagged"
+            ),
+            F.sum(F.col("_speech_label").isNotNull().cast("long")).alias(
+                "n_speech_flagged"
+            ),
+            F.round(F.avg("wps"), 4).alias("avg_wps"),
+        )
+        .orderBy("planted")
+    )
+
+
 # The driver's correctness gate samples the FIRST 50 queries() entries,
 # so dict order is the gate's coverage window. The window below spans
 # every tier (flagship plan, audio decode/quality/metadata, audio+text
@@ -5056,6 +5134,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q126_repetition": q126_repetition,
         "q127_exact_substring": q127_exact_substring,
         "q128_incremental_state": q128_incremental_state,
+        "q129_transcript_plausibility": q129_transcript_plausibility,
     }
 
 
@@ -7745,6 +7824,15 @@ _ORACLES: dict[str, str] = {
                nearp.n::BIGINT AS n_near_planted,
                nearp.n::BIGINT AS n_near_resolved
         FROM nat, exp, nearp
+    """,
+    "q129_transcript_plausibility": """
+        SELECT * FROM (VALUES
+            ('fast',   40::BIGINT, 40::BIGINT, 0::BIGINT, 10.0),
+            ('ok',     40::BIGINT, 0::BIGINT,  0::BIGINT, 3.0),
+            ('silent', 40::BIGINT, 0::BIGINT,  40::BIGINT, 5.0),
+            ('slow',   40::BIGINT, 40::BIGINT, 0::BIGINT, 0.375)
+        ) AS t(planted, n, n_wps_flagged, n_speech_flagged, avg_wps)
+        ORDER BY planted
     """,
     "q68_transcript_near_match": """
         WITH d AS (

@@ -279,6 +279,11 @@ def run_audio_checks(
     return (
         out.withColumn("audio_decode_error", F.col("_audio.decode_error"))
         .withColumn("audio_snr_db", F.col("_audio.snr_db"))
+        # decoded length + container rate surface so downstream rules
+        # (duration consistency, transcript plausibility) can use the
+        # DECODED duration instead of trusting dur_ms metadata
+        .withColumn("audio_n_samples", F.col("_audio.n_samples"))
+        .withColumn("audio_container_sr", F.col("_audio.container_sr"))
         .withColumn(
             "_snr_label",
             F.when(

@@ -68,6 +68,16 @@ class ValidationConfig:
     # 2*n floats) from the SAME fused decode — validate + content-
     # dedup in one payload pass. None disables (default).
     quality_embed_mels: int | None = None
+    # opt-in: transcript <-> audio plausibility rules (operators/
+    # plausibility.py): words-per-second window over the DECODED
+    # duration (falls back to dur_ms when audio checks are off), and —
+    # when check_quality also computed silence_ratio — the
+    # speech-share-vs-transcript-length rule. Pure Column algebra over
+    # scalars the single decode pass already produced.
+    check_plausibility: bool = False
+    wps_min: float = 0.5
+    wps_max: float = 6.0
+    speech_share_min: float = 0.3
     snr_min_db: float = 30.0
     decode_partitions: int | None = None  # repartition before decode stage
     # co-batch the decode stage by this LOW-CARDINALITY key (e.g.
@@ -375,6 +385,28 @@ def run_validation(
         if cfg.check_quality:
             v = append_messages(v, ENTITY, F.col("_quality_labels")).drop(
                 "_quality_labels"
+            )
+    if cfg.check_plausibility:
+        from data_validator_spark.operators.plausibility import (
+            transcript_plausibility,
+        )
+
+        with_quality = cfg.check_audio and cfg.check_quality
+        v = transcript_plausibility(
+            v,
+            "transcript",
+            dur_ms_col="dur_ms",
+            n_samples_col="audio_n_samples" if cfg.check_audio else None,
+            container_sr_col="audio_container_sr" if cfg.check_audio else None,
+            silence_ratio_col="silence_ratio" if with_quality else None,
+            wps_min=cfg.wps_min,
+            wps_max=cfg.wps_max,
+            speech_share_min=cfg.speech_share_min,
+        )
+        v = append_messages(v, ENTITY, F.col("_wps_label")).drop("_wps_label")
+        if with_quality:
+            v = append_messages(v, ENTITY, F.col("_speech_label")).drop(
+                "_speech_label"
             )
     # bytes is a no-op drop when check_audio (never joined back);
     # audio_bytes_null is all-false on the validated side by now
