@@ -3948,7 +3948,7 @@ def q115_pinned_values(spark: SparkSession, sf: str) -> DataFrame:
 
 def q116_opus_metadata(spark: SparkSession, sf: str) -> DataFrame:
     """REAL Opus metadata-tier validation (audio/opus.py over
-    checks.run_audio_checks): 240 deterministic Ogg-Opus clips in six
+    checks.run_audio_checks): 360 deterministic Ogg-Opus clips in nine
     planted classes —
       clean          structurally sound, duration == dur_ms
       granule_skew   final granule overstates the TOC frame sum (+400ms)
@@ -3957,12 +3957,19 @@ def q116_opus_metadata(spark: SparkSession, sf: str) -> DataFrame:
       dur_lie        sound container but declares dur_ms + 500ms of
                      audio (metadata drift -> dur_ms_mismatch warning)
       jitter         container declares dur_ms + 20ms (< 50ms tol)
+      multistream    VALID family-1 coupled-stereo mapping table
+                     (RFC 7845 §5.1.1) — must pass like clean
+      bad_mapping    family-1 table with coupled_count > stream_count
+                     (§5.1.1 violation -> container reject)
+      bad_tags       OpusTags comment length past the packet end
+                     (§5.2 violation -> container reject)
     — run through the standard decode UDF + duration-consistency
     label. Container defects are HARD decode errors (the real checks:
-    CRC verify, granule/TOC cross-check, packet well-formedness);
-    sound streams surface audio_codec_unsupported_pcm(opus), never a
-    synthetic SNR pass. Per-class outcome counts are config-determined
-    -> literal oracle rows."""
+    CRC verify, granule/TOC cross-check, packet well-formedness,
+    channel-mapping sanity, comment-header validity); sound streams
+    surface audio_codec_unsupported_pcm(opus), never a synthetic SNR
+    pass. Per-class outcome counts are config-determined -> literal
+    oracle rows."""
     from data_validator_spark.audio.checks import (
         audio_check_udf,
         duration_consistency_label,
@@ -3977,14 +3984,15 @@ def q116_opus_metadata(spark: SparkSession, sf: str) -> DataFrame:
         classes = [
             "clean", "granule_skew", "bad_crc",
             "bad_packet", "dur_lie", "jitter",
+            "multistream", "bad_mapping", "bad_tags",
         ]
         srs = [8000, 16000, 48000]
         for pdf in batches:
             rows = []
             for i in pdf["id"]:
                 i = int(i)
-                planted = classes[i % 6]
-                sr = srs[(i // 6) % 3]
+                planted = classes[i % 9]
+                sr = srs[(i // 9) % 3]
                 dur_ms = 200 + (i * 17) % 800
                 extra = {"dur_lie": 500.0, "jitter": 20.0}.get(planted, 0.0)
                 n = int(round((dur_ms + extra) / 1000.0 * sr))
@@ -3993,6 +4001,10 @@ def q116_opus_metadata(spark: SparkSession, sf: str) -> DataFrame:
                     granule_skew_ms=400.0 if planted == "granule_skew" else 0.0,
                     corrupt_crc=planted == "bad_crc",
                     plant_bad_packet=planted == "bad_packet",
+                    mapping_family=1 if planted == "multistream" else 0,
+                    channels=2 if planted == "multistream" else 1,
+                    bad_mapping=planted == "bad_mapping",
+                    bad_tags=planted == "bad_tags",
                 )
                 rows.append(
                     (f"q116-{i:06d}", "opus", sr, dur_ms, payload, planted)
@@ -4003,7 +4015,7 @@ def q116_opus_metadata(spark: SparkSession, sf: str) -> DataFrame:
                          "planted"],
             )
 
-    clips = spark.range(0, 240, numPartitions=8).mapInPandas(
+    clips = spark.range(0, 360, numPartitions=8).mapInPandas(
         gen,
         "clip_id string, codec string, sr_hz int, dur_ms int, "
         "bytes binary, planted string",
@@ -7428,11 +7440,14 @@ _ORACLES: dict[str, str] = {
     "q116_opus_metadata": """
         SELECT * FROM (VALUES
           ('bad_crc',      40::BIGINT, 40::BIGINT, 0::BIGINT, 0::BIGINT, 0::BIGINT),
+          ('bad_mapping',  40::BIGINT, 40::BIGINT, 0::BIGINT, 0::BIGINT, 0::BIGINT),
           ('bad_packet',   40::BIGINT, 40::BIGINT, 0::BIGINT, 0::BIGINT, 0::BIGINT),
+          ('bad_tags',     40::BIGINT, 40::BIGINT, 0::BIGINT, 0::BIGINT, 0::BIGINT),
           ('clean',        40::BIGINT, 0::BIGINT, 40::BIGINT, 0::BIGINT, 0::BIGINT),
           ('dur_lie',      40::BIGINT, 0::BIGINT, 40::BIGINT, 40::BIGINT, 0::BIGINT),
           ('granule_skew', 40::BIGINT, 40::BIGINT, 0::BIGINT, 0::BIGINT, 0::BIGINT),
-          ('jitter',       40::BIGINT, 0::BIGINT, 40::BIGINT, 0::BIGINT, 0::BIGINT)
+          ('jitter',       40::BIGINT, 0::BIGINT, 40::BIGINT, 0::BIGINT, 0::BIGINT),
+          ('multistream',  40::BIGINT, 0::BIGINT, 40::BIGINT, 0::BIGINT, 0::BIGINT)
         ) AS t(planted, n, n_container_rejected, n_pcm_unsupported,
                n_dur_flagged, n_snr_evaluated)
         ORDER BY planted

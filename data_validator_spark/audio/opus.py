@@ -212,10 +212,115 @@ def _packets(payload: bytes):
         raise OpusError("unterminated ogg packet at end of stream")
 
 
+def _parse_head(packet: bytes) -> dict:
+    """OpusHead (RFC 7845 §5.1) incl. the channel-mapping table
+    (§5.1.1). Raises OpusError on any structural violation; returns
+    {channels, pre_skip, input_sr, mapping_family, stream_count,
+    coupled_count}."""
+    if len(packet) < 19 or packet[:8] != b"OpusHead":
+        raise OpusError("first packet is not OpusHead")
+    version = packet[8]
+    if version >> 4 != 0:  # RFC 7845 §5.1: major version 0
+        raise OpusError(f"unsupported OpusHead version {version}")
+    channels = packet[9]
+    if channels < 1:
+        raise OpusError("OpusHead declares zero channels")
+    pre_skip, input_sr = struct.unpack_from("<HI", packet, 10)
+    family = packet[18]
+    if family == 0:
+        # §5.1.1: family 0 is mono/stereo, mapping table MUST be
+        # omitted (implicit single stream, coupled = channels - 1)
+        if channels > 2:
+            raise OpusError(
+                f"mapping family 0 with {channels} channels (max 2)"
+            )
+        if len(packet) != 19:
+            raise OpusError(
+                "mapping family 0 carries a channel mapping table"
+            )
+        streams, coupled = 1, channels - 1
+    elif family in (1, 255):
+        if family == 1 and channels > 8:
+            raise OpusError(
+                f"mapping family 1 with {channels} channels (max 8)"
+            )
+        if len(packet) < 21 + channels:
+            raise OpusError("channel mapping table truncated")
+        streams = packet[19]
+        coupled = packet[20]
+        if streams < 1:
+            raise OpusError("OpusHead declares zero streams")
+        if coupled > streams:
+            raise OpusError(
+                f"coupled streams {coupled} exceed stream count {streams}"
+            )
+        if streams + coupled > 255:
+            raise OpusError("stream_count + coupled_count exceeds 255")
+        n_dec = streams + coupled  # decoded channel indices 0..n_dec-1
+        for ch, m in enumerate(packet[21 : 21 + channels]):
+            if m != 255 and m >= n_dec:
+                raise OpusError(
+                    f"channel {ch} maps to stream index {m} "
+                    f"(only {n_dec} decoded channels)"
+                )
+    else:
+        raise OpusError(f"unknown channel mapping family {family}")
+    return {
+        "channels": channels,
+        "pre_skip": pre_skip,
+        "input_sr": input_sr,
+        "mapping_family": family,
+        "stream_count": streams,
+        "coupled_count": coupled,
+    }
+
+
+def _parse_tags(packet: bytes) -> int:
+    """OpusTags (RFC 7845 §5.2): vendor string + user comment list,
+    every length fitting the packet, every comment valid UTF-8 with a
+    `KEY=value` shape (key chars 0x20..0x7D excluding '=').
+    Returns the comment count; raises OpusError on violation."""
+    if len(packet) < 8 or packet[:8] != b"OpusTags":
+        raise OpusError("second packet is not OpusTags")
+    if len(packet) < 12:
+        raise OpusError("OpusTags missing vendor length")
+    (vlen,) = struct.unpack_from("<I", packet, 8)
+    off = 12 + vlen
+    if off + 4 > len(packet):
+        raise OpusError("OpusTags vendor string exceeds packet")
+    try:
+        packet[12:off].decode("utf-8")
+    except UnicodeDecodeError:
+        raise OpusError("OpusTags vendor string is not UTF-8")
+    (n_comments,) = struct.unpack_from("<I", packet, off)
+    off += 4
+    for i in range(n_comments):
+        if off + 4 > len(packet):
+            raise OpusError(f"OpusTags comment {i} missing length")
+        (clen,) = struct.unpack_from("<I", packet, off)
+        off += 4
+        if off + clen > len(packet):
+            raise OpusError(f"OpusTags comment {i} exceeds packet")
+        raw = packet[off : off + clen]
+        off += clen
+        try:
+            text = raw.decode("utf-8")
+        except UnicodeDecodeError:
+            raise OpusError(f"OpusTags comment {i} is not UTF-8")
+        eq = text.find("=")
+        if eq < 1:
+            raise OpusError(f"OpusTags comment {i} missing KEY=")
+        key = text[:eq]
+        if any(not ("\x20" <= c <= "\x7d") or c == "=" for c in key):
+            raise OpusError(f"OpusTags comment {i} has invalid key")
+    return n_comments
+
+
 def inspect(payload: bytes) -> dict:
     """Full metadata-tier inspection of an Ogg Opus payload.
 
-    Returns {error, channels, input_sr, pre_skip, n_packets,
+    Returns {error, channels, input_sr, pre_skip, mapping_family,
+    stream_count, coupled_count, n_comments, n_packets,
     toc_duration_ms, granule_duration_ms, duration_ms, bandwidth,
     stereo}. `error` is None for a structurally-sound stream; any
     container/packet violation makes `error` the (value-echoing)
@@ -226,12 +331,19 @@ def inspect(payload: bytes) -> dict:
     Cross-checks: granule-implied duration may trail the TOC sum by
     up to one packet (end-trimming, RFC 7845 §4.5) but may never
     exceed it, and a shortfall beyond MAX_PACKET_MS means the granule
-    position lies about the stream."""
+    position lies about the stream. The header tier covers the FULL
+    RFC 7845 container surface: channel-mapping family/table sanity
+    (§5.1.1 — stream/coupled counts, per-channel indices) and
+    OpusTags comment-header validity (§5.2)."""
     out = {
         "error": None,
         "channels": None,
         "input_sr": None,
         "pre_skip": None,
+        "mapping_family": None,
+        "stream_count": None,
+        "coupled_count": None,
+        "n_comments": None,
         "n_packets": 0,
         "toc_duration_ms": None,
         "granule_duration_ms": None,
@@ -248,21 +360,9 @@ def inspect(payload: bytes) -> dict:
         idx = 0
         for packet, granule, _flags in _packets(bytes(payload)):
             if idx == 0:
-                if len(packet) < 19 or packet[:8] != b"OpusHead":
-                    raise OpusError("first packet is not OpusHead")
-                version = packet[8]
-                if version >> 4 != 0:  # RFC 7845 §5.1: major version 0
-                    raise OpusError(f"unsupported OpusHead version {version}")
-                channels = packet[9]
-                if channels < 1:
-                    raise OpusError("OpusHead declares zero channels")
-                pre_skip, input_sr = struct.unpack_from("<HI", packet, 10)
-                out["channels"] = channels
-                out["pre_skip"] = pre_skip
-                out["input_sr"] = input_sr
+                out.update(_parse_head(packet))
             elif idx == 1:
-                if len(packet) < 8 or packet[:8] != b"OpusTags":
-                    raise OpusError("second packet is not OpusTags")
+                out["n_comments"] = _parse_tags(packet)
             else:
                 info = packet_info(packet)
                 toc_sum += info["duration_ms"]
@@ -344,6 +444,10 @@ def encode_ogg_opus(
     granule_skew_ms: float = 0.0,
     corrupt_crc: bool = False,
     plant_bad_packet: bool = False,
+    mapping_family: int = 0,
+    channels: int = 1,
+    bad_mapping: bool = False,
+    bad_tags: bool = False,
 ) -> bytes:
     """Structurally-valid Ogg Opus stream declaring n_samples/sr_hz of
     audio: real pages + CRCs + OpusHead/OpusTags + TOC-valid CELT-FB
@@ -354,8 +458,13 @@ def encode_ogg_opus(
     Duration is quantized to the 2.5ms CELT grid (max error 1.25ms,
     far inside the engine's 50ms duration tolerance). Defect knobs:
     granule_skew_ms shifts the final granule (internal inconsistency),
-    corrupt_crc flips a body byte after CRC computation, and
-    plant_bad_packet appends a zero-length audio packet (R1)."""
+    corrupt_crc flips a body byte after CRC computation,
+    plant_bad_packet appends a zero-length audio packet (R1),
+    bad_mapping writes a family-1 table whose coupled count exceeds
+    its stream count (RFC 7845 §5.1.1), and bad_tags declares a
+    comment length running past the OpusTags packet (§5.2).
+    mapping_family=1 with channels=2 emits a VALID coupled-stereo
+    mapping table (the multistream-clean fixture class)."""
     duration_ms = n_samples * 1000.0 / sr_hz
     units = max(1, int(round(duration_ms / 2.5)))  # 2.5ms units
     # 120ms code-3 packets of 6x20ms frames, then one shorter code-3
@@ -399,11 +508,48 @@ def encode_ogg_opus(
     if plant_bad_packet:
         packets.append((b"", 0.0))
 
-    head = (
-        b"OpusHead"
-        + struct.pack("<BBHIhB", 1, 1, _PRE_SKIP, int(sr_hz), 0, 0)
-    )
-    tags = b"OpusTags" + struct.pack("<I", 4) + b"dvsk" + struct.pack("<I", 0)
+    if bad_mapping:
+        # family-1 table violating §5.1.1: coupled_count > stream_count
+        head = (
+            b"OpusHead"
+            + struct.pack("<BBHIhB", 1, 2, _PRE_SKIP, int(sr_hz), 0, 1)
+            + bytes([1, 2, 0, 1])  # streams=1, coupled=2 (> streams)
+        )
+    elif mapping_family == 0:
+        head = (
+            b"OpusHead"
+            + struct.pack(
+                "<BBHIhB", 1, min(channels, 2), _PRE_SKIP, int(sr_hz), 0, 0
+            )
+        )
+    else:
+        # valid family-1/255 table: channels-1 coupled pairs + the rest
+        # uncoupled would be the general layout; for the fixture the
+        # coupled-stereo shape (streams=1, coupled=1, mapping 0..ch-1)
+        # covers the table-validation path
+        streams = max(1, channels - 1)
+        coupled = channels - streams
+        head = (
+            b"OpusHead"
+            + struct.pack(
+                "<BBHIhB", 1, channels, _PRE_SKIP, int(sr_hz), 0,
+                mapping_family,
+            )
+            + bytes([streams, coupled])
+            + bytes(range(channels))
+        )
+    if bad_tags:
+        # one comment whose declared length runs past the packet (§5.2)
+        tags = (
+            b"OpusTags" + struct.pack("<I", 4) + b"dvsk"
+            + struct.pack("<I", 1) + struct.pack("<I", 1000) + b"K=v"
+        )
+    else:
+        tags = (
+            b"OpusTags" + struct.pack("<I", 4) + b"dvsk"
+            + struct.pack("<I", 1)
+            + struct.pack("<I", 14) + b"ENCODER=dvspk1"
+        )
 
     serial = _mix(seed, 0xDEAD) & 0x7FFFFFFF
     pages = [_page(_FLAG_BOS, 0, serial, 0, [head])]

@@ -90,6 +90,119 @@ def test_inspect_defect_classes():
     assert opus.inspect(b"OggS" + b"\x00" * 10)["error"] is not None
 
 
+def test_inspect_mapping_family_rules():
+    """RFC 7845 §5.1.1: family-0 implicit mapping, valid family-1/255
+    tables, and every table-violation class the validator can see."""
+    mono = opus.inspect(opus.encode_ogg_opus(9600, 48000, seed=1))
+    assert (mono["mapping_family"], mono["stream_count"],
+            mono["coupled_count"]) == (0, 1, 0)
+    ms = opus.inspect(
+        opus.encode_ogg_opus(9600, 48000, seed=1, mapping_family=1,
+                             channels=2)
+    )
+    assert ms["error"] is None
+    assert (ms["channels"], ms["stream_count"], ms["coupled_count"]) == (2, 1, 1)
+    # family 255 (discrete) allows >8 channels with a valid table
+    disc = opus.inspect(
+        opus.encode_ogg_opus(9600, 48000, seed=1, mapping_family=255,
+                             channels=3)
+    )
+    assert disc["error"] is None and disc["mapping_family"] == 255
+    # violations, each built by editing a valid head packet
+    assert "coupled streams" in opus.inspect(
+        opus.encode_ogg_opus(9600, 48000, seed=1, bad_mapping=True)
+    )["error"]
+
+    def _rebuild_with_head(head_pkt):
+        # rebuild the stream with a custom OpusHead: reuse the clean
+        # stream's tags + audio pages, replace page 0
+        clean = opus.encode_ogg_opus(9600, 48000, seed=1)
+        pages = []
+        off = 0
+        while off < len(clean):
+            nsegs = clean[off + 26]
+            end = off + 27 + nsegs + sum(clean[off + 27 : off + 27 + nsegs])
+            pages.append(clean[off:end])
+            off = end
+        serial = struct.unpack_from("<I", pages[0], 14)[0]
+        return opus._page(0x02, 0, serial, 0, [head_pkt]) + b"".join(pages[1:])
+
+    # family 0 with 3 channels
+    bad = bytearray(b"OpusHead" + struct.pack("<BBHIhB", 1, 3, 312, 48000, 0, 0))
+    assert "max 2" in opus.inspect(_rebuild_with_head(bytes(bad)))["error"]
+    # family 0 carrying a mapping table
+    bad = bytearray(
+        b"OpusHead" + struct.pack("<BBHIhB", 1, 2, 312, 48000, 0, 0) + b"\x01"
+    )
+    assert "table" in opus.inspect(_rebuild_with_head(bytes(bad)))["error"]
+    # family 1 mapping index out of range (2 channels, 1 stream+1 coupled
+    # -> decoded indices 0..1; channel 1 maps to 7)
+    bad = bytearray(
+        b"OpusHead" + struct.pack("<BBHIhB", 1, 2, 312, 48000, 0, 1)
+        + bytes([1, 1, 0, 7])
+    )
+    assert "maps to stream index" in opus.inspect(
+        _rebuild_with_head(bytes(bad))
+    )["error"]
+    # zero streams
+    bad = bytearray(
+        b"OpusHead" + struct.pack("<BBHIhB", 1, 2, 312, 48000, 0, 1)
+        + bytes([0, 0, 0, 1])
+    )
+    assert "zero streams" in opus.inspect(_rebuild_with_head(bytes(bad)))["error"]
+    # unknown family
+    bad = bytearray(b"OpusHead" + struct.pack("<BBHIhB", 1, 2, 312, 48000, 0, 7))
+    assert "unknown channel mapping family" in opus.inspect(
+        _rebuild_with_head(bytes(bad))
+    )["error"]
+
+
+def test_inspect_opustags_rules():
+    """RFC 7845 §5.2: comment-length overflow, missing '=', invalid key
+    charset, and non-UTF-8 payloads are all container rejects; a valid
+    comment list reports n_comments."""
+    ok = opus.inspect(opus.encode_ogg_opus(9600, 48000, seed=2))
+    assert ok["error"] is None and ok["n_comments"] == 1
+    assert "exceeds packet" in opus.inspect(
+        opus.encode_ogg_opus(9600, 48000, seed=2, bad_tags=True)
+    )["error"]
+
+    def with_tags(tags_pkt):
+        clean = opus.encode_ogg_opus(9600, 48000, seed=2)
+        pages = []
+        off = 0
+        while off < len(clean):
+            nsegs = clean[off + 26]
+            end = off + 27 + nsegs + sum(clean[off + 27 : off + 27 + nsegs])
+            pages.append(clean[off:end])
+            off = end
+        serial = struct.unpack_from("<I", pages[1], 14)[0]
+        return pages[0] + opus._page(0, 0, serial, 1, [tags_pkt]) + b"".join(
+            pages[2:]
+        )
+
+    base = b"OpusTags" + struct.pack("<I", 4) + b"dvsk"
+    # missing '='
+    pkt = base + struct.pack("<I", 1) + struct.pack("<I", 5) + b"noequ"
+    assert "missing KEY=" in opus.inspect(with_tags(pkt))["error"]
+    # '=' first (empty key)
+    pkt = base + struct.pack("<I", 1) + struct.pack("<I", 4) + b"=bad"
+    assert "missing KEY=" in opus.inspect(with_tags(pkt))["error"]
+    # invalid key charset (0x7E '~' is outside 0x20..0x7D)
+    pkt = base + struct.pack("<I", 1) + struct.pack("<I", 4) + b"K~=v"
+    assert "invalid key" in opus.inspect(with_tags(pkt))["error"]
+    # non-UTF-8 comment body
+    pkt = base + struct.pack("<I", 1) + struct.pack("<I", 4) + b"K=\xff\xfe"
+    assert "not UTF-8" in opus.inspect(with_tags(pkt))["error"]
+    # non-UTF-8 vendor string
+    pkt = (b"OpusTags" + struct.pack("<I", 2) + b"\xff\xfe"
+           + struct.pack("<I", 0))
+    assert "vendor" in opus.inspect(with_tags(pkt))["error"]
+    # vendor length past the packet
+    pkt = b"OpusTags" + struct.pack("<I", 1000) + b"xy"
+    assert "vendor" in opus.inspect(with_tags(pkt))["error"]
+
+
 def test_inspect_duration_quantization():
     for ms, sr in [(37, 8000), (600, 16000), (1234, 48000)]:
         n = int(round(ms / 1000 * sr))
