@@ -275,7 +275,7 @@ def kll_drift(
     base: DataFrame,
     cur: DataFrame,
     n_probes: int = 128,
-    chunk_cols: int = 64,
+    chunk_cols: int = 250,
 ) -> DataFrame:
     """KS drift from two persisted kll_sketches tables: probe values
     are the merged sketch's quantiles at i/(n_probes+1), and
@@ -294,11 +294,17 @@ def kll_drift(
     touched. Returns (column_name, ks, n_base, n_cur).
 
     Wide-schema guard: the inlined literals are chunked `chunk_cols`
-    columns per plan branch (branches unioned) — a single when-chain
-    over O(5k) columns x O(100) probes would build a million-node
-    expression tree and stall codegen/analysis, while each chunked
-    branch stays bounded no matter how wide the table is. Each branch
-    filters to its own columns, so no row is evaluated twice."""
+    columns per plan branch (branches unioned BALANCED — a linear
+    unionByName chain re-analyzes the accumulated left subtree per
+    link, O(branches^2)) — a single when-chain over O(5k) columns x
+    O(100) probes would build a million-node expression tree and
+    stall analysis, while each chunked branch stays bounded no matter
+    how wide the table is. Each branch filters to its own columns, so
+    no row is evaluated twice. Each branch's CASE is built as ONE SQL
+    string handed to F.expr: composing it from Column objects costs
+    ~100 py4j driver round-trips per column (~0.1 s/column — measured
+    85 s at 1,000 columns before this), while the parser ingests the
+    same tree from text in milliseconds."""
     b = base.select(
         "column_name", F.col("n").alias("n_base"), F.col("kll").alias("_kb")
     )
@@ -320,25 +326,37 @@ def kll_drift(
     ).collect()
     per_col = {r.column_name: r._probes for r in probe_rows}
     col_names = sorted(per_col)
+
+    def _sql_lit(v: float) -> str:
+        # repr is the shortest round-trip decimal; Java parses it back
+        # to the identical IEEE-754 double
+        return "CAST('NaN' AS DOUBLE)" if v != v else repr(float(v)) + "D"
+
     parts: list[DataFrame] = []
     for lo in range(0, len(col_names), max(1, chunk_cols)):
         chunk = col_names[lo : lo + chunk_cols]
-        ks = F.lit(None).cast("double")
+        arms = []
         for col_name in chunk:
             # dedup probes (repeated quantiles at heavy ties) to shrink
             # the expression; order is irrelevant under max()
             gaps = [
-                F.abs(
-                    F.kll_sketch_get_rank_double("_kb", F.lit(float(v)))
-                    - F.kll_sketch_get_rank_double("_kc", F.lit(float(v)))
-                )
+                f"abs(kll_sketch_get_rank_double(_kb, {_sql_lit(v)})"
+                f" - kll_sketch_get_rank_double(_kc, {_sql_lit(v)}))"
                 for v in sorted(set(per_col[col_name]))
             ]
-            col_ks = gaps[0] if len(gaps) == 1 else F.greatest(*gaps)
-            ks = F.when(F.col("column_name") == col_name, col_ks).otherwise(ks)
+            body = gaps[0] if len(gaps) == 1 else (
+                "greatest(" + ", ".join(gaps) + ")"
+            )
+            esc = col_name.replace("'", "''")
+            arms.append(f"WHEN '{esc}' THEN {body}")
+        ks_sql = (
+            "CASE column_name "
+            + " ".join(arms)
+            + " ELSE CAST(NULL AS DOUBLE) END"
+        )
         parts.append(
             j.filter(F.col("column_name").isin(chunk)).select(
-                "column_name", ks.alias("ks"), "n_base", "n_cur"
+                "column_name", F.expr(ks_sql).alias("ks"), "n_base", "n_cur"
             )
         )
     if not parts:
@@ -348,10 +366,13 @@ def kll_drift(
             "n_base",
             "n_cur",
         )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    while len(parts) > 1:  # balanced union: O(b log b) re-analysis
+        parts = [
+            parts[i].unionByName(parts[i + 1]) if i + 1 < len(parts)
+            else parts[i]
+            for i in range(0, len(parts), 2)
+        ]
+    return parts[0]
 
 
 def bucketize(spec: ColumnSpec) -> Column:
