@@ -461,8 +461,63 @@ def _write_subframe(bw: _BitWriter, x: np.ndarray, bps: int) -> None:
     _write_residual(bw, np.diff(x, n=o).astype(np.int64))
 
 
-def encode_flac(pcm: np.ndarray, sr_hz: int, blocksize: int = 4096) -> bytes:
-    """float32 [-1,1] mono -> FLAC bytes (16-bit, fixed blocksize)."""
+def _lpc_coef_set(order: int) -> tuple[np.ndarray, int, int]:
+    """Deterministic quantized predictor for the LPC-emitting encoder
+    path: order-2 backbone (2*x[i-1] - x[i-2], the shape libFLAC's
+    low orders converge to) padded with small alternating taps so the
+    full requested order is exercised. Returns (coefs, shift, prec);
+    coefs fit FLAC's 15-bit signed range at shift 12."""
+    sh = 12
+    c = np.zeros(order, np.int64)
+    c[0] = 2 << sh
+    if order > 1:
+        c[1] = -(1 << sh)
+    for j in range(2, order):
+        c[j] = (7 - j) if j % 2 == 0 else (j - 6)
+    return c, sh, 15
+
+
+def _write_subframe_lpc(
+    bw: _BitWriter, x: np.ndarray, bps: int, order: int
+) -> None:
+    """Emit an LPC subframe (RFC 9639 §9.2.2) with the deterministic
+    _lpc_coef_set predictor: warmup, coef block, residuals computed
+    with the exact integer arithmetic the decoder must invert. The
+    encoder path for LPC-heavy external-file stand-ins (the bench
+    corpus tools/flac_lpc_bench.py decodes)."""
+    coefs, shift, prec = _lpc_coef_set(order)
+    mask = (1 << bps) - 1
+    # acc[i] = sum_j coefs[j] * x[i-1-j] for i in [order, n):
+    # windows x[i-order .. i-1] dotted with reversed coefs
+    win = np.lib.stride_tricks.sliding_window_view(x, order)[:-1]
+    acc = win @ coefs[::-1]
+    res = x[order:] - (acc >> shift)
+    bw.write(0, 1)
+    bw.write(32 + order - 1, 6)  # LPC subframe, order
+    bw.write(0, 1)  # no wasted bits
+    for w in x[:order]:
+        bw.write(int(w) & mask, bps)
+    bw.write(prec - 1, 4)
+    bw.write(shift, 5)
+    cmask = (1 << prec) - 1
+    for cv in coefs:
+        bw.write(int(cv) & cmask, prec)
+    _write_residual(bw, res.astype(np.int64))
+
+
+def encode_flac(
+    pcm: np.ndarray,
+    sr_hz: int,
+    blocksize: int = 4096,
+    lpc_order: int | None = None,
+) -> bytes:
+    """float32 [-1,1] mono -> FLAC bytes (16-bit, fixed blocksize).
+
+    lpc_order (1..32) switches subframes to the LPC-emitting path —
+    the stand-in for externally-produced (libFLAC) files, whose
+    decode exercises _restore_lpc/_restore_lpc_batch instead of the
+    vectorized FIXED inversion. Blocks shorter than order+1 samples
+    fall back to the FIXED writer."""
     sr_hz = int(sr_hz)
     if not (1 <= sr_hz < (1 << 20)):
         raise FlacError(f"sample rate {sr_hz} out of FLAC range")
@@ -502,7 +557,12 @@ def encode_flac(pcm: np.ndarray, sr_hz: int, blocksize: int = 4096) -> bytes:
         hdr.append(crc8(hdr))
         bw = _BitWriter()
         bw.write_bytes(bytes(hdr))
-        _write_subframe(bw, block, 16)
+        if lpc_order and len(block) > lpc_order and not np.all(
+            block == block[0]
+        ):
+            _write_subframe_lpc(bw, block, 16, lpc_order)
+        else:
+            _write_subframe(bw, block, 16)
         frame = bw.tobytes()
         out += frame + struct.pack(">H", crc16(frame))
         idx += 1
@@ -589,7 +649,101 @@ def _restore_lpc(
         res.tolist(),
         out.append,
     )
-    return np.asarray(out, dtype=np.int64)
+    try:
+        x = np.asarray(out, dtype=np.int64)
+    except OverflowError:
+        # adversarial coef/residual combinations make the recurrence
+        # explode past int64; no legal stream does (samples fit 32
+        # bits) -> a decode failure, not a crash
+        raise FlacError("lpc restoration overflow")
+    if int(np.abs(x).max(initial=0)) >= _LPC_SAFE_ABS:
+        raise FlacError("lpc restoration overflow")
+    return x
+
+
+class _DeferredLpc:
+    """Placeholder for an LPC subframe whose restoration is deferred
+    so same-shaped subframes across the whole stream can be restored
+    in ONE vectorized numpy pass (_restore_lpc_batch) instead of one
+    python recurrence per subframe. Long externally-produced LPC
+    files have hundreds-to-thousands of equal-blocksize frames, so
+    batching across them turns the per-sample python cost into a
+    per-sample-per-BATCH numpy cost."""
+
+    __slots__ = ("warm", "coefs", "shift", "res", "wasted")
+
+    def __init__(self, warm, coefs, shift, res, wasted):
+        self.warm = warm
+        self.coefs = coefs
+        self.shift = shift
+        self.res = res
+        self.wasted = wasted
+
+    def __len__(self):  # frame accounting before restoration
+        return len(self.warm) + len(self.res)
+
+    def restore_single(self) -> np.ndarray:
+        x = _restore_lpc(self.warm, self.coefs, self.shift, self.res)
+        return x << self.wasted if self.wasted else x
+
+
+# batch groups smaller than this restore via the unrolled python
+# kernel (numpy per-step overhead only amortizes across many lanes)
+_LPC_BATCH_MIN = 8
+# |sample| bound certifying the int64 batch never overflowed: with
+# order<=32 and |coef|<2^14, |acc| <= 2^5 * 2^14 * 2^39 = 2^58 < 2^62
+_LPC_SAFE_ABS = 1 << 39
+
+
+def _restore_lpc_batch(subs: list[_DeferredLpc]) -> list[np.ndarray] | None:
+    """Restore S same-(order, length) LPC subframes in one vectorized
+    recurrence: state (S, order), one numpy step per sample index.
+    Exactness: numpy's >> on int64 is arithmetic and the dot product
+    stays below 2^58 while every sample is below _LPC_SAFE_ABS, so
+    this is bit-identical to the python-int kernel on any stream
+    whose samples fit 39 bits (every legal FLAC stream: bps <= 32).
+    Returns None when a lane exceeded the certified range (possible
+    only for adversarial residuals) — caller falls back to the exact
+    python kernel for that group."""
+    S = len(subs)
+    order = len(subs[0].coefs)
+    n = len(subs[0].res)
+    # (time, lane) layout: each step reads `order` CONTIGUOUS rows of
+    # S lanes (cache-friendly); coefs reversed so the window
+    # out[i:i+order] (oldest..newest) dots directly against them
+    Crev = np.stack([s.coefs[::-1] for s in subs], axis=1).astype(np.int64)
+    R = np.stack([s.res for s in subs], axis=1).astype(np.int64)  # (n, S)
+    sh = np.array([s.shift for s in subs], np.int64)
+    out = np.empty((order + n, S), np.int64)
+    for i, s in enumerate(subs):
+        out[:order, i] = s.warm
+    for i in range(n):
+        acc = (out[i : i + order] * Crev).sum(axis=0)
+        out[order + i] = R[i] + (acc >> sh)
+    if int(np.abs(out).max(initial=0)) >= _LPC_SAFE_ABS:
+        return None
+    return [np.ascontiguousarray(out[:, i]) for i in range(S)]
+
+
+def _restore_deferred(blocks: list) -> None:
+    """Replace every _DeferredLpc in `blocks` with its restored
+    samples, batching same-(order, length) groups."""
+    groups: dict[tuple[int, int], list[int]] = {}
+    for i, b in enumerate(blocks):
+        if isinstance(b, _DeferredLpc):
+            groups.setdefault((len(b.coefs), len(b.res)), []).append(i)
+    for idxs in groups.values():
+        subs = [blocks[i] for i in idxs]
+        batched = (
+            _restore_lpc_batch(subs) if len(subs) >= _LPC_BATCH_MIN else None
+        )
+        if batched is None:
+            for i in idxs:
+                blocks[i] = blocks[i].restore_single()
+        else:
+            for i, x in zip(idxs, batched):
+                w = blocks[i].wasted
+                blocks[i] = x << w if w else x
 
 
 def _read_residual(r: _BitReader, bs: int, order: int) -> np.ndarray:
@@ -657,7 +811,9 @@ def _read_subframe(r: _BitReader, bs: int, bps: int) -> np.ndarray:
             raise FlacError("negative LPC shift")
         coefs = r.read_signed_array(order, prec)
         res = _read_residual(r, bs, order)
-        x = _restore_lpc(warm, coefs, shift, res)
+        # defer restoration: same-shaped LPC subframes across the
+        # stream restore together in one vectorized batch
+        return _DeferredLpc(warm, coefs, shift, res, wasted)
     else:
         raise FlacError("reserved subframe type")
     return x << wasted if wasted else x
@@ -770,6 +926,7 @@ def decode_flac(payload: bytes) -> tuple[np.ndarray, int]:
         blocks.append(x)
         decoded += bs
         frame_idx += 1
+    _restore_deferred(blocks)
     pcm_i = np.concatenate(blocks) if blocks else np.zeros(0, np.int64)
     if streaminfo["md5"] != b"\x00" * 16 and bps0 in (8, 16, 24):
         dtype = {8: "<i1", 16: "<i2", 24: None}[bps0]

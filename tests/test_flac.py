@@ -300,6 +300,74 @@ def test_codecs_dispatch_uses_real_flac():
         codecs.decode("flac", payload[:30])
 
 
+def test_lpc_encoder_roundtrip_hits_batch_path():
+    """encode_flac(lpc_order=) emits LPC subframes across many frames;
+    decode must be bit-exact (STREAMINFO MD5 verifies internally) AND
+    identical between the batched restoration and the per-subframe
+    python kernel."""
+    rng = np.random.default_rng(7)
+    t = np.arange(120_000)  # ~30 frames at blocksize 4096
+    pcm = np.clip(
+        0.4 * np.sin(2 * np.pi * 220 * t / 16000)
+        + 0.05 * rng.standard_normal(len(t)),
+        -1, 1,
+    ).astype(np.float32)
+    for order in (2, 8, 16):
+        enc = flac.encode_flac(pcm, 16000, lpc_order=order)
+        dec, sr = flac.decode_flac(enc)  # MD5-verified => bit-exact
+        assert sr == 16000
+        assert np.array_equal(_i16(dec), _i16(pcm))
+        # force the single-subframe path and compare
+        orig = flac._LPC_BATCH_MIN
+        flac._LPC_BATCH_MIN = 10**9
+        try:
+            dec_single, _ = flac.decode_flac(enc)
+        finally:
+            flac._LPC_BATCH_MIN = orig
+        assert np.array_equal(dec, dec_single)
+
+
+def test_lpc_batch_group_mixed_shapes():
+    """Streams whose frames differ in blocksize/order split into
+    same-shape batch groups plus singles; the result must equal the
+    all-singles decode."""
+    rng = np.random.default_rng(3)
+    x = np.cumsum(rng.integers(-40, 41, size=4096 * 3 + 777)).astype(np.int64)
+    x = np.clip(x, -30000, 30000)
+    enc = flac.encode_flac(
+        (x / 32767.0).astype(np.float32), 8000, lpc_order=4
+    )
+    dec, _ = flac.decode_flac(enc)
+    orig = flac._LPC_BATCH_MIN
+    flac._LPC_BATCH_MIN = 1  # batch even pairs/singletons
+    try:
+        dec_all_batch, _ = flac.decode_flac(enc)
+    finally:
+        flac._LPC_BATCH_MIN = orig
+    assert np.array_equal(dec, dec_all_batch)
+
+
+def test_lpc_explosive_stream_is_decode_error_not_crash():
+    """An adversarial LPC frame whose recurrence explodes (huge coefs,
+    shift 0) must surface as FlacError — the UDF's decode-failure
+    outcome — never OverflowError."""
+    order = 2
+    res = np.zeros(4096 - order, np.int64)
+    bw = _BitWriter()
+    bw.write_bytes(_frame_header(0, 4096))
+    bw.write(0, 1)
+    bw.write(32 + order - 1, 6)  # LPC subframe
+    bw.write(0, 1)
+    bw.write_bits(_signed_bit_array(np.asarray([20000, 20000], np.int64), 16))
+    bw.write(15 - 1, 4)
+    bw.write(0, 5)  # shift 0: prediction amplifies ~2^14 per step
+    bw.write_bits(_signed_bit_array(np.asarray([16000, 16000], np.int64), 15))
+    flac._write_residual(bw, res)
+    frame = _finish_frame(bw)
+    with pytest.raises(FlacError, match="overflow"):
+        flac.decode_flac(_stream(8000, [frame], 4096))
+
+
 def test_lpc_kernel_bit_exact_vs_naive_all_orders():
     """The order-specialized codegen kernel (_make_lpc_kernel) must be
     bit-exact against the straightforward indexed recurrence for every
