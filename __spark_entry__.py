@@ -4941,6 +4941,88 @@ def q129_transcript_plausibility(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q130_flac_lpc(spark: SparkSession, sf: str) -> DataFrame:
+    """LPC-subframe FLAC decode tier (audio/flac.py _restore_lpc /
+    _restore_lpc_batch — the compatibility path for externally-
+    produced libFLAC files; our encoder's default is FIXED subframes):
+    200 deterministic clips in five planted classes —
+      fixed      default FIXED-subframe encoding (control)
+      lpc8/16/32 encode_flac(lpc_order=) emits REAL LPC subframes
+                 (RFC 9639 §9.2.2 quantized predictor + residuals);
+                 every clip is ~10 frames so same-order subframes run
+                 the BATCHED numpy restoration, MD5-verified in the
+                 decoder -> bit-exact or decode error, nothing between
+      truncated  lpc8 payload cut mid-frame -> decode failure
+    — decoded through the standard codec registry. Lossless means
+    int16-exact vs the encoder input. Per-class outcomes are
+    config-determined -> literal oracle rows."""
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        from data_validator_spark.audio import codecs, flac, synth
+
+        classes = ["fixed", "lpc8", "lpc16", "lpc32", "truncated"]
+        orders = {"lpc8": 8, "lpc16": 16, "lpc32": 32, "truncated": 8}
+        srs = [8000, 16000, 48000]
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                planted = classes[i % 5]
+                sr = srs[(i // 5) % 3]
+                n = 40960 + (i * 101) % 2048  # ~10 frames + ragged tail
+                pcm = np.clip(
+                    synth.reference_pcm(f"q130-{i:06d}", sr, n), -1, 1
+                )
+                payload = flac.encode_flac(
+                    pcm, sr, lpc_order=orders.get(planted)
+                )
+                if planted == "truncated":
+                    payload = payload[: len(payload) - len(payload) // 3]
+                try:
+                    dec, sr2 = codecs.decode("flac", payload)
+                    err = None
+                    q = np.round(
+                        np.clip(pcm.astype(np.float64), -1, 1) * 32767.0
+                    )
+                    lossless = bool(
+                        sr2 == sr
+                        and len(dec) == n
+                        and np.array_equal(
+                            q, np.round(dec.astype(np.float64) * 32767.0)
+                        )
+                    )
+                    snr = float(codecs.snr_db(pcm, dec))
+                except (codecs.CodecError, ValueError) as e:
+                    err, lossless, snr = str(e), False, None
+                rows.append((planted, err is not None, lossless, snr))
+            yield pd.DataFrame(
+                rows,
+                columns=["planted", "decode_err", "lossless", "snr"],
+            )
+
+    out = spark.range(0, 200, numPartitions=8).mapInPandas(
+        gen,
+        "planted string, decode_err boolean, lossless boolean, snr double",
+    )
+    return (
+        out.groupBy("planted")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.col("decode_err").cast("long")).alias("n_decode_err"),
+            F.sum(F.col("lossless").cast("long")).alias("n_lossless"),
+            # snr is NULL for every decode-failed row; an all-NULL sum
+            # is NULL, the oracle's count is 0
+            F.sum(
+                F.coalesce((F.col("snr") >= 80.0).cast("long"), F.lit(0))
+            ).alias("n_snr80"),
+        )
+        .orderBy("planted")
+    )
+
+
 # The driver's correctness gate samples the FIRST 50 queries() entries,
 # so dict order is the gate's coverage window. The window below spans
 # every tier (flagship plan, audio decode/quality/metadata, audio+text
@@ -5147,6 +5229,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q127_exact_substring": q127_exact_substring,
         "q128_incremental_state": q128_incremental_state,
         "q129_transcript_plausibility": q129_transcript_plausibility,
+        "q130_flac_lpc": q130_flac_lpc,
     }
 
 
@@ -7847,6 +7930,19 @@ _ORACLES: dict[str, str] = {
             ('silent', 40::BIGINT, 0::BIGINT,  40::BIGINT, 5.0),
             ('slow',   40::BIGINT, 40::BIGINT, 0::BIGINT, 0.375)
         ) AS t(planted, n, n_wps_flagged, n_speech_flagged, avg_wps)
+        ORDER BY planted
+    """,
+    # Config-determined planted-class outcomes (q116/q65 pattern): the
+    # Spark side really encodes/decodes LPC bitstreams (MD5-verified),
+    # so each class's verdict is a truth-table constant.
+    "q130_flac_lpc": """
+        SELECT * FROM (VALUES
+          ('fixed',     40::BIGINT, 0::BIGINT,  40::BIGINT, 40::BIGINT),
+          ('lpc16',     40::BIGINT, 0::BIGINT,  40::BIGINT, 40::BIGINT),
+          ('lpc32',     40::BIGINT, 0::BIGINT,  40::BIGINT, 40::BIGINT),
+          ('lpc8',      40::BIGINT, 0::BIGINT,  40::BIGINT, 40::BIGINT),
+          ('truncated', 40::BIGINT, 40::BIGINT, 0::BIGINT,  0::BIGINT)
+        ) AS t(planted, n, n_decode_err, n_lossless, n_snr80)
         ORDER BY planted
     """,
     "q68_transcript_near_match": """

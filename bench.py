@@ -136,31 +136,28 @@ def time_clips_validation(spark, paths: dict, rows: int, cores: int, repeats: in
 
     from data_validator_spark.plans import ValidationConfig, run_validation
 
-    from concurrent.futures import ThreadPoolExecutor
-
     clips = spark.read.parquet(paths["clips"])
     tr = spark.read.parquet(paths["transcripts_ref"])
     passes: list[float] = []
     for _ in range(max(1, repeats)):
         t0 = time.monotonic()
         res = run_validation(clips, tr, cfg=ValidationConfig(persist=True))
-        # materialize every output the engine contract produces.
-        # Independent outputs are submitted as CONCURRENT Spark jobs:
-        # while the decode stage saturates the Python workers, the JVM
-        # cores are mostly idle — stats/histograms (metadata-only
-        # scans) ride that idle capacity instead of serializing after.
-        # The main action runs first only far enough to own the cache
-        # materialization (concurrent first-touch on one cached plan
-        # would compute partitions twice).
-        with ThreadPoolExecutor(max_workers=4) as ex:
-            f_stats = ex.submit(lambda: res.summary_stats.collect())
-            f_hist = ex.submit(lambda: res.histograms.count())
-            n_valid = res.validated.count()  # materializes audio+v caches
-            f_inv = ex.submit(lambda: res.invalid.count())
-            verdicts = res.partition_verdicts.collect()
-            n_invalid = f_inv.result()
-            stats_rows = f_stats.result()
-            hist_n = f_hist.result()
+        # materialize every output the engine contract produces,
+        # SEQUENTIALLY. Round 4 overlapped the metadata-only actions
+        # with the decode stage on driver threads; the round-5
+        # decomposition (tools/scaling_decompose.py) measured that
+        # concurrency REGRESSING both pinned levels — 8-core warm wall
+        # 32.3s sequential vs 67.2s concurrent, process-tree CPU 230s
+        # vs 323s — scheduler/GC contention against the saturated
+        # decode stage costs far more than the overlap recovers. The
+        # decode stage itself scales 4.09x from 2 to 8 cores; the
+        # post-decode actions are each sub-second against the warm
+        # caches, so there is nothing left worth overlapping.
+        n_valid = res.validated.count()  # materializes audio+v caches
+        n_invalid = res.invalid.count()
+        verdicts = res.partition_verdicts.collect()
+        stats_rows = res.summary_stats.collect()
+        hist_n = res.histograms.count()
         elapsed = time.monotonic() - t0
         res.unpersist()
         log(f"  clips pass: {elapsed:.2f}s")
